@@ -1,0 +1,42 @@
+package thrivespark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet tables (see /root/repo/TESTDATA.md
+  * and FIXTURES.md). Schemas are fixed and embedded in the parquet footers;
+  * we deliberately do NOT re-declare StructTypes here (the files are the
+  * contract), but ScalaTest pins the expected schemas.
+  *
+  * Scale note: `spark.read.parquet` on a directory of files partitions by
+  * file/rowgroup (`spark.sql.files.maxPartitionBytes`), so the same code path
+  * scales from one local file to a 100 TB multi-file dataset unchanged.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // ms-precision parquet timestamps must arrive as TIMESTAMP (session-TZ
+    // UTC), not TIMESTAMP_NTZ — same values under UTC, but unix_micros() and
+    // friends require the TZ-typed flavor.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // events.ts is TIMESTAMP(NANOS) which Spark 4 refuses natively; read as
+    // raw nanos LONG and convert below (values are µs-resolution, so the
+    // integer division is lossless — FIXTURES.md).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // ts arrives as LONG nanos (see t()); convert to µs TimestampType with
+    // exact integer division — both engines then see identical µs values.
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,139 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.4 — aggregation (#21–#28).
+  * All money/quantity sums go through decimal(38,6) (rule R2) so partial
+  * aggregation (map-side combine) stays exact and associative — the property
+  * that makes the same plan correct on 32 local threads and 1000 executors. */
+object Aggs {
+  val ops: Seq[Op] = Seq(
+    // #21 — flagship, TPC-H Q1 shape.
+    Op("agg_pricing_summary",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          avg6(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+                     sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+                     CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_qty,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Op("agg_count_distinct",
+      (s, d) => T.events(s, d)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(col("event_type")).as("n_types"),
+             count(lit(1)).as("n_events"))
+        .orderBy(col("dt")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+                     count(DISTINCT user_id) AS n_users,
+                     count(DISTINCT event_type) AS n_types,
+                     count(*) AS n_events
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Op("agg_multi_distinct",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+             countDistinct(year(col("o_orderdate"))).as("n_years"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+                     count(DISTINCT c_nationkey) AS n_nations,
+                     count(DISTINCT year(o_orderdate)) AS n_years,
+                     count(*) AS n_rows
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Op("agg_rollup",
+      (s, d) => T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("g"), count(lit(1)).as("cnt"),
+             dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+                col("g").cast("int").as("g"), col("cnt"), col("sum_qty"))
+        .orderBy(col("g"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS g,
+                     count(*) AS cnt,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    Op("agg_cube",
+      (s, d) => T.customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(grouping_id().as("g"), count(lit(1)).as("cnt"),
+             avg6(sum(dec(col("c_acctbal"))), count(lit(1))).as("avg_bal"))
+        .select(col("c_mktsegment"), col("c_nationkey"),
+                col("g").cast("int").as("g"), col("cnt"), col("avg_bal"))
+        .orderBy(col("g"), col("c_mktsegment").asc_nulls_first,
+                 col("c_nationkey").asc_nulls_first),
+      Some("""SELECT c_mktsegment, c_nationkey,
+                     CAST(GROUPING(c_mktsegment, c_nationkey) AS INTEGER) AS g,
+                     count(*) AS cnt,
+                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_bal
+              FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+              ORDER BY g, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    Op("agg_grouping_sets",
+      (s, d) => {
+        T.events(s, d).withColumn("dt", to_date(col("ts")))
+          .createOrReplaceTempView("gs_events")
+        s.sql("""SELECT event_type, dt,
+                        CAST(grouping_id(event_type, dt) AS INT) AS g,
+                        count(1) AS cnt,
+                        sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                 FROM gs_events
+                 GROUP BY GROUPING SETS ((event_type), (event_type, dt), ())
+                 ORDER BY g, event_type ASC NULLS FIRST, dt ASC NULLS FIRST""")
+      },
+      Some("""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS dt,
+                     CAST(GROUPING(event_type, date_trunc('day', ts)) AS INTEGER) AS g,
+                     count(*) AS cnt,
+                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+              FROM events
+              GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('day', ts)), ())
+              ORDER BY g, event_type NULLS FIRST, dt NULLS FIRST""")),
+
+    Op("agg_stats",
+      (s, d) => T.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"),
+             avg6(sum(dec(col("c_acctbal"))), count(lit(1))).as("avg_bal"),
+             round(stddev_samp(col("c_acctbal")), 4).cast(D).as("sd_bal"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_bal,
+                     CAST(round(stddev_samp(c_acctbal), 4) AS DECIMAL(38,6)) AS sd_bal,
+                     count(*) AS n
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // #28 — HLL++; sketch outputs are never hash-compared (R5). ScalaTest
+    // asserts the estimate is within 2% of exact.
+    Op("agg_approx_distinct",
+      (s, d) => T.events(s, d)
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users")),
+      None),
+  )
+}

@@ -1,0 +1,60 @@
+package thrivespark.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 #60 — Thrive's core incremental-processing semantic
+  * re-expressed Spark-first: a bookmark records the highest processed
+  * partition; a run processes only newer partitions and commits them with
+  * dynamic partition overwrite, so re-running is a no-op (idempotent) and a
+  * failed run can be rolled back by resetting the bookmark.
+  * (Thrive tracked Camus folders in a MySQL metadata store [K]; here the
+  * bookmark is a file and partitions are dt= directories.) */
+object Bookmark {
+
+  final case class RunResult(processedPartitions: Seq[String], rowsWritten: Long)
+
+  def readBookmark(path: String): Option[String] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  def writeBookmark(path: String, value: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, value.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING) // atomic commit, Thrive-style
+  }
+
+  /** Incremental load: read `events`-shaped input, keep only partitions
+    * (days) strictly newer than the bookmark, write them with dynamic
+    * partition overwrite, then advance the bookmark. Returns what happened
+    * so tests can assert the second run processes nothing. */
+  def incrementalLoad(spark: SparkSession, input: DataFrame, outDir: String,
+      bookmarkPath: String): RunResult = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val withDt = input.withColumn("dt", to_date(col("ts")))
+    val bookmark = readBookmark(bookmarkPath)
+    val fresh = bookmark match {
+      case Some(b) => withDt.filter(col("dt") > lit(b).cast("date"))
+      case None => withDt
+    }
+    val parts = fresh.select(col("dt")).distinct().collect()
+      .map(_.getDate(0).toString).sorted.toSeq
+    if (parts.isEmpty) return RunResult(Seq.empty, 0L)
+    val n = fresh.count()
+    fresh.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(outDir)
+    writeBookmark(bookmarkPath, parts.last)
+    RunResult(parts, n)
+  }
+
+  /** Rollback: reset the bookmark to `to` (partitions newer than it will be
+    * reprocessed and overwritten on the next run — same contract as Thrive's
+    * rollback phase). */
+  def rollback(bookmarkPath: String, to: String): Unit = writeBookmark(bookmarkPath, to)
+}

@@ -1,0 +1,187 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.3 — join surface (#10–#20).
+  *
+  * Scale notes (100 TB design point):
+  *  - dims (nation/region) broadcast explicitly (#11) — no shuffle of the fact;
+  *  - the biggest join (#12 lineitem⋈orders) is pinned sort-merge, the plan
+  *    Spark picks at scale; AQE re-plans skew at runtime;
+  *  - #18 theta join keeps the small side broadcast (BNLJ over 1k rows);
+  *  - #19 interval join is bucketized on (user, hour-bucket) so the shuffle key
+  *    carries the time dimension — O(events-per-bucket²) not O(events-per-user²);
+  *  - #20 as-of join = equi-shuffle on user + per-event window, the standard
+  *    distributed formulation (no driver-side state).
+  */
+object Joins {
+  val ops: Seq[Op] = Seq(
+    Op("join_inner_hash",
+      (s, d) => T.orders(s, d).join(T.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+                     count(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    Op("join_broadcast",
+      (s, d) => T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, count(*) AS n_customers
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    Op("join_sort_merge",
+      (s, d) => T.lineitem(s, d).hint("merge")
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("net_lines"),
+             count(lit(1)).as("n_lines"))
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("total_price"),
+                col("net_lines"), col("n_lines"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) AS total_price,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS net_lines,
+                     count(*) AS n_lines
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""")),
+
+    Op("join_left_outer",
+      (s, d) => {
+        val lsum = T.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sq"), count(lit(1)).as("nl"))
+        T.orders(s, d).join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("sq"), lit(0).cast(D)).as("sum_qty"),
+            coalesce(col("nl"), lit(0L)).as("n_lines"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+                     coalesce(sq, CAST(0 AS DECIMAL(38,6))) AS sum_qty,
+                     coalesce(nl, 0) AS n_lines
+              FROM orders LEFT JOIN (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sq, count(*) AS nl
+                FROM lineitem GROUP BY l_orderkey) s ON o_orderkey = l_orderkey
+              ORDER BY o_orderkey""")),
+
+    Op("join_full_outer",
+      (s, d) => {
+        val eu = T.events(s, d).select(col("user_id")).distinct()
+        T.customer(s, d).select(col("c_custkey"))
+          .join(eu, col("c_custkey") === col("user_id"), "full")
+          .select(coalesce(col("c_custkey"), col("user_id")).as("k"),
+            when(col("c_custkey").isNull, "event_only")
+              .when(col("user_id").isNull, "cust_only")
+              .otherwise("both").as("side"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT coalesce(c_custkey, user_id) AS k,
+                     CASE WHEN c_custkey IS NULL THEN 'event_only'
+                          WHEN user_id IS NULL THEN 'cust_only'
+                          ELSE 'both' END AS side
+              FROM (SELECT c_custkey FROM customer) c
+              FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+                ON c_custkey = user_id
+              ORDER BY k""")),
+
+    Op("join_left_semi",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+              ORDER BY c_custkey""")),
+
+    Op("join_left_anti",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    Op("join_cross",
+      (s, d) => T.region(s, d).crossJoin(T.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+
+    Op("join_theta_band",
+      (s, d) => {
+        val s1 = T.supplier(s, d).select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+        val s2 = T.supplier(s, d).select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+        s1.join(broadcast(s2),
+            col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < 10.0)
+          .select(col("a_key"), col("b_key"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key
+              FROM supplier a JOIN supplier b
+                ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 10
+              ORDER BY a_key, b_key""")),
+
+    // Interval self-join: pairs of events of the same user within (0, 1h].
+    // Bucketized on the hour so the shuffle key carries time — each probe row
+    // lands in exactly 2 buckets, keeping per-task work O(bucket²) at scale.
+    Op("join_range_interval",
+      (s, d) => {
+        val bucketUs = 3600000000L // 1 hour in µs
+        val e = T.events(s, d)
+          .select(col("user_id"), col("event_id").as("a_id"),
+            unix_micros(col("ts")).as("a_us"))
+          .withColumn("pb", explode(array(
+            floor(col("a_us") / bucketUs), floor(col("a_us") / bucketUs) + 1)))
+        val f = T.events(s, d)
+          .select(col("user_id").as("f_user"), col("event_id").as("b_id"),
+            unix_micros(col("ts")).as("b_us"))
+          .withColumn("fb", floor(col("b_us") / bucketUs))
+        e.join(f, col("user_id") === col("f_user") && col("pb") === col("fb") &&
+            col("b_us") > col("a_us") && col("b_us") <= col("a_us") + bucketUs)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+              GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // As-of (backward): for each event, that customer's latest order at ts.
+    Op("join_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+              FROM (
+                SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+              WHERE rn = 1 ORDER BY event_id""")),
+  )
+}

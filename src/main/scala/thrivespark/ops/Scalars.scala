@@ -1,0 +1,160 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.8 — scalar function surface (#41–#47).
+  * Cross-engine gotchas handled here (SURVEY.md §7.4): ISO day-of-week on
+  * both sides, decimal-based rounding (half-up in both engines), casts that
+  * align DuckDB's BIGINT-returning date parts with Spark's INT. */
+object Scalars {
+  val ops: Seq[Op] = Seq(
+    Op("fn_string",
+      (s, d) => T.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(trim(col("p_name"))).as("name_len"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word_re"),
+        split(col("p_name"), " ").getItem(0).as("first_word_split"),
+        levenshtein(col("p_brand"), lit("Brand#1")).as("lev"),
+        col("p_name").like("%ring%").cast("int").as("has_ring"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+                     upper(p_name) AS uname,
+                     substring(p_name, 1, 5) AS prefix5,
+                     concat_ws('|', p_brand, p_type) AS brand_type,
+                     CAST(length(trim(p_name)) AS INTEGER) AS name_len,
+                     regexp_extract(p_name, '^(\w+)', 1) AS first_word_re,
+                     string_split(p_name, ' ')[1] AS first_word_split,
+                     CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS lev,
+                     CAST(p_name LIKE '%ring%' AS INTEGER) AS has_ring
+              FROM part ORDER BY p_partkey""")),
+
+    Op("fn_date",
+      (s, d) => T.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("eom"),
+        unix_micros(col("o_orderdate")).as("epoch_us"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS INTEGER) AS y,
+                     CAST(month(o_orderdate) AS INTEGER) AS m,
+                     CAST(day(o_orderdate) AS INTEGER) AS dom,
+                     CAST(date_part('isodow', o_orderdate) AS INTEGER) AS isodow,
+                     CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+                     CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+                     CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+                     CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+                     epoch_us(o_orderdate) AS epoch_us
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("fn_math",
+      (s, d) => T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(18,2)"), 1).as("price_r1"),
+        abs(col("l_discount").cast("decimal(10,2)") - lit(0.05).cast("decimal(10,2)")).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        round6(log(col("l_quantity"))).as("ln_qty"),
+        round6(sqrt(col("l_quantity"))).as("sqrt_qty"),
+        pow(col("l_quantity"), 2).cast("long").as("qty_sq"))
+        // R1: (orderkey, linenumber) not unique — order by every emitted
+        // column so the output order is total.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_r1"),
+                 col("disc_dev"), col("price_ceil"), col("price_floor"),
+                 col("ln_qty"), col("sqrt_qty"), col("qty_sq")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
+                     abs(CAST(l_discount AS DECIMAL(10,2)) - CAST(0.05 AS DECIMAL(10,2))) AS disc_dev,
+                     CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+                     CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                     l_orderkey % 7 AS key_mod7,
+                     CAST(round(ln(l_quantity), 6) AS DECIMAL(38,6)) AS ln_qty,
+                     CAST(round(sqrt(l_quantity), 6) AS DECIMAL(38,6)) AS sqrt_qty,
+                     CAST(pow(l_quantity, 2) AS BIGINT) AS qty_sq
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, price_r1, disc_dev,
+                       price_ceil, price_floor, ln_qty, sqrt_qty, qty_sq""")),
+
+    Op("fn_cond_case",
+      (s, d) => T.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floored"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice < 50000 THEN 'low'
+                          WHEN o_totalprice < 150000 THEN 'mid'
+                          ELSE 'high' END AS band,
+                     least(o_totalprice, 100000.0) AS capped,
+                     greatest(o_totalprice, 100000.0) AS floored,
+                     coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Array surface over embeddings; element-wise math in DOUBLE on both
+    // sides, sequential fold order → IEEE-identical.
+    Op("fn_array",
+      (s, d) => T.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round4(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))).as("l2_norm"),
+        round4(element_at(col("embedding"), 1).cast("double")).as("e1"),
+        round4(element_at(col("embedding"), 2).cast("double")).as("e2"),
+        round4(element_at(col("embedding"), 3).cast("double")).as("e3"),
+        round4(element_at(col("embedding"), 4).cast("double")).as("e4"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+                     CAST(len(embedding) AS INTEGER) AS dim,
+                     CAST(round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(38,6)) AS l2_norm,
+                     CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e2,
+                     CAST(round(CAST(embedding[3] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e3,
+                     CAST(round(CAST(embedding[4] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e4
+              FROM embeddings ORDER BY vec_id""")),
+
+    // Map surface: build a map from parsed JSON, extract by key; only the
+    // extracted scalar is emitted (map entry order is not hash-stable).
+    Op("fn_map",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("m", map(lit("k"), col("k")))
+        .select(element_at(col("m"), "k").as("k_out"))
+        .groupBy(col("k_out")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k_out")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_out, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Op("fn_json",
+      (s, d) => {
+        val schema = StructType(Seq(StructField("k", IntegerType)))
+        T.events(s, d)
+          .withColumn("j", from_json(col("props"), schema))
+          .withColumn("missing", get_json_object(col("props"), "$.missing"))
+          .groupBy(col("j.k").as("k"))
+          .agg(count(lit(1)).as("cnt"), count(col("missing")).as("n_missing_notnull"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                     count(*) AS cnt,
+                     count(json_extract_string(props, '$.missing')) AS n_missing_notnull
+              FROM events GROUP BY 1 ORDER BY 1""")),
+  )
+}

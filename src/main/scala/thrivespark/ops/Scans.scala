@@ -1,0 +1,59 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.1 — scans, sources, sinks (#1–#4; #5 JDBC is in
+  * thrivespark.sinks + ScalaTest, no oracle possible offline).
+  *
+  * Scale notes: #1/#2 are pure parquet scans — pushdown + pruning verified in
+  * PlanSpec; #4 writes a Hive-style partitioned layout (the Thrive ingest
+  * pattern) and reads it back, exercising partition discovery + dynamic
+  * pruning-capable layout.
+  */
+object Scans {
+  val ops: Seq[Op] = Seq(
+    Op("scan_full",
+      (s, d) => T.region(s, d)
+        .select($c("r_regionkey"), $c("r_name"))
+        .orderBy($c("r_regionkey")),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    Op("scan_pushdown_filter",
+      (s, d) => T.lineitem(s, d)
+        .filter($c("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                $c("l_discount") > 0.05)
+        .select($c("l_orderkey"), $c("l_linenumber"),
+          $c("l_shipdate").cast("date").as("ship_date"), $c("l_extendedprice"))
+        // R1: (orderkey, linenumber) is not unique in this data — sort by all
+        // emitted columns so the output order is total.
+        .orderBy($c("l_orderkey"), $c("l_linenumber"), $c("ship_date"), $c("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_extendedprice
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+              ORDER BY l_orderkey, l_linenumber, ship_date, l_extendedprice""")),
+
+    Op("scan_json_lines",
+      (s, d) => T.events(s, d)
+        .select(get_json_object($c("props"), "$.k").cast("int").as("k"))
+        .groupBy($c("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy($c("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Op("sink_partitioned",
+      (s, d) => {
+        val sink = s"/tmp/graft_sink_partitioned_${new java.io.File(d).getName}"
+        T.events(s, d).withColumn("dt", to_date($c("ts")))
+          .write.mode("overwrite").partitionBy("dt").parquet(sink)
+        s.read.parquet(sink)
+          .groupBy($c("dt")).agg(count(lit(1)).as("cnt"))
+          .orderBy($c("dt"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+  )
+
+  private def $c(n: String) = col(n)
+}

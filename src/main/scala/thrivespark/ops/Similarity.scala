@@ -1,0 +1,106 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.9 similarity search (#52–#54).
+  *
+  * Embeddings are L2-normalized (FIXTURES.md) so cosine ≡ dot product. The
+  * dot is a sequential left fold over zip_with in DOUBLE — the identical
+  * computation the oracle runs (list_sum of an in-order element product), so
+  * both engines produce the same IEEE value.
+  *
+  * Scale path: sim_topk_cosine broadcasts the (small) query set against the
+  * corpus — a map-side-only plan that scales linearly in corpus size;
+  * sim_threshold_pairs blocks on the label column so the pair space is
+  * O(Σ label²) not O(n²). An IVF-style variant is the documented v2 upgrade.
+  */
+object Similarity {
+  /** dot(a, b) in double, sequential fold — deterministic across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private val duckDot =
+    "list_sum(list_transform(generate_series(1, 64), " +
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+
+  val ops: Seq[Op] = Seq(
+    Op("sim_topk_cosine",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), round6(col("cos")).as("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""SELECT q_id, c_id, CAST(round(cos, 6) AS DECIMAL(38,6)) AS cos, rn
+              FROM (
+                SELECT a.vec_id AS q_id, b.vec_id AS c_id, $duckDot AS cos,
+                       CAST(row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY $duckDot DESC, b.vec_id) AS INTEGER) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id % 50 = 0)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    Op("sim_threshold_pairs",
+      (s, d) => {
+        val a = T.embeddings(s, d)
+          .select(col("label").as("l_a"), col("vec_id").as("a_id"), col("embedding").as("e_a"))
+        val b = T.embeddings(s, d)
+          .select(col("label").as("l_b"), col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        a.join(b, col("l_a") === col("l_b") && col("a_id") < col("b_id"))
+          .withColumn("cos", dot(col("e_a"), col("e_b")))
+          .filter(col("cos") > 0.3)
+          .select(col("a_id"), col("b_id"), col("l_a").as("label"), round6(col("cos")).as("cos"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+                     CAST(round($duckDot, 6) AS DECIMAL(38,6)) AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE $duckDot > 0.3
+              ORDER BY a_id, b_id""")),
+
+    Op("multimodal_join",
+      (s, d) => T.documents(s, d)
+        .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("label"),
+          size(col("embedding")).as("dim"),
+          round4(sqrt(dot(col("embedding"), col("embedding")))).as("l2_norm"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, source, n_chars, label,
+                     CAST(len(embedding) AS INTEGER) AS dim,
+                     CAST(round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(38,6)) AS l2_norm,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+              FROM documents JOIN embeddings ON doc_id = vec_id
+              ORDER BY doc_id""")),
+
+    // Multimodal binary-column metadata: opaque-bytes surface (octet length,
+    // content hashes) — the payload plumbing for media columns; the decode
+    // stage itself is the stubbed mapPartitions path in thrivespark.multimodal.
+    Op("multimodal_binary_meta",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_256"),
+        md5(col("text")).as("md5_hex"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                     sha256(text) AS sha_256,
+                     md5(text) AS md5_hex
+              FROM documents ORDER BY doc_id""")),
+  )
+}

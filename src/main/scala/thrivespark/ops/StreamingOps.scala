@@ -1,0 +1,66 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.10 — event-time windowing (#55–#57), batch-equivalence mode.
+  *
+  * Structured Streaming's unified API guarantees these transforms produce
+  * identical results on `readStream` (absent late data); the streaming
+  * execution path (readStream → watermark → memory sink) is exercised in
+  * StreamingSpec with the same assertions, plus the two ops whose semantics
+  * only exist under streaming (#58 watermark-late-drop, #59 stateful dedup).
+  * Window starts are emitted as epoch-µs BIGINT (rule R3). */
+object StreamingOps {
+  val ops: Seq[Op] = Seq(
+    Op("stream_tumbling",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+                     count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // 1h window sliding every 15min → each event lands in exactly 4 windows.
+    Op("stream_sliding",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type")),
+      Some("""WITH x AS (
+                SELECT epoch_us(ts) - (epoch_us(ts) % 900000000) AS f, event_type
+                FROM events)
+              SELECT ws, event_type, count(*) AS n
+              FROM (SELECT unnest([f, f - 900000000, f - 1800000000, f - 2700000000]) AS ws,
+                           event_type FROM x)
+              GROUP BY ws, event_type ORDER BY ws, event_type""")),
+
+    // Session windows, 30-minute gap. Oracle = gaps-and-islands (identical
+    // math: a new session starts when the gap to the previous event ≥ 30m).
+    Op("stream_session",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("ss"), col("n"))
+        .orderBy(col("user_id"), col("ss")),
+      Some("""WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS nf
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (
+                SELECT user_id, ts,
+                       sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM e)
+              SELECT user_id, epoch_us(min(ts)) AS ss, count(*) AS n
+              FROM s GROUP BY user_id, sid ORDER BY user_id, ss""")),
+  )
+}

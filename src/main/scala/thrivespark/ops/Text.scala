@@ -1,0 +1,119 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** SURVEY.md §2.9 text analysis (#48–#49) plus the training-data-pipeline
+  * text operators the north star calls for: language-ID heuristic, quality
+  * scoring, and document fingerprinting (md5-based so the DuckDB oracle
+  * computes the identical value).
+  *
+  * All ratios are int/int → one IEEE double division → identical in both
+  * engines; rounding is half-away-from-zero in both. */
+object Text {
+  private def toks: Column = split(col("text"), " ")
+
+  val ops: Seq[Op] = Seq(
+    Op("text_stats",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars_calc"),
+        (length(col("text")).cast("long") === col("n_chars")).cast("int").as("chars_parity"),
+        round6((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks)).as("avg_tok_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+                     CAST(length(text) AS INTEGER) AS n_chars_calc,
+                     CAST(length(text) = n_chars AS INTEGER) AS chars_parity,
+                     CAST(round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS avg_tok_len
+              FROM documents ORDER BY doc_id""")),
+
+    Op("text_tokens_explode",
+      (s, d) => T.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")),
+      Some("""SELECT tok, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+              GROUP BY tok ORDER BY cnt DESC, tok""")),
+
+    // Language-ID heuristic: English-stopword hit ratio over tokens. The
+    // synthetic corpus has a lang column, so the op also reports agreement.
+    Op("text_lang_id",
+      (s, d) => {
+        val hits = size(filter(toks, t => t === "the" || t === "a"))
+        val score = hits.cast("double") / size(toks)
+        T.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          round6(score).as("en_score"),
+          when(score > 0.05, "en").otherwise("other").as("guess"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+                     CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                                t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS en_score,
+                     CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                               t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                               / len(string_split(text, ' ')) > 0.05
+                          THEN 'en' ELSE 'other' END AS guess
+              FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length, token stats, uniqueness ratio, short-doc flag.
+    Op("text_quality",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).as("n_tokens"),
+        round6(size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+        (size(toks) < 20).cast("int").as("is_short"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                     CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS uniq_ratio,
+                     CAST(len(string_split(text, ' ')) < 20 AS INTEGER) AS is_short
+              FROM documents ORDER BY doc_id""")),
+
+    // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
+    // (min of shingle md5s) — md5 is identical in both engines, so this is
+    // oracle-checkable unlike engine-specific hash functions.
+    Op("text_fingerprint",
+      (s, d) => {
+        val sh = Shingles.shingles3(col("text"))
+        T.documents(s, d).select(
+          col("doc_id"),
+          md5(col("text")).as("doc_md5"),
+          array_min(transform(sh, x => md5(x))).as("min_shingle_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, md5(text) AS doc_md5,
+                     list_min(list_transform(${Shingles.duckShingles3FromT},
+                              x -> md5(x))) AS min_shingle_md5
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+              ORDER BY doc_id""")),
+  )
+}
+
+/** Shared word-3-gram shingling, used by text_fingerprint, dedup_near_minhash
+  * and the UDF surface. Both engines build the identical shingle list. */
+object Shingles {
+  /** Distinct word 3-gram shingles of a text column (Spark side). */
+  def shingles3(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** Same construction in DuckDB SQL, assuming a lateral column
+    * `t = string_split(text, ' ')` is in scope (1-based list indexing). */
+  def duckShingles3FromT: String =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+    "for i in generate_series(1, len(t) - 2)])"
+}
