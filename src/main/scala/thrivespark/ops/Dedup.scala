@@ -1,23 +1,78 @@
 package thrivespark.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import thrivespark.{Op, Tables => T}
 
 /** SURVEY.md §2.9 dedup (#50, #51).
   *
   * dedup_near_minhash is the 100 TB-shaped pipeline:
   *   shingle → 32-perm minhash → LSH banding (16 bands × 2 rows) →
-  *   candidate pairs by band-bucket equi-join → EXACT Jaccard verification.
+  *   candidate pairs from band buckets → EXACT Jaccard verification.
   * The sketch only prunes candidates; the emitted result is exact (rule R5),
-  * so the DuckDB oracle is the brute-force exact-Jaccard join. Banding keeps
-  * cluster cost O(candidates) instead of O(n²): the only shuffles are the
-  * band-bucket groupBy and the two shingle-set lookups.
-  * Recall: P[candidate | J] = 1-(1-J²)^16 ≥ 0.9998 at J = 0.6.
+  * so the DuckDB oracle is the brute-force exact-Jaccard join.
+  *
+  * Scale design: candidates come from a groupBy on (band, band-signature) —
+  * one shuffle of 16·N small rows — followed by in-bucket pair expansion, so
+  * the cost is O(Σ bucket²), not O(N²), and no full self-join of the
+  * signature pipeline exists in the plan. The shingle table is computed once
+  * and persisted (on a cluster: a checkpointed/bucketed intermediate table).
+  * Recall: P[candidate | J] = 1 − (1 − J²)^16 ≥ 0.9998 at J = 0.6.
   */
 object Dedup {
-  private val NumHashes = 32
-  private val Bands = 16
-  private val RowsPerBand = NumHashes / Bands
+  val NumHashes = 32
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** doc_id + distinct word-3-gram shingle set (+ pre-hashed longs: the 32
+    * minhash permutations re-hash a LONG per shingle, not the full string —
+    * one string hash per shingle instead of 32). */
+  def shingleDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), Shingles.shingles3(col("text")).as("sh"))
+      .withColumn("shl", transform(col("sh"), x => xxhash64(x)))
+
+  /** 32 minhash values per doc in one pass — custom codegen'd Catalyst
+    * expression (thrivespark.functions.MinHashSignature), registered per
+    * session and invoked via call_function (public API). */
+  def signatures(docs: DataFrame): DataFrame = {
+    thrivespark.functions.Register(docs.sparkSession)
+    docs.select(col("doc_id"), call_function("minhash_signature", col("shl")).as("sig"))
+  }
+
+  /** One fixed-width row per (doc, band): 64-bit fused band key (custom
+    * expression LshBandKeys — minhash + banding in one pass). */
+  def bandBuckets(docs: DataFrame): DataFrame = {
+    thrivespark.functions.Register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        posexplode(call_function("lsh_band_keys", col("shl"))).as(Seq("band", "bkey")))
+  }
+
+  /** Distinct candidate pairs (a < b) via bucket-local pair expansion. */
+  def candidatePairs(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+
+  /** Full pipeline with exact-Jaccard verification (rule R5). */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = shingleDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(bandBuckets(docs))
+    val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") > threshold)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   val ops: Seq[Op] = Seq(
     Op("dedup_exact",
@@ -30,36 +85,7 @@ object Dedup {
               FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
     Op("dedup_near_minhash",
-      (s, d) => {
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), Shingles.shingles3(col("text")).as("sh"))
-        // 32 minhash values: h_j = min over shingles of xxhash64(j, shingle)
-        val sig = docs.select(col("doc_id"), col("sh"),
-          array((0 until NumHashes).map(j =>
-            array_min(transform(col("sh"), x => xxhash64(lit(j), x)))): _*).as("sig"))
-        // LSH banding: emit (band, band-signature) keys; equal keys → candidates
-        val banded = sig.select(col("doc_id"),
-          explode(array((0 until Bands).map(b => struct(
-            lit(b).as("band"),
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bsig"))): _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-        val cands = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") &&
-            col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        // exact verification (R5): Jaccard over distinct shingle sets
-        val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-        val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-        cands.join(sa, "a_id").join(sb, "b_id")
-          .withColumn("jac",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-          .filter(col("jac") > 0.6)
-          .select(col("a_id"), col("b_id"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => nearDupPairs(s, d, 0.6),
       Some(s"""WITH s AS (
                 SELECT doc_id, ${Shingles.duckShingles3FromT} AS sh
                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))

@@ -19,10 +19,11 @@ import thrivespark.Det._
   * O(Σ label²) not O(n²). An IVF-style variant is the documented v2 upgrade.
   */
 object Similarity {
-  /** dot(a, b) in double, sequential fold — deterministic across engines. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double, sequential left fold — deterministic across
+    * engines. Custom codegen'd expression (thrivespark.functions.VecDot);
+    * bit-identical to aggregate(zip_with(...)) but stays in whole-stage
+    * codegen instead of interpreted lambdas. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   private val duckDot =
     "list_sum(list_transform(generate_series(1, 64), " +
@@ -31,6 +32,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("sim_topk_cosine",
       (s, d) => {
+        thrivespark.functions.Register(s)
         val emb = T.embeddings(s, d)
         val q = emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -54,6 +56,7 @@ object Similarity {
 
     Op("sim_threshold_pairs",
       (s, d) => {
+        thrivespark.functions.Register(s)
         val a = T.embeddings(s, d)
           .select(col("label").as("l_a"), col("vec_id").as("a_id"), col("embedding").as("e_a"))
         val b = T.embeddings(s, d)
@@ -72,13 +75,16 @@ object Similarity {
               ORDER BY a_id, b_id""")),
 
     Op("multimodal_join",
-      (s, d) => T.documents(s, d)
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        T.documents(s, d)
         .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("label"),
           size(col("embedding")).as("dim"),
           round4(sqrt(dot(col("embedding"), col("embedding")))).as("l2_norm"),
           size(split(col("text"), " ")).as("n_tokens"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+      },
       Some("""SELECT doc_id, lang, source, n_chars, label,
                      CAST(len(embedding) AS INTEGER) AS dim,
                      CAST(round(sqrt(list_sum(list_transform(embedding,

@@ -1,0 +1,54 @@
+package thrivespark.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc stage profiler: times each stage of a pipeline op at a given sf.
+  * Usage: tools/run.sh thrivespark.tools.Prof <sfDir> <what>  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "dedup"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
+      r
+    }
+
+    what match {
+      case "dedup" =>
+        import thrivespark.ops.Dedup._
+        val docs = time("shingleDocs.count")(shingleDocs(spark, sfDir).count())
+        val docsDf = shingleDocs(spark, sfDir)
+        time("signatures.count")(signatures(docsDf).count())
+        val banded = bandBuckets(docsDf)
+        time("bandBuckets.count")(banded.count())
+        val cands = candidatePairs(banded)
+        time("candidatePairs.count")(cands.count())
+        time("nearDupPairs.count")(nearDupPairs(spark, sfDir, 0.6).count())
+        time("nearDupPairs2.count")(nearDupPairs(spark, sfDir, 0.6).count())
+        println(s"docs=$docs")
+      case "buckets" =>
+        import thrivespark.ops.Dedup._
+        import org.apache.spark.sql.functions._
+        val banded = bandBuckets(shingleDocs(spark, sfDir))
+        val sizes = banded.groupBy(col("band"), col("bkey")).count()
+        sizes.groupBy(col("count").as("bucket_size")).count()
+          .orderBy(col("bucket_size").desc).show(20, false)
+      case q =>
+        val fn = thrivespark.Registry.queries(q)
+        time(s"$q run1")(fn(spark, sfDir).count())
+        time(s"$q run2")(fn(spark, sfDir).count())
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
