@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import thrivespark.Tables
+import thrivespark.ops.Bookmark
+import thrivespark.sinks.RecordingSink
+
+/** #60 incremental bookmark semantics (Thrive's core contract) and #5 the
+  * JDBC-sink interface against a fake. */
+class BookmarkSinkSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("incremental_bookmark: second run is a no-op; rollback reprocesses (#60)") {
+    val out = Files.createTempDirectory("graft_bm_out").toString
+    val bm = Files.createTempDirectory("graft_bm").toString + "/bookmark"
+    val events = Tables.events(spark, sf0001)
+
+    val r1 = Bookmark.incrementalLoad(spark, events, out, bm)
+    assert(r1.processedPartitions.nonEmpty && r1.rowsWritten == events.count())
+
+    val r2 = Bookmark.incrementalLoad(spark, events, out, bm)
+    assert(r2.processedPartitions.isEmpty && r2.rowsWritten == 0, "rerun must be a no-op")
+
+    // written data round-trips completely
+    assert(spark.read.parquet(out).count() == events.count())
+
+    // rollback two days → only those days reprocess, output stays complete
+    val parts = r1.processedPartitions
+    Bookmark.rollback(bm, parts(parts.length - 3))
+    val r3 = Bookmark.incrementalLoad(spark, events, out, bm)
+    assert(r3.processedPartitions == parts.takeRight(2), s"got ${r3.processedPartitions}")
+    assert(spark.read.parquet(out).count() == events.count(), "idempotent overwrite")
+  }
+
+  test("sink interface ships frames to the fake (#5)") {
+    val sink = new RecordingSink
+    val df = Tables.region(spark, sf0001)
+    sink.write(df, "target_region")
+    assert(sink.written == Vector(("target_region", 5L, Seq("r_regionkey", "r_name"))))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import thrivespark.ops.{Dedup, Shingles}
+
+/** SURVEY.md §5.2 layer 3 — property-based invariants (scalacheck Gens
+  * driven with fixed seeds; scalatestplus bridge is not available offline). */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("minhash LSH candidates ⊇ exact near-dup pairs (recall = 1 on testdata)") {
+    val docs = Dedup.shingleDocs(spark, sf001)
+    val cands = Dedup.candidatePairs(Dedup.bandBuckets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Registry_nearDupExact()
+    assert(exact.subsetOf(cands),
+      s"missed pairs: ${exact.diff(cands).take(5)} (candidates=${cands.size})")
+  }
+
+  private def Registry_nearDupExact(): Set[(Long, Long)] =
+    thrivespark.Registry.queries("dedup_near_minhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = thrivespark.Registry.queries("dedup_exact")(spark, sf001)
+    val ids = once.select(col("keep_id")).collect().map(_.getLong(0)).toSet
+    // feeding the survivors back through exact dedup keeps them all
+    val docs = thrivespark.Tables.documents(spark, sf001)
+      .filter(col("doc_id").isin(ids.toSeq.map(Long.box): _*))
+    val again = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("keep_id"))
+    assert(again.count() == ids.size)
+  }
+
+  test("session windows: gap < 30min inside, ≥ 30min between (per user)") {
+    val sessions = thrivespark.Registry.queries("stream_session")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = thrivespark.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gapUs = 30L * 60 * 1000000
+    sessions.groupBy(_._1).foreach { case (user, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // session event counts must sum to the user's event count
+      assert(sorted.map(_._3).sum == events(user).length.toLong)
+      // consecutive session starts are ≥ gap apart
+      sorted.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= gapUs, s"user $user sessions too close")
+        case _ =>
+      }
+    }
+  }
+
+  test("set algebra: (A except B) intersect B is empty on generated data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.chooseNum(0, 30))
+    val params = Gen.Parameters.default
+    (1L to 8L).foreach { seed =>
+      val a = gen.apply(params, Seed(seed)).get
+      val b = gen.apply(params, Seed(seed + 100)).get
+      val da = a.toDF("v"); val db = b.toDF("v")
+      assert(da.except(db).intersect(db).count() == 0, s"seed $seed")
+    }
+  }
+
+  test("approx_count_distinct within 2% of exact (#28)") {
+    val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.02, s"approx=$approx exact=$exact")
+  }
+
+  test("gini aggregator matches direct computation") {
+    import thrivespark.udf.GiniAggregator
+    val xs = List(10.0, 20.0, 30.0, 40.0)
+    val g = GiniAggregator.finish(xs)
+    // sorted asc: s1 = 1*10+2*20+3*30+4*40 = 300, s = 100
+    // G = 2*300/(4*100) - 5/4 = 1.5 - 1.25 = 0.25
+    assert(math.abs(g - 0.25) < 1e-9, s"got $g")
+  }
+
+  test("shingles are order-sensitive n-grams, not bag-of-words") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Shingles.shingles3(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set("d c b", "c b a"))
+    assert(sh(1L).intersect(sh(2L)).isEmpty)
+  }
+}

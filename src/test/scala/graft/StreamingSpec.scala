@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import thrivespark.streaming.StreamRunner
+import thrivespark.{Registry, Tables}
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** SURVEY.md §2.10: streaming execution paths. #55–#57 batch-equivalence is
+  * proven by running the same aggregation through readStream and comparing
+  * with the batch result; #58/#59 are streaming-only semantics driven by
+  * deterministic MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stream_tumbling: streaming execution equals batch result (#55)") {
+    // stage events (µs timestamps) into a stream-source dir, several files
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    Tables.events(spark, sf0001).repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("tumbling_eq").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_eq")
+    val batch = Registry.queries("stream_tumbling")(spark, sf0001)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "streaming result differs from batch result")
+  }
+
+  test("stream_watermark_late: rows behind the watermark are dropped (#58)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_drop").start()
+    // batch 1: two events in hour 10, one in hour 12 → watermark = 12:00-10m
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "a", 1.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for hour 10 (behind watermark 11:50) → dropped
+    mem.addData(Ev(4, ts("2024-01-01 10:40:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to finalize everything
+    mem.addData(Ev(5, ts("2024-01-02 00:00:00"), 1, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_drop").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h10 = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000
+    assert(out(h10) == 2, s"late row must be excluded, got ${out(h10)}")
+  }
+
+  test("stream_dedup_state: duplicate event_ids across micro-batches collapse (#59)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_state").start()
+    mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+                Ev(2, ts("2024-01-01 10:01:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts("2024-01-01 10:02:00"), 1, "a", 1.0), // dup, second batch
+                Ev(3, ts("2024-01-01 10:03:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(9, ts("2024-01-02 00:00:00"), 1, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_state").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 9L), s"got ${ids.toSeq}")
+  }
+
+  test("StreamRunner file-replay paths run end to end (#58/#59 plumbing)") {
+    val dir = Files.createTempDirectory("graft_stream_src2").toString
+    Tables.events(spark, sf0001).limit(200).repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val cp1 = Files.createTempDirectory("graft_cp1").toString
+    val t = StreamRunner.tumblingWithWatermark(spark, dir, cp1, "sr_tumble")
+    assert(t.columns.toSeq == Seq("ws", "event_type", "n"))
+    val cp2 = Files.createTempDirectory("graft_cp2").toString
+    val d = StreamRunner.dedupWithinWatermark(spark, dir, cp2, "sr_dedup")
+    assert(d.count() == 200) // event_id unique in source → nothing dropped
+  }
+}
