@@ -13,5 +13,7 @@ object Register {
       es => MinHashSignature(es.head, 32), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_keys",
       es => LshBandKeys(es.head, 16, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
   }
 }

@@ -161,18 +161,20 @@ object Joins {
               GROUP BY a.user_id ORDER BY a.user_id""")),
 
     // As-of (backward): for each event, that customer's latest order at ts.
+    // max_by over the (date, key) tuple instead of a row_number window: the
+    // hash aggregate gets map-side partial combine, so the shuffle carries
+    // one row per event, not one per candidate order — the plan that matters
+    // when the probe side is 100 TB.
     Op("join_asof",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
         val o = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("event_id"), col("o_orderkey"),
-            col("o_orderdate").cast("date").as("order_date"))
+          .groupBy(col("event_id"))
+          .agg(max_by(struct(col("o_orderkey"), col("o_orderdate")),
+                      struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+          .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+            col("m.o_orderdate").cast("date").as("order_date"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS order_date

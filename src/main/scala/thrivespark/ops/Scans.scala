@@ -45,7 +45,11 @@ object Scans {
     Op("sink_partitioned",
       (s, d) => {
         val sink = s"/tmp/graft_sink_partitioned_${new java.io.File(d).getName}"
+        // repartition by the partition column first: one file per partition
+        // instead of (tasks × partitions) small files — the pattern that
+        // keeps a Hive-style sink healthy at scale.
         T.events(s, d).withColumn("dt", to_date($c("ts")))
+          .repartition($c("dt"))
           .write.mode("overwrite").partitionBy("dt").parquet(sink)
         s.read.parquet(sink)
           .groupBy($c("dt")).agg(count(lit(1)).as("cnt"))

@@ -29,6 +29,45 @@ object Similarity {
     "list_sum(list_transform(generate_series(1, 64), " +
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
 
+  /** IVF-style ANN: coarse-quantize the corpus into cells (centroids = a
+    * deterministic sample), probe only the query's nprobe nearest cells.
+    * The scale path for similarity search: the corpus is shuffled once by
+    * cell, and each query touches nprobe/k of the data instead of all of it.
+    * Approximate ⇒ no SQL oracle (rule R5); SimilaritySpec measures recall
+    * against the brute-force sim_topk_cosine. */
+  def annTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(s)
+    val emb = T.embeddings(s, d)
+    val cent = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // assign every vector to its nearest centroid (max_by keeps the shuffle
+    // at one row per vector; broadcast keeps assignment map-side)
+    val assigned = emb.join(broadcast(cent))
+      .withColumn("sim", dot(col("embedding"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+      .join(emb, "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("c_emb"))
+    // queries probe their nprobe nearest cells
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("cent_emb")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), round6(col("cos")).as("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_cosine",
       (s, d) => {
@@ -53,6 +92,12 @@ object Similarity {
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
                 WHERE a.vec_id % 50 = 0)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // Approximate scale path (no oracle — driver rows-only check; recall
+    // vs brute force measured in SimilaritySpec).
+    Op("sim_ann_ivf",
+      (s, d) => annTopK(s, d),
+      None),
 
     Op("sim_threshold_pairs",
       (s, d) => {

@@ -81,6 +81,26 @@ object Text {
                      CAST(len(string_split(text, ' ')) < 20 AS INTEGER) AS is_short
               FROM documents ORDER BY doc_id""")),
 
+    // Regex ("BPE-ish") tokenizer alongside whitespace tokenization; on this
+    // corpus (letters + single spaces) the two must agree — parity asserted.
+    Op("text_tokens_regex",
+      (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("n_tokens_regex"),
+        size(split(col("text"), " ")).as("n_tokens_ws"))
+        .withColumn("parity",
+          (col("n_tokens_regex") === col("n_tokens_ws")).cast("int"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_tokens_regex, n_tokens_ws,
+                     CAST(n_tokens_regex = n_tokens_ws AS INTEGER) AS parity
+              FROM (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS INTEGER) AS n_tokens_regex,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws
+                FROM documents)
+              ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.

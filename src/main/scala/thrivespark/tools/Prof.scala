@@ -35,6 +35,22 @@ object Prof {
         time("nearDupPairs.count")(nearDupPairs(spark, sfDir, 0.6).count())
         time("nearDupPairs2.count")(nearDupPairs(spark, sfDir, 0.6).count())
         println(s"docs=$docs")
+      case "simhash" =>
+        import org.apache.spark.sql.functions._
+        import thrivespark.ops.Dedup
+        val fps = Dedup.simhashDocs(spark, sfDir)
+        val near = thrivespark.Registry.queries("dedup_near_minhash")(spark, sfDir)
+        val fa = fps.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+        val fb = fps.select(col("doc_id").as("b_id"), col("fp").as("b_fp"))
+        println("planted-pair hamming distances:")
+        near.join(fa, "a_id").join(fb, "b_id")
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("h"))
+          .groupBy(col("h")).count().orderBy(col("h")).show(30)
+        println("random-pair hamming (sample):")
+        fa.join(fb, col("a_id") === col("b_id") - 250)
+          .select(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("h"))
+          .groupBy(col("h")).count().orderBy(col("h")).show(50)
       case "buckets" =>
         import thrivespark.ops.Dedup._
         import org.apache.spark.sql.functions._
