@@ -1,0 +1,142 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
+
+/** Additional relational + ingestion surface beyond SURVEY.md §2's numbered
+  * inventory: pivot, exact percentiles, ordered string aggregation, RANGE
+  * window frames, the salted two-stage aggregation pattern for skewed keys,
+  * and JSON-lines / CSV source round-trips (Thrive's ingestion formats [K]
+  * re-expressed as Spark sources with explicit schemas — no inference in
+  * production paths, per §1.1). */
+object Extras {
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val ops: Seq[Op] = Seq(
+    Op("agg_pivot",
+      (s, d) => {
+        val p = T.events(s, d).withColumn("dt", to_date(col("ts")))
+          .groupBy(col("dt")).pivot("event_type", eventTypes).agg(count(lit(1)))
+        p.select(col("dt") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("dt"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+                     count(*) FILTER (WHERE event_type = 'click') AS click,
+                     count(*) FILTER (WHERE event_type = 'error') AS error,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                     count(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Op("agg_percentile",
+      (s, d) => T.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 6).cast(D).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).cast(D).as("p90_bal"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+                     CAST(round(quantile_cont(c_acctbal, 0.5), 6) AS DECIMAL(38,6)) AS median_bal,
+                     CAST(round(quantile_cont(c_acctbal, 0.9), 6) AS DECIMAL(38,6)) AS p90_bal,
+                     count(*) AS n
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Op("agg_string_agg",
+      (s, d) => T.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(transform(array_sort(collect_set(col("c_nationkey"))),
+          x => x.cast("string")), ",").as("nations"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, string_agg(nk, ',' ORDER BY nk_num) AS nations
+              FROM (SELECT DISTINCT c_mktsegment, c_nationkey AS nk_num,
+                           CAST(c_nationkey AS VARCHAR) AS nk FROM customer)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // RANGE frame: peers by value, not by row — deterministic under ties.
+    Op("win_range_between",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 0L)
+        T.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"),
+          sum(dec(col("o_totalprice"))).over(w).as("sum_in_band"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     count(*) OVER w AS n_in_band,
+                     sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS sum_in_band
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+              ORDER BY o_orderkey""")),
+
+    // Skew pattern: salt → partial aggregate → final combine. Result is
+    // identical to a plain groupBy (decimal sums are associative), but the
+    // heavy key's rows spread over 16 reducers in stage one — the standard
+    // fix when one group holds a large share of a 100 TB table.
+    Op("agg_salted_skew",
+      (s, d) => T.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), dsum(col("value")).as("ps"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_value"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // JSON-lines source round-trip: Thrive's native input format. Explicit
+    // schema (config-driven, never inferred), gzip-splittable layout note:
+    // at scale prefer many moderate files over few huge ones.
+    Op("source_jsonl_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_jsonl_${new java.io.File(d).getName}"
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"), col("props"))
+          .write.mode("overwrite").json(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType), StructField("props", StringType)))
+        s.read.schema(schema).json(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+               min(col("ts_us")).as("min_ts_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+                     min(epoch_us(ts)) AS min_ts_us
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Op("source_csv_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType), StructField("o_date", DateType)))
+        s.read.schema(schema).option("header", "true").csv(dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+               max(col("o_date")).as("max_date"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+                     sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+                     max(CAST(o_orderdate AS DATE)) AS max_date
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+  )
+}

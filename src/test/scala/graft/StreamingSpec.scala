@@ -37,6 +37,37 @@ class StreamingSpec extends AnyFunSuite {
       "streaming result differs from batch result")
   }
 
+  test("stream_sliding + stream_session: streaming execution equals batch (#56/#57)") {
+    val dir = Files.createTempDirectory("graft_stream_src3").toString
+    Tables.events(spark, sf0001).repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val sliding = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("n"))
+    val q1 = sliding.writeStream.outputMode("complete").format("memory")
+      .queryName("sliding_eq").start()
+    q1.processAllAvailable(); q1.stop()
+    val batchSliding = Registry.queries("stream_sliding")(spark, sf0001)
+    assert(spark.table("sliding_eq").exceptAll(batchSliding).count() == 0 &&
+           batchSliding.exceptAll(spark.table("sliding_eq")).count() == 0)
+
+    // watermark wider than the corpus span: files arrive ts-unordered across
+    // micro-batches, so sessions must merge in state without late-dropping
+    val session = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "35 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss"), col("n"))
+    val q2 = session.writeStream.outputMode("complete").format("memory")
+      .queryName("session_eq").start()
+    q2.processAllAvailable(); q2.stop()
+    val batchSession = Registry.queries("stream_session")(spark, sf0001)
+    assert(spark.table("session_eq").exceptAll(batchSession).count() == 0 &&
+           batchSession.exceptAll(spark.table("session_eq")).count() == 0)
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped (#58)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
