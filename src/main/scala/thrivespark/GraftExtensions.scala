@@ -1,0 +1,33 @@
+package thrivespark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import thrivespark.functions.{LshBandKeys, MinHashSignature, SimHash64, VecDot}
+
+/** Session-extension entry point: makes the engine's custom Catalyst
+  * expressions first-class SQL functions on any session configured with
+  *   spark.sql.extensions=thrivespark.GraftExtensions
+  * (the idiomatic deployment on a shared cluster; `functions.Register`
+  * offers the same per-session for driver-owned sessions like graft.Verify).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "dot product of two float vectors in double"),
+      (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "32-perm minhash signature of pre-hashed shingles"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, 32)))
+    e.injectFunction((FunctionIdentifier("lsh_band_keys"),
+      info("lsh_band_keys", "fused minhash + LSH banding band keys"),
+      (es: Seq[Expression]) => LshBandKeys(es.head, 16, 2)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "64-bit simhash of pre-hashed tokens"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}

@@ -15,6 +15,35 @@ import thrivespark.Det._
 object Extras {
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  def bucketedNames(d: String): (String, String) = {
+    val tag = new java.io.File(d).getName.replace(".", "_")
+    (s"li_bucketed_$tag", s"o_bucketed_$tag")
+  }
+
+  /** Create (once per session) lineitem/orders bucketed+sorted on the join
+    * key, stored under /tmp (external tables; in-memory catalog). */
+  def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    // AQE's DisableUnnecessaryBucketedScan heuristic can turn bucketed reads
+    // off; pin them on — the whole point here is the exchange-free join.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val (liT, oT) = bucketedNames(d)
+    def ensure(table: String, src: => org.apache.spark.sql.DataFrame, key: String): Unit = {
+      if (s.catalog.tableExists(table)) return
+      val path = s"/tmp/graft_bucketed/$table"
+      if (new java.io.File(s"$path/_SUCCESS").exists()) {
+        // bucket files already on disk (deterministic data) — register only
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL}) USING parquet
+                  CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                  LOCATION '$path'""")
+      } else {
+        src.write.mode("overwrite").option("path", path)
+          .bucketBy(8, key).sortBy(key).saveAsTable(table)
+      }
+    }
+    ensure(liT, T.lineitem(s, d), "l_orderkey")
+    ensure(oT, T.orders(s, d), "o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_pivot",
       (s, d) => {
@@ -116,6 +145,24 @@ object Extras {
                      sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
                      min(epoch_us(ts)) AS min_ts_us
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Bucketed co-located join: both fact tables bucketed (and sorted) on
+    // the join key, so the sort-merge join needs NO shuffle exchange — the
+    // canonical 100 TB pattern for repeated joins on the same key.
+    // PlanSpec asserts the exchange-free plan.
+    Op("join_bucketed",
+      (s, d) => {
+        bucketedTables(s, d)
+        val (liT, oT) = bucketedNames(d)
+        s.table(liT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     Op("source_csv_roundtrip",
       (s, d) => {

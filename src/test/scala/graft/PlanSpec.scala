@@ -37,6 +37,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_tax"), "unprojected column l_tax must not be read")
   }
 
+  test("join_bucketed: sort-merge join with NO shuffle exchange") {
+    import thrivespark.ops.Extras
+    Extras.bucketedTables(spark, sf0001)
+    val (liT, oT) = Extras.bucketedNames(sf0001)
+    // hint merge: at sf0.001 the planner would otherwise broadcast the tiny
+    // side; the property under test is the shuffle-free SMJ over buckets
+    val joined = spark.table(liT).hint("merge").join(spark.table(oT),
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+      org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+  }
+
   test("topk_global plans TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
@@ -48,6 +62,19 @@ class PlanSpec extends AnyFunSuite {
   test("every oracle key has a query and column names line up") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+  }
+
+  test("custom Catalyst functions are callable from SQL") {
+    thrivespark.functions.Register(spark)
+    val d = spark.sql(
+      """SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |               array(cast(3.0 as float), cast(4.0 as float))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val h = spark.sql("SELECT simhash64(array(1L, 2L, 3L)) AS h").collect()(0).getLong(0)
+    assert(h != 0L)
+    // extension wiring registers without error
+    new thrivespark.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("UDF shingles == native shingles composition") {
