@@ -121,6 +121,30 @@ object Extras {
                      sum(CAST(value AS DECIMAL(38,6))) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Config-driven schema mapping (the reference's columns-file contract):
+    // declared src:dest:type[:required] lines compile to a typed projection;
+    // required-null / failed-cast rows are quarantined. The corpus has no
+    // dirty rows (FIXTURES) — EtlSpec plants them; here the audit shape runs.
+    Op("etl_schema_mapping",
+      (s, d) => {
+        val specs = thrivespark.etl.ColumnMapping.parse(
+          """event_id:id:bigint:required
+            |event_type:type:string:required
+            |value:amount:decimal(18,2):required
+            |ts:event_date:date""".stripMargin)
+        val (ok, bad) = thrivespark.etl.ColumnMapping.split(T.events(s, d), specs)
+        ok.groupBy(col("type"))
+          .agg(count(lit(1)).as("n"), sum(col("amount").cast(D)).as("sum_amount"),
+               min(col("event_date")).as("first_date"))
+          .withColumn("n_rejected", lit(bad.count()))
+          .orderBy(col("type"))
+      },
+      Some("""SELECT event_type AS type, count(*) AS n,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sum_amount,
+                     min(CAST(ts AS DATE)) AS first_date,
+                     CAST(0 AS BIGINT) AS n_rejected
+              FROM events GROUP BY event_type ORDER BY type""")),
+
     // JSON-lines source round-trip: Thrive's native input format. Explicit
     // schema (config-driven, never inferred), gzip-splittable layout note:
     // at scale prefer many moderate files over few huge ones.

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import thrivespark.etl.ColumnMapping
+
+/** Config-driven mapping + dirty-row quarantine on planted bad rows (the
+  * corpus itself is clean — FIXTURES.md). */
+class EtlSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private val cfg =
+    """# columns config
+      |raw_id:id:bigint:required
+      |raw_amount:amount:decimal(18,2):required
+      |raw_note:note:string""".stripMargin
+
+  test("parse reads the columns-file grammar") {
+    val specs = ColumnMapping.parse(cfg)
+    assert(specs.map(_.dest) == Seq("id", "amount", "note"))
+    assert(specs.map(_.required) == Seq(true, true, false))
+    intercept[IllegalArgumentException](ColumnMapping.parse("only_two:fields"))
+  }
+
+  test("split quarantines failed casts and required nulls, passes the rest") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "10.50", "ok"),            // clean
+      ("not_a_number", "3.00", "bad id"), // cast failure → reject
+      ("3", null, "null amount"),      // required null → reject
+      ("4", "oops", "bad amount"),     // cast failure → reject
+      ("5", "2.25", null)              // optional null → accept
+    ).toDF("raw_id", "raw_amount", "raw_note")
+    val (ok, bad) = ColumnMapping.split(raw, ColumnMapping.parse(cfg))
+    assert(ok.count() == 2)
+    assert(bad.count() == 3)
+    val okIds = ok.select("id").collect().map(_.getLong(0)).toSet
+    assert(okIds == Set(1L, 5L))
+    // typed output schema per config
+    assert(ok.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
+      Map("id" -> "bigint", "amount" -> "decimal(18,2)", "note" -> "string"))
+  }
+}
