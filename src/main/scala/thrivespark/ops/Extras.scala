@@ -145,6 +145,17 @@ object Extras {
                      CAST(0 AS BIGINT) AS n_rejected
               FROM events GROUP BY event_type ORDER BY type""")),
 
+    // Approximate quantiles (Greenwald-Khanna): sketch output, never
+    // hash-compared (rule R5); PropertySpec bounds the error vs exact.
+    Op("agg_approx_quantile",
+      (s, d) => T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+             expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      None),
+
     // JSON-lines source round-trip: Thrive's native input format. Explicit
     // schema (config-driven, never inferred), gzip-splittable layout note:
     // at scale prefer many moderate files over few huge ones.
@@ -169,6 +180,30 @@ object Extras {
                      sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
                      min(epoch_us(ts)) AS min_ts_us
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Bounded top-k per group via a typed Aggregator: the buffer caps at k,
+    // so partial aggregation prunes every partition to ≤k rows per group and
+    // the shuffle carries O(groups·partitions·k) rows — the plan you want
+    // when the table is 100 TB and k is 3. Same semantics (and oracle) as
+    // the window formulation in topk_per_group.
+    Op("topk_per_group_agg",
+      (s, d) => {
+        import s.implicits._
+        val topk = udaf(thrivespark.udf.TopKAggregator.TopK(3))
+        T.part(s, d)
+          .groupBy(col("p_brand"))
+          .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+          .select(col("p_brand"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("p_brand"), col("e._2").as("p_partkey"),
+            col("e._1").as("p_retailprice"), (col("i") + 1).as("rn"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+                     CAST(row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+              FROM part
+              QUALIFY rn <= 3
+              ORDER BY p_brand, rn""")),
 
     // Bucketed co-located join: both fact tables bucketed (and sorted) on
     // the join key, so the sort-merge join needs NO shuffle exchange — the

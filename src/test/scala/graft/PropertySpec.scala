@@ -66,6 +66,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k aggregator == window top-k formulation") {
+    val a = thrivespark.Registry.queries("topk_per_group_agg")(spark, sf001)
+    val w = thrivespark.Registry.queries("topk_per_group")(spark, sf001)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+    assert(a.exceptAll(w).count() == 0 && w.exceptAll(a).count() == 0)
+  }
+
+  test("approx_percentile within 1% of exact per group") {
+    thrivespark.Registry.queries("agg_approx_quantile")(spark, sf001)
+      .collect().foreach { r =>
+        val approx = r.getDouble(1); val exact = r.getDouble(2)
+        assert(math.abs(approx - exact) / math.abs(exact) < 0.01,
+          s"${r.getString(0)}: approx=$approx exact=$exact")
+      }
+  }
+
   test("approx_count_distinct within 2% of exact (#28)") {
     val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
     val approx = r.getLong(0).toDouble
