@@ -3,7 +3,7 @@ package thrivespark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import thrivespark.functions.{LshBandKeys, MinHashSignature, SimHash64, VecDot}
+import thrivespark.functions.{LshBandKeys, MinHashSignature, ShingleHashes, SimHash64, VecDot}
 
 /** Session-extension entry point: makes the engine's custom Catalyst
   * expressions first-class SQL functions on any session configured with
@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "64-bit simhash of pre-hashed tokens"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "distinct word-3-gram shingle hashes of a token array"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
   }
 }

