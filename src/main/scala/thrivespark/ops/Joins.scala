@@ -185,5 +185,28 @@ object Joins {
                 FROM events e JOIN orders o
                   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
               WHERE rn = 1 ORDER BY event_id""")),
+
+    // Same semantics through the custom whole-operator path (LogicalPlan +
+    // Strategy + SparkPlan, thrivespark.plans.AsOfJoin): sorted two-pointer
+    // merge, no candidate-pair materialization. LEFT OUTER flavor.
+    Op("join_asof_native",
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        thrivespark.plans.AsOf.backward(e, o,
+            "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+              FROM (
+                SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC NULLS LAST,
+                                                   o.o_orderkey DESC NULLS LAST) AS rn
+                FROM events e LEFT JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+              WHERE rn = 1 ORDER BY event_id""")),
   )
 }
