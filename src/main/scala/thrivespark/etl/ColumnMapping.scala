@@ -34,17 +34,30 @@ object ColumnMapping {
     df.select(specs.map(sp =>
       expr(s"try_cast(`${sp.src}` AS ${sp.dtype})").as(sp.dest)): _*)
 
-  private def violation(specs: Seq[ColumnSpec]): Column =
-    specs.filter(_.required)
-      .map(sp => col(sp.dest).isNull)
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
-
   /** (accepted, rejected): required-null rows (including cast failures) are
-    * quarantined, everything else passes. */
+    * quarantined, everything else passes. The rejected frame carries the
+    * ORIGINAL raw columns (prefixed `raw_` where they'd collide) plus a
+    * `_reject_reason` audit column, so forensics see the offending values,
+    * not the NULLs the cast produced. */
   def split(df: DataFrame, specs: Seq[ColumnSpec]): (DataFrame, DataFrame) = {
-    val projected = project(df, specs)
-    val bad = violation(specs)
-    (projected.filter(!bad), projected.filter(bad))
+    // internal prefix avoids ambiguity when a dest name equals a raw name
+    def t(dest: String) = s"__typed_$dest"
+    val typedCols = specs.map(sp =>
+      expr(s"try_cast(`${sp.src}` AS ${sp.dtype})").as(t(sp.dest)))
+    val withTyped = df.select(df.columns.map(col).toIndexedSeq ++ typedCols: _*)
+    val bad = specs.filter(_.required)
+      .map(sp => col(t(sp.dest)).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val accepted = withTyped.filter(!bad)
+      .select(specs.map(sp => col(t(sp.dest)).as(sp.dest)): _*)
+    val reason = array_join(filter(array(specs.filter(_.required).map(sp =>
+      when(col(t(sp.dest)).isNull, lit(s"${sp.dest}:required_null_or_cast"))): _*),
+      x => x.isNotNull), ";")
+    val rawOut = df.columns.toSeq.map { c =>
+      if (specs.exists(_.dest == c)) col(c).as(s"raw_$c") else col(c)
+    }
+    val rejected = withTyped.filter(bad)
+      .select(rawOut :+ reason.as("_reject_reason"): _*)
+    (accepted, rejected)
   }
 }

@@ -33,6 +33,12 @@ class EtlSpec extends AnyFunSuite {
     val (ok, bad) = ColumnMapping.split(raw, ColumnMapping.parse(cfg))
     assert(ok.count() == 2)
     assert(bad.count() == 3)
+    // quarantine keeps the ORIGINAL raw values + audit reason
+    val reasons = bad.select("raw_id", "_reject_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reasons("not_a_number") == "id:required_null_or_cast")
+    assert(reasons("3") == "amount:required_null_or_cast")
+    assert(reasons("4") == "amount:required_null_or_cast")
     val okIds = ok.select("id").collect().map(_.getLong(0)).toSet
     assert(okIds == Set(1L, 5L))
     // typed output schema per config
