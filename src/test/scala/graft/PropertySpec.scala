@@ -98,6 +98,22 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(g - 0.25) < 1e-9, s"got $g")
   }
 
+  test("ShingleHashes cardinality == distinct string shingles on random docs") {
+    import spark.implicits._
+    thrivespark.functions.Register(spark)
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table", "value")
+    val gen = Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val docs = (1L to 40L).map { seed =>
+      (seed, gen.apply(Gen.Parameters.default, Seed(seed)).get)
+    }.toDF("doc_id", "text")
+    val cmp = docs.select(
+      size(call_function("shingle_hashes", split(col("text"), " "))).as("h"),
+      size(Shingles.shingles3(col("text"))).as("s")).collect()
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"hash-shingle count ${r.getInt(0)} != string-shingle count ${r.getInt(1)}"))
+  }
+
   test("shingles are order-sensitive n-grams, not bag-of-words") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
