@@ -62,5 +62,56 @@ object StreamingOps {
                 FROM e)
               SELECT user_id, epoch_us(min(ts)) AS ss, count(*) AS n
               FROM s GROUP BY user_id, sid ORDER BY user_id, ss""")),
+
+    // #58/#59 — semantics only exist under streaming execution (late-drop
+    // depends on arrival order); no SQL oracle (driver rows-only check).
+    // Deterministic replay assertions live in StreamingSpec.
+    Op("stream_watermark_late",
+      (s, d) => {
+        val stage = stageDir(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_wm").toString
+        thrivespark.streaming.StreamRunner.tumblingWithWatermark(
+          s, stage, cp, s"q_wm_late_${tag(d)}")
+      },
+      None),
+
+    Op("stream_dedup_state",
+      (s, d) => {
+        val stage = stageDir(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_dd").toString
+        thrivespark.streaming.StreamRunner.dedupWithinWatermark(
+          s, stage, cp, s"q_dedup_state_${tag(d)}")
+      },
+      None),
+
+    // #60 — Thrive's incremental bookmark contract as a runnable summary:
+    // run twice; the second run must process nothing.
+    Op("incremental_bookmark",
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft_bm_q").toString
+        val ev = thrivespark.Tables.events(s, d)
+        val r1 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
+        val r2 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
+        Seq(
+          (1, r1.processedPartitions.size.toLong, r1.rowsWritten),
+          (2, r2.processedPartitions.size.toLong, r2.rowsWritten)
+        ).toDF("run", "n_partitions", "rows_written").orderBy(col("run"))
+      },
+      None),
   )
+
+  private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")
+
+  /** Stage events (µs timestamps) once per sf as a multi-file stream source. */
+  private def stageDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_stage_${tag(d)}"
+    // two files = two micro-batches: enough to exercise cross-batch state
+    // while keeping per-batch checkpoint overhead out of the benchmark
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      thrivespark.Tables.events(s, d).repartition(2)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
 }
