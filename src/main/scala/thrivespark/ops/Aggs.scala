@@ -128,6 +128,19 @@ object Aggs {
                      count(*) AS n
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    Op("agg_having",
+      (s, d) => T.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") > 5000 && col("sum_qty") > dec(lit(100000)))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+              FROM lineitem GROUP BY 1, 2
+              HAVING count(*) > 5000
+                 AND sum(CAST(l_quantity AS DECIMAL(38,6))) > 100000
+              ORDER BY 1, 2""")),
+
     // #28 — HLL++; sketch outputs are never hash-compared (R5). ScalaTest
     // asserts the estimate is within 2% of exact.
     Op("agg_approx_distinct",

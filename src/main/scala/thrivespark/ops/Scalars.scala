@@ -88,6 +88,51 @@ object Scalars {
               ORDER BY l_orderkey, l_linenumber, price_r1, disc_dev,
                        price_ceil, price_floor, ln_qty, sqrt_qty, qty_sq""")),
 
+    Op("fn_bitwise",
+      (s, d) => T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255))).as("k_and"),
+        (col("l_orderkey").bitwiseOR(lit(16))).as("k_or"),
+        (col("l_orderkey").bitwiseXOR(lit(255))).as("k_xor"),
+        shiftleft(col("l_linenumber"), 2).cast("long").as("ln_shl"),
+        shiftright(col("l_orderkey"), 3).as("k_shr"),
+        bit_count(col("l_orderkey")).cast("int").as("k_bits"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ln_shl")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_orderkey & 255 AS k_and,
+                     l_orderkey | 16 AS k_or,
+                     xor(l_orderkey, 255) AS k_xor,
+                     CAST(l_linenumber << 2 AS BIGINT) AS ln_shl,
+                     l_orderkey >> 3 AS k_shr,
+                     CAST(bit_count(l_orderkey) AS INTEGER) AS k_bits
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, ln_shl""")),
+
+    Op("fn_string2",
+      (s, d) => T.part(s, d).select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "0").as("brand_pad"),
+        rpad(col("p_type"), 10, ".").as("type_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        instr(col("p_name"), "a").as("pos_a"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_ascii"),
+        expr("right(p_name, 3)").as("name_r3"),
+        repeat(substring(col("p_type"), 1, 2), 2).as("type_rep"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+                     lpad(p_brand, 12, '0') AS brand_pad,
+                     rpad(p_type, 10, '.') AS type_pad,
+                     reverse(p_name) AS name_rev,
+                     replace(p_name, ' ', '_') AS name_us,
+                     CAST(position('a' in p_name) AS INTEGER) AS pos_a,
+                     CAST(ascii(left(p_name, 1)) AS INTEGER) AS first_ascii,
+                     right(p_name, 3) AS name_r3,
+                     repeat(left(p_type, 2), 2) AS type_rep,
+                     translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+              FROM part ORDER BY p_partkey""")),
+
     Op("fn_cond_case",
       (s, d) => T.orders(s, d).select(
         col("o_orderkey"),

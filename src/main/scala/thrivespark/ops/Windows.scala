@@ -125,6 +125,26 @@ object Windows {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY l_orderkey""")),
 
+    Op("win_dist_nth",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.customer(s, d).select(
+          col("c_mktsegment"), col("c_custkey"),
+          round(cume_dist().over(w), 6).cast(D).as("cd"),
+          nth_value(col("c_name"), 2).over(wf).as("second_name"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+                     CAST(round(cume_dist() OVER w, 6) AS DECIMAL(38,6)) AS cd,
+                     nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_mktsegment, c_custkey""")),
+
     Op("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy(col("p_brand"))
