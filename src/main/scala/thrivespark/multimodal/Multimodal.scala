@@ -56,6 +56,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic fake resize: maps payload bytes onto a w×h grid by
+    * modular sampling. STUB — a real implementation decodes, resamples and
+    * re-encodes; the Spark-side contract (binary→binary, null-safe,
+    * partition-parallel) is what this exercises. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) return payload
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    out
+  }
+
+  /** Deterministic fake frame sampling: every nth chunk of the payload as a
+    * "frame". STUB for video decode; real codecs slot into the same
+    * signature (binary → array<binary>). */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] = {
+    if (payload == null) return null
+    payload.grouped(frameSize).zipWithIndex
+      .collect { case (chunk, idx) if idx % everyNth == 0 => chunk }
+      .toSeq
+  }
+
+  /** Column-level surface for the stubs (registered as UDFs by callers):
+    * media.withColumn("thumb", resizeUdf(col("payload"), lit(8), lit(8))). */
+  def resizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(resizeStub _)
+  def frameSampleUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(frameSampleStub _)
+
   /** Build a media frame from the documents table (text bytes standing in
     * for an opaque payload — deterministic, no external data needed). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
