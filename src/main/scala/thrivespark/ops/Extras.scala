@@ -181,6 +181,47 @@ object Extras {
                      min(epoch_us(ts)) AS min_ts_us
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // SQL entry path: CTE + scalar subquery through spark.sql — customers
+    // whose lifetime spend beats the average spend.
+    Op("sql_cte_subquery",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("v_orders")
+        T.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+            FROM v_orders GROUP BY o_custkey)
+          SELECT c.c_custkey, c.c_name, b.spend
+          FROM v_customer c JOIN spend b ON c.c_custkey = b.o_custkey
+          WHERE b.spend > (SELECT avg(spend) FROM spend)
+          ORDER BY c.c_custkey""")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+                FROM orders GROUP BY o_custkey)
+              SELECT c.c_custkey, c.c_name, b.spend
+              FROM customer c JOIN spend b ON c.c_custkey = b.o_custkey
+              WHERE b.spend > (SELECT avg(spend) FROM spend)
+              ORDER BY c.c_custkey""")),
+
+    // Null-safe equality join (<=>): keys made nullable via nullif, then
+    // joined so NULL matches NULL — the semantics IS NOT DISTINCT FROM.
+    Op("join_null_safe",
+      (s, d) => {
+        val a = T.customer(s, d).select(col("c_custkey"),
+          nullif(pmod(col("c_custkey"), lit(7)), lit(0)).as("ka"))
+        val b = T.supplier(s, d).select(col("s_suppkey"),
+          nullif(pmod(col("s_suppkey"), lit(7)), lit(0)).as("kb"))
+        a.join(b, col("ka") <=> col("kb"))
+          .groupBy(col("ka")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("ka").asc_nulls_first)
+      },
+      Some("""SELECT ka, count(*) AS n_pairs FROM
+                (SELECT nullif(c_custkey % 7, 0) AS ka FROM customer) a
+              JOIN (SELECT nullif(s_suppkey % 7, 0) AS kb FROM supplier) b
+                ON ka IS NOT DISTINCT FROM kb
+              GROUP BY ka ORDER BY ka NULLS FIRST""")),
+
     // Bounded top-k per group via a typed Aggregator: the buffer caps at k,
     // so partial aggregation prunes every partition to ≤k rows per group and
     // the shuffle carries O(groups·partitions·k) rows — the plan you want
