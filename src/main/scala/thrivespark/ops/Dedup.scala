@@ -131,6 +131,30 @@ object Dedup {
                     / len(list_distinct(list_concat(a.sh, b.sh))) > 0.6
               ORDER BY a_id, b_id""")),
 
+    // The pipeline's actual deliverable: the surviving corpus after near-dup
+    // removal (the lower doc_id of each near-dup pair is kept). Composes the
+    // LSH pipeline with an anti-join — exactly how a training-data dedup
+    // stage emits its output at scale.
+    Op("dedup_pipeline_survivors",
+      (s, d) => {
+        val drop = nearDupPairs(s, d, 0.6).select(col("b_id")).distinct()
+        T.documents(s, d)
+          .join(drop, col("doc_id") === col("b_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+                SELECT doc_id, ${Shingles.duckShingles3FromT} AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) > 0.6)
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+              ORDER BY doc_id""")),
+
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);
     // DedupSpec verifies against brute-force hamming at small scale.
     Op("dedup_simhash",

@@ -175,6 +175,20 @@ object Scalars {
                      CAST(round(CAST(embedding[4] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e4
               FROM embeddings ORDER BY vec_id""")),
 
+    // Generator over arrays: explode the first 3 embedding dims to
+    // (vec_id, dim_idx, value) triples — the lateral-view surface on vectors.
+    Op("fn_array_explode",
+      (s, d) => T.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 3)).as(Seq("dim_idx", "v")))
+        .select(col("vec_id"), col("dim_idx"),
+          round(col("v").cast("double"), 4).cast(D).as("v"))
+        .orderBy(col("vec_id"), col("dim_idx")),
+      Some("""SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
+                     CAST(round(CAST(embedding[i] AS DOUBLE), 4) AS DECIMAL(38,6)) AS v
+              FROM embeddings, generate_series(1, 3) AS g(i)
+              ORDER BY vec_id, dim_idx""")),
+
     // Map surface: build a map from parsed JSON, extract by key; only the
     // extracted scalar is emitted (map entry order is not hash-stable).
     Op("fn_map",
