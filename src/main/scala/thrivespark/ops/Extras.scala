@@ -181,6 +181,57 @@ object Extras {
                      min(epoch_us(ts)) AS min_ts_us
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // SCD2 dimension maintenance (the warehouse-load pattern behind the
+    // reference's Vertica dimensions): apply a change set to a dimension,
+    // closing changed rows (valid_to set, no longer current) and inserting
+    // the new versions. Change set derived deterministically from the data.
+    Op("etl_scd2",
+      (s, d) => {
+        val base = T.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2020-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(1).as("is_current"))
+        val changes = T.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"),
+            col("c_name"),
+            round(col("c_acctbal").cast("decimal(18,2)") * 2, 2)
+              .cast("double").as("c_acctbal"))
+        val changedKeys = changes.select(col("c_custkey").as("k"))
+        val untouched = base.join(changedKeys, col("c_custkey") === col("k"), "left_anti")
+        val closed = base.join(changedKeys, col("c_custkey") === col("k"), "left_semi")
+          .withColumn("valid_to", lit("2024-01-01").cast("date"))
+          .withColumn("is_current", lit(0))
+        val fresh = changes.select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2024-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(1).as("is_current"))
+        untouched.unionByName(closed).unionByName(fresh)
+          .select(col("c_custkey"), col("c_name"),
+            dec(col("c_acctbal")).as("acctbal"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+      },
+      Some("""WITH changes AS (
+                SELECT c_custkey, c_name,
+                       CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * 2, 2) AS DOUBLE) AS c_acctbal
+                FROM customer WHERE c_custkey % 10 = 0)
+              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal,
+                     DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+                     1 AS is_current
+              FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+              UNION ALL
+              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)),
+                     DATE '2020-01-01', DATE '2024-01-01', 0
+              FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changes)
+              UNION ALL
+              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)),
+                     DATE '2024-01-01', CAST(NULL AS DATE), 1
+              FROM changes
+              ORDER BY c_custkey, valid_from, is_current""")),
+
     // SQL entry path: CTE + scalar subquery through spark.sql — customers
     // whose lifetime spend beats the average spend.
     Op("sql_cte_subquery",
