@@ -128,6 +128,26 @@ object Aggs {
                      count(*) AS n
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Bivariate statistics; float pipelines rounded per rule R2.
+    Op("agg_corr",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("k")), 4).cast(D).as("corr_vk"),
+             round(covar_samp(col("value"), col("k")), 4).cast(D).as("cov_vk"),
+             round(regr_slope(col("value"), col("k")), 4).cast(D).as("slope_vk"),
+             count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+                     CAST(round(corr(value, k), 4) AS DECIMAL(38,6)) AS corr_vk,
+                     CAST(round(covar_samp(value, k), 4) AS DECIMAL(38,6)) AS cov_vk,
+                     CAST(round(regr_slope(value, k), 4) AS DECIMAL(38,6)) AS slope_vk,
+                     count(*) AS n
+              FROM (SELECT event_type, value,
+                           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                    FROM events)
+              GROUP BY event_type ORDER BY event_type""")),
+
     Op("agg_having",
       (s, d) => T.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -201,6 +201,20 @@ object Scalars {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_out, count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Struct construction + field access + JSON serialization (both engines
+    // emit the identical compact {"k":v} form for these types).
+    Op("fn_struct_json",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("st", struct(col("event_type"), col("k")))
+        .select(col("event_id"), col("st.event_type").as("etype"),
+          to_json(col("st")).as("as_json"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type AS etype,
+                     to_json({'event_type': event_type,
+                              'k': CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS as_json
+              FROM events ORDER BY event_id""")),
+
     Op("fn_json",
       (s, d) => {
         val schema = StructType(Seq(StructField("k", IntegerType)))

@@ -56,6 +56,25 @@ object SortsSets {
               SELECT s_nationkey FROM supplier
               ORDER BY nk""")),
 
+    // Multiset (bag) semantics: multiplicity respected on both sides.
+    Op("set_intersect_all",
+      (s, d) => T.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersectAll(T.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk")),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT ALL
+              SELECT s_nationkey FROM supplier
+              ORDER BY nk""")),
+
+    Op("set_except_all",
+      (s, d) => T.supplier(s, d).select(col("s_nationkey").as("nk"))
+        .exceptAll(T.customer(s, d).select(col("c_nationkey").as("nk")))
+        .orderBy(col("nk")),
+      Some("""SELECT s_nationkey AS nk FROM supplier
+              EXCEPT ALL
+              SELECT c_nationkey FROM customer
+              ORDER BY nk""")),
+
     Op("set_except",
       (s, d) => T.customer(s, d).select(col("c_nationkey").as("nk"))
         .except(T.supplier(s, d).select(col("s_nationkey").as("nk")))
