@@ -66,6 +66,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("results are shuffle-partition-count invariant (decimal discipline)") {
+    val keys = Seq("agg_pricing_summary", "join_inner_hash", "win_running_sum",
+      "dedup_near_minhash")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      keys.foreach { k =>
+        val at13 = thrivespark.Registry.queries(k)(spark, sf0001).collect()
+        val base = at4.toMap.apply(k)
+        assert(base.sameElements(at13), s"$k differs across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("bounded top-k aggregator == window top-k formulation") {
     val a = thrivespark.Registry.queries("topk_per_group_agg")(spark, sf001)
     val w = thrivespark.Registry.queries("topk_per_group")(spark, sf001)
