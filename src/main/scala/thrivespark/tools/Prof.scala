@@ -62,6 +62,12 @@ object Prof {
         fa.join(fb, col("a_id") === col("b_id") - 250)
           .select(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("h"))
           .groupBy(col("h")).count().orderBy(col("h")).show(50)
+      case "compact" =>
+        val dir = "/tmp/prof_compact_data"
+        thrivespark.Tables.events(spark, sfDir).repartition(20)
+          .write.mode("overwrite").parquet(dir)
+        val r = thrivespark.ops.Compaction.compact(spark, dir, 64L * 1024 * 1024)
+        println(s"[prof] compact: $r reread=${spark.read.parquet(dir).count()}")
       case "buckets" =>
         import thrivespark.ops.Dedup._
         import org.apache.spark.sql.functions._

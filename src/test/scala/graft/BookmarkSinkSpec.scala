@@ -33,6 +33,17 @@ class BookmarkSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == events.count(), "idempotent overwrite")
   }
 
+  test("compaction rewrites many small files into few, preserving rows") {
+    import thrivespark.ops.Compaction
+    val dir = Files.createTempDirectory("graft_compact").toString + "/data"
+    val ev = Tables.events(spark, sf0001)
+    ev.repartition(37).write.parquet(dir) // pathological small files
+    val n = ev.count()
+    val r = Compaction.compact(spark, dir, targetBytesPerFile = 64L * 1024 * 1024)
+    assert(r.filesBefore == 37 && r.filesAfter < 5 && r.rows == n, r.toString)
+    assert(spark.read.parquet(dir).count() == n, "post-swap read must see all rows")
+  }
+
   test("sink interface ships frames to the fake (#5)") {
     val sink = new RecordingSink
     val df = Tables.region(spark, sf0001)
