@@ -128,6 +128,21 @@ object Aggs {
                      count(*) AS n
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    Op("agg_bool",
+      (s, d) => T.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("count_if(c_acctbal < 0)").as("n_negative"),
+             expr("bool_and(c_acctbal > -1000)").cast("int").as("all_above_floor"),
+             expr("bool_or(c_acctbal > 9000)").cast("int").as("any_rich"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+                     count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+                     CAST(bool_and(c_acctbal > -1000) AS INTEGER) AS all_above_floor,
+                     CAST(bool_or(c_acctbal > 9000) AS INTEGER) AS any_rich,
+                     count(*) AS n
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Bivariate statistics; float pipelines rounded per rule R2.
     Op("agg_corr",
       (s, d) => T.events(s, d)
