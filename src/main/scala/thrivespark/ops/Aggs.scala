@@ -18,15 +18,15 @@ object Aggs {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"),
           avg6(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-                     sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-                     CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_qty,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
                      count(*) AS count_order
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,7 +73,7 @@ object Aggs {
       Some("""SELECT l_returnflag, l_linestatus,
                      CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS g,
                      count(*) AS cnt,
-                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
@@ -89,7 +89,7 @@ object Aggs {
       Some("""SELECT c_mktsegment, c_nationkey,
                      CAST(GROUPING(c_mktsegment, c_nationkey) AS INTEGER) AS g,
                      count(*) AS cnt,
-                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_bal
+                     round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_bal
               FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
               ORDER BY g, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
 
@@ -100,7 +100,7 @@ object Aggs {
         s.sql("""SELECT event_type, dt,
                         CAST(grouping_id(event_type, dt) AS INT) AS g,
                         count(1) AS cnt,
-                        sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
                  FROM gs_events
                  GROUP BY GROUPING SETS ((event_type), (event_type, dt), ())
                  ORDER BY g, event_type ASC NULLS FIRST, dt ASC NULLS FIRST""")
@@ -108,7 +108,7 @@ object Aggs {
       Some("""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS dt,
                      CAST(GROUPING(event_type, date_trunc('day', ts)) AS INTEGER) AS g,
                      count(*) AS cnt,
-                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM events
               GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('day', ts)), ())
               ORDER BY g, event_type NULLS FIRST, dt NULLS FIRST""")),
@@ -119,12 +119,12 @@ object Aggs {
         .agg(min(col("c_acctbal")).as("min_bal"),
              max(col("c_acctbal")).as("max_bal"),
              avg6(sum(dec(col("c_acctbal"))), count(lit(1))).as("avg_bal"),
-             round(stddev_samp(col("c_acctbal")), 4).cast(D).as("sd_bal"),
+             round4(stddev_samp(col("c_acctbal"))).as("sd_bal"),
              count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment")),
       Some("""SELECT c_mktsegment, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))) / count(*), 6) AS DECIMAL(38,6)) AS avg_bal,
-                     CAST(round(stddev_samp(c_acctbal), 4) AS DECIMAL(38,6)) AS sd_bal,
+                     round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_bal,
+                     round(stddev_samp(c_acctbal), 4) AS sd_bal,
                      count(*) AS n
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
@@ -148,15 +148,15 @@ object Aggs {
       (s, d) => T.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
-        .agg(round(corr(col("value"), col("k")), 4).cast(D).as("corr_vk"),
-             round(covar_samp(col("value"), col("k")), 4).cast(D).as("cov_vk"),
-             round(regr_slope(col("value"), col("k")), 4).cast(D).as("slope_vk"),
+        .agg(round4(corr(col("value"), col("k"))).as("corr_vk"),
+             round4(covar_samp(col("value"), col("k"))).as("cov_vk"),
+             round4(regr_slope(col("value"), col("k"))).as("slope_vk"),
              count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
-                     CAST(round(corr(value, k), 4) AS DECIMAL(38,6)) AS corr_vk,
-                     CAST(round(covar_samp(value, k), 4) AS DECIMAL(38,6)) AS cov_vk,
-                     CAST(round(regr_slope(value, k), 4) AS DECIMAL(38,6)) AS slope_vk,
+                     round(corr(value, k), 4) AS corr_vk,
+                     round(covar_samp(value, k), 4) AS cov_vk,
+                     round(regr_slope(value, k), 4) AS slope_vk,
                      count(*) AS n
               FROM (SELECT event_type, value,
                            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -167,13 +167,13 @@ object Aggs {
       (s, d) => T.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-        .filter(col("n") > 5000 && col("sum_qty") > dec(lit(100000)))
+        .filter(col("n") > 5000 && col("sum_qty") > lit(100000.0))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY 1, 2
               HAVING count(*) > 5000
-                 AND sum(CAST(l_quantity AS DECIMAL(38,6))) > 100000
+                 AND CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 100000
               ORDER BY 1, 2""")),
 
     // #28 — HLL++; sketch outputs are never hash-compared (R5). ScalaTest

@@ -64,13 +64,13 @@ object Extras {
       (s, d) => T.customer(s, d)
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(expr("percentile(c_acctbal, 0.5)"), 6).cast(D).as("median_bal"),
-          round(expr("percentile(c_acctbal, 0.9)"), 6).cast(D).as("p90_bal"),
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_bal"),
           count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment")),
       Some("""SELECT c_mktsegment,
-                     CAST(round(quantile_cont(c_acctbal, 0.5), 6) AS DECIMAL(38,6)) AS median_bal,
-                     CAST(round(quantile_cont(c_acctbal, 0.9), 6) AS DECIMAL(38,6)) AS p90_bal,
+                     round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+                     round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
                      count(*) AS n
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
@@ -94,12 +94,12 @@ object Extras {
         T.orders(s, d).select(
           col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           count(lit(1)).over(w).as("n_in_band"),
-          sum(dec(col("o_totalprice"))).over(w).as("sum_in_band"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_in_band"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
                      count(*) OVER w AS n_in_band,
-                     sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS sum_in_band
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_in_band
               FROM orders
               WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
@@ -113,12 +113,12 @@ object Extras {
       (s, d) => T.events(s, d)
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy(col("event_type"), col("salt"))
-        .agg(count(lit(1)).as("pn"), dsum(col("value")).as("ps"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"))
         .groupBy(col("event_type"))
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_value"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("sum_value"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
-                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Config-driven schema mapping (the reference's columns-file contract):
@@ -134,13 +134,13 @@ object Extras {
             |ts:event_date:date""".stripMargin)
         val (ok, bad) = thrivespark.etl.ColumnMapping.split(T.events(s, d), specs)
         ok.groupBy(col("type"))
-          .agg(count(lit(1)).as("n"), sum(col("amount").cast(D)).as("sum_amount"),
+          .agg(count(lit(1)).as("n"), sum(col("amount").cast(D)).cast("double").as("sum_amount"),
                min(col("event_date")).as("first_date"))
           .withColumn("n_rejected", lit(bad.count()))
           .orderBy(col("type"))
       },
       Some("""SELECT event_type AS type, count(*) AS n,
-                     sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sum_amount,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_amount,
                      min(CAST(ts AS DATE)) AS first_date,
                      CAST(0 AS BIGINT) AS n_rejected
               FROM events GROUP BY event_type ORDER BY type""")),
@@ -177,7 +177,7 @@ object Extras {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n,
-                     sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                      min(epoch_us(ts)) AS min_ts_us
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -210,7 +210,7 @@ object Extras {
           lit(1).as("is_current"))
         untouched.unionByName(closed).unionByName(fresh)
           .select(col("c_custkey"), col("c_name"),
-            dec(col("c_acctbal")).as("acctbal"),
+            col("c_acctbal").as("acctbal"),
             col("valid_from"), col("valid_to"), col("is_current"))
           .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
       },
@@ -218,16 +218,16 @@ object Extras {
                 SELECT c_custkey, c_name,
                        CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * 2, 2) AS DOUBLE) AS c_acctbal
                 FROM customer WHERE c_custkey % 10 = 0)
-              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal,
+              SELECT c_custkey, c_name, c_acctbal AS acctbal,
                      DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
                      1 AS is_current
               FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
               UNION ALL
-              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)),
+              SELECT c_custkey, c_name, c_acctbal,
                      DATE '2020-01-01', DATE '2024-01-01', 0
               FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changes)
               UNION ALL
-              SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(38,6)),
+              SELECT c_custkey, c_name, c_acctbal,
                      DATE '2024-01-01', CAST(NULL AS DATE), 1
               FROM changes
               ORDER BY c_custkey, valid_from, is_current""")),
@@ -240,19 +240,19 @@ object Extras {
         T.customer(s, d).createOrReplaceTempView("v_customer")
         s.sql("""
           WITH spend AS (
-            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec
             FROM v_orders GROUP BY o_custkey)
-          SELECT c.c_custkey, c.c_name, b.spend
+          SELECT c.c_custkey, c.c_name, CAST(b.spend_dec AS DOUBLE) AS spend
           FROM v_customer c JOIN spend b ON c.c_custkey = b.o_custkey
-          WHERE b.spend > (SELECT avg(spend) FROM spend)
+          WHERE b.spend_dec > (SELECT avg(spend_dec) FROM spend)
           ORDER BY c.c_custkey""")
       },
       Some("""WITH spend AS (
-                SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+                SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec
                 FROM orders GROUP BY o_custkey)
-              SELECT c.c_custkey, c.c_name, b.spend
+              SELECT c.c_custkey, c.c_name, CAST(b.spend_dec AS DOUBLE) AS spend
               FROM customer c JOIN spend b ON c.c_custkey = b.o_custkey
-              WHERE b.spend > (SELECT avg(spend) FROM spend)
+              WHERE b.spend_dec > (SELECT avg(spend_dec) FROM spend)
               ORDER BY c.c_custkey""")),
 
     // Null-safe equality join (<=>): keys made nullable via nullif, then
@@ -311,7 +311,7 @@ object Extras {
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n_lines,
-                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
@@ -333,7 +333,7 @@ object Extras {
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-                     sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
                      max(CAST(o_orderdate AS DATE)) AS max_date
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )

@@ -14,12 +14,12 @@ object Filters {
         col("o_orderkey").as("order_id"),
         col("o_custkey").as("customer_id"),
         col("o_orderstatus").as("status"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"),
         col("o_orderdate").cast("date").as("order_date"),
         year(col("o_orderdate")).as("o_year"))
         .orderBy(col("order_id")),
       Some("""SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_orderstatus AS status,
-                     CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
                      CAST(o_orderdate AS DATE) AS order_date,
                      CAST(year(o_orderdate) AS INTEGER) AS o_year
               FROM orders ORDER BY order_id""")),
@@ -46,13 +46,13 @@ object Filters {
           count(col("dn")).as("n_notnull"),
           count(when(col("dn").isNull, 1)).as("n_null"),
           count(when(col("dn") <=> lit(0.05), 1)).as("n_nullsafe_005"),
-          sum(dec(coalesce(col("dn"), lit(0.0)))).as("sum_disc"))
+          sum(dec(coalesce(col("dn"), lit(0.0)))).cast("double").as("sum_disc"))
       },
       Some("""SELECT count(*) AS n_total,
                      count(nullif(l_discount, 0)) AS n_notnull,
                      count(*) FILTER (WHERE nullif(l_discount, 0) IS NULL) AS n_null,
                      count(*) FILTER (WHERE nullif(l_discount, 0) IS NOT DISTINCT FROM 0.05) AS n_nullsafe_005,
-                     sum(CAST(coalesce(nullif(l_discount, 0), 0) AS DECIMAL(38,6))) AS sum_disc
+                     CAST(sum(CAST(coalesce(nullif(l_discount, 0), 0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
               FROM lineitem""")),
 
     Op("dq_validate_reject",

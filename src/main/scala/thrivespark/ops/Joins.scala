@@ -24,7 +24,8 @@ object Joins {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+      Some("""SELECT c_custkey, c_name,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
                      count(*) AS n_orders
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
@@ -44,13 +45,13 @@ object Joins {
       (s, d) => T.lineitem(s, d).hint("merge")
         .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_totalprice"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("net_lines"),
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("net_lines"),
              count(lit(1)).as("n_lines"))
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("total_price"),
+        .select(col("o_orderkey"), col("o_totalprice").as("total_price"),
                 col("net_lines"), col("n_lines"))
         .orderBy(col("o_orderkey")),
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) AS total_price,
-                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS net_lines,
+      Some("""SELECT o_orderkey, o_totalprice AS total_price,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS net_lines,
                      count(*) AS n_lines
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""")),
@@ -61,15 +62,17 @@ object Joins {
           .agg(dsum(col("l_quantity")).as("sq"), count(lit(1)).as("nl"))
         T.orders(s, d).join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
           .select(col("o_orderkey"),
-            coalesce(col("sq"), lit(0).cast(D)).as("sum_qty"),
+            coalesce(col("sq"), lit(0.0)).as("sum_qty"),
             coalesce(col("nl"), lit(0L)).as("n_lines"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
-                     coalesce(sq, CAST(0 AS DECIMAL(38,6))) AS sum_qty,
+                     coalesce(sq, 0.0) AS sum_qty,
                      coalesce(nl, 0) AS n_lines
               FROM orders LEFT JOIN (
-                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sq, count(*) AS nl
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+                       count(*) AS nl
                 FROM lineitem GROUP BY l_orderkey) s ON o_orderkey = l_orderkey
               ORDER BY o_orderkey""")),
 

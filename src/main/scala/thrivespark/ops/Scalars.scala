@@ -62,8 +62,8 @@ object Scalars {
     Op("fn_math",
       (s, d) => T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice").cast("decimal(18,2)"), 1).as("price_r1"),
-        abs(col("l_discount").cast("decimal(10,2)") - lit(0.05).cast("decimal(10,2)")).as("disc_dev"),
+        round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
+        abs(col("l_discount").cast("decimal(10,2)") - lit(0.05).cast("decimal(10,2)")).cast("double").as("disc_dev"),
         ceil(col("l_extendedprice")).as("price_ceil"),
         floor(col("l_extendedprice")).as("price_floor"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
@@ -76,13 +76,13 @@ object Scalars {
                  col("disc_dev"), col("price_ceil"), col("price_floor"),
                  col("ln_qty"), col("sqrt_qty"), col("qty_sq")),
       Some("""SELECT l_orderkey, l_linenumber,
-                     round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
-                     abs(CAST(l_discount AS DECIMAL(10,2)) - CAST(0.05 AS DECIMAL(10,2))) AS disc_dev,
+                     CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+                     CAST(abs(CAST(l_discount AS DECIMAL(10,2)) - CAST(0.05 AS DECIMAL(10,2))) AS DOUBLE) AS disc_dev,
                      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
                      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                      l_orderkey % 7 AS key_mod7,
-                     CAST(round(ln(l_quantity), 6) AS DECIMAL(38,6)) AS ln_qty,
-                     CAST(round(sqrt(l_quantity), 6) AS DECIMAL(38,6)) AS sqrt_qty,
+                     round(ln(l_quantity), 6) AS ln_qty,
+                     round(sqrt(l_quantity), 6) AS sqrt_qty,
                      CAST(pow(l_quantity, 2) AS BIGINT) AS qty_sq
               FROM lineitem
               ORDER BY l_orderkey, l_linenumber, price_r1, disc_dev,
@@ -167,12 +167,12 @@ object Scalars {
         .orderBy(col("vec_id")),
       Some("""SELECT vec_id,
                      CAST(len(embedding) AS INTEGER) AS dim,
-                     CAST(round(sqrt(list_sum(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(38,6)) AS l2_norm,
-                     CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e1,
-                     CAST(round(CAST(embedding[2] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e2,
-                     CAST(round(CAST(embedding[3] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e3,
-                     CAST(round(CAST(embedding[4] AS DOUBLE), 4) AS DECIMAL(38,6)) AS e4
+                     round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+                     round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+                     round(CAST(embedding[2] AS DOUBLE), 4) AS e2,
+                     round(CAST(embedding[3] AS DOUBLE), 4) AS e3,
+                     round(CAST(embedding[4] AS DOUBLE), 4) AS e4
               FROM embeddings ORDER BY vec_id""")),
 
     // Generator over arrays: explode the first 3 embedding dims to
@@ -182,10 +182,10 @@ object Scalars {
         .select(col("vec_id"),
           posexplode(slice(col("embedding"), 1, 3)).as(Seq("dim_idx", "v")))
         .select(col("vec_id"), col("dim_idx"),
-          round(col("v").cast("double"), 4).cast(D).as("v"))
+          round(col("v").cast("double"), 4).as("v"))
         .orderBy(col("vec_id"), col("dim_idx")),
       Some("""SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
-                     CAST(round(CAST(embedding[i] AS DOUBLE), 4) AS DECIMAL(38,6)) AS v
+                     round(CAST(embedding[i] AS DOUBLE), 4) AS v
               FROM embeddings, generate_series(1, 3) AS g(i)
               ORDER BY vec_id, dim_idx""")),
 

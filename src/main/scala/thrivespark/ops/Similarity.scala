@@ -84,7 +84,7 @@ object Similarity {
           .select(col("q_id"), col("c_id"), round6(col("cos")).as("cos"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
-      Some(s"""SELECT q_id, c_id, CAST(round(cos, 6) AS DECIMAL(38,6)) AS cos, rn
+      Some(s"""SELECT q_id, c_id, round(cos, 6) AS cos, rn
               FROM (
                 SELECT a.vec_id AS q_id, b.vec_id AS c_id, $duckDot AS cos,
                        CAST(row_number() OVER (PARTITION BY a.vec_id
@@ -113,7 +113,7 @@ object Similarity {
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-                     CAST(round($duckDot, 6) AS DECIMAL(38,6)) AS cos
+                     round($duckDot, 6) AS cos
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE $duckDot > 0.3
@@ -132,8 +132,8 @@ object Similarity {
       },
       Some("""SELECT doc_id, lang, source, n_chars, label,
                      CAST(len(embedding) AS INTEGER) AS dim,
-                     CAST(round(sqrt(list_sum(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(38,6)) AS l2_norm,
+                     round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
               FROM documents JOIN embeddings ON doc_id = vec_id
               ORDER BY doc_id""")),

@@ -22,7 +22,7 @@ object StreamingOps {
                 col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type")),
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
-                     count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                     count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // 1h window sliding every 15min → each event lands in exactly 4 windows.

@@ -30,8 +30,8 @@ object Text {
                      CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
                      CAST(length(text) AS INTEGER) AS n_chars_calc,
                      CAST(length(text) = n_chars AS INTEGER) AS chars_parity,
-                     CAST(round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS avg_tok_len
+                     round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                                / len(string_split(text, ' ')), 6) AS avg_tok_len
               FROM documents ORDER BY doc_id""")),
 
     Op("text_tokens_explode",
@@ -56,9 +56,9 @@ object Text {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, lang,
-                     CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                     round(CAST(len(list_filter(string_split(text, ' '),
                                 t -> t = 'the' OR t = 'a')) AS DOUBLE)
-                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS en_score,
+                                / len(string_split(text, ' ')), 6) AS en_score,
                      CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                                t -> t = 'the' OR t = 'a')) AS DOUBLE)
                                / len(string_split(text, ' ')) > 0.05
@@ -76,8 +76,8 @@ object Text {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, n_chars,
                      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-                     CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                                / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS uniq_ratio,
+                     round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                / len(string_split(text, ' ')), 6) AS uniq_ratio,
                      CAST(len(string_split(text, ' ')) < 20 AS INTEGER) AS is_short
               FROM documents ORDER BY doc_id""")),
 

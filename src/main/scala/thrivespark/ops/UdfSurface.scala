@@ -42,7 +42,7 @@ object UdfSurface {
         s.udf.register("gini", gini)
         T.customer(s, d)
           .groupBy(col("c_mktsegment"))
-          .agg(gini(col("c_acctbal")).cast(D).as("gini_bal"), count(lit(1)).as("n"))
+          .agg(gini(col("c_acctbal")).as("gini_bal"), count(lit(1)).as("n"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""WITH r AS (
@@ -52,13 +52,13 @@ object UdfSurface {
                 FROM customer),
               a AS (
                 SELECT c_mktsegment,
-                       sum(CAST(rn * c_acctbal AS DECIMAL(38,6))) AS s1,
-                       sum(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
+                       sum(CAST(rn * c_acctbal AS DECIMAL(18,6))) AS s1,
+                       sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
                        count(*) AS n
                 FROM r GROUP BY c_mktsegment)
               SELECT c_mktsegment,
-                     CAST(round(2.0 * CAST(s1 AS DOUBLE) / (n * CAST(s AS DOUBLE))
-                                - (n + 1.0) / n, 6) AS DECIMAL(38,6)) AS gini_bal,
+                     round(2.0 * CAST(s1 AS DOUBLE) / (n * CAST(s AS DOUBLE))
+                                - (n + 1.0) / n, 6) AS gini_bal,
                      n
               FROM a ORDER BY c_mktsegment""")),
 

@@ -20,7 +20,7 @@ object Windows {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"), // (dtype parity: oracle casts to INT)
-          round(percent_rank().over(w), 6).cast(D).as("pr"))
+          round(percent_rank().over(w), 6).as("pr"))
           .orderBy(col("c_mktsegment"), col("rn"))
       },
       Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -28,7 +28,7 @@ object Windows {
                      CAST(rank() OVER w AS INTEGER) AS rnk,
                      CAST(dense_rank() OVER w AS INTEGER) AS drnk,
                      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-                     CAST(round(percent_rank() OVER w, 6) AS DECIMAL(38,6)) AS pr
+                     round(percent_rank() OVER w, 6) AS pr
               FROM customer
               WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
               ORDER BY c_mktsegment, rn""")),
@@ -41,12 +41,12 @@ object Windows {
         T.events(s, d).select(
           col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("running_n"),
-          sum(dec(col("value"))).over(w).as("running_value"))
+          sum(dec(col("value"))).over(w).cast("double").as("running_value"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id,
                      count(*) OVER w AS running_n,
-                     sum(CAST(value AS DECIMAL(38,6))) OVER w AS running_value
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -74,24 +74,24 @@ object Windows {
       (s, d) => {
         val daily = T.orders(s, d)
           .groupBy(col("o_orderdate").cast("date").as("dt"))
-          .agg(dsum(col("o_totalprice")).as("day_total"), count(lit(1)).as("day_n"))
+          .agg(sum(dec(col("o_totalprice"))).as("day_total_dec"), count(lit(1)).as("day_n"))
         val w = Window.orderBy(col("dt")).rowsBetween(-6, 0)
-        daily.select(col("dt"), col("day_total"),
-          sum(col("day_total")).over(w).as("mov_sum"),
+        daily.select(col("dt"), col("day_total_dec").cast("double").as("day_total"),
+          sum(col("day_total_dec")).over(w).cast("double").as("mov_sum"),
           count(lit(1)).over(w).as("mov_n"),
-          round(sum(col("day_total")).over(w).cast("double") /
-                count(lit(1)).over(w), 6).cast(D).as("mov_avg"))
+          round(sum(col("day_total_dec")).over(w).cast("double") /
+                count(lit(1)).over(w), 6).as("mov_avg"))
           .orderBy(col("dt"))
       },
       Some("""WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS dt,
-                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS day_total,
+                       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_total_dec,
                        count(*) AS day_n
                 FROM orders GROUP BY 1)
-              SELECT dt, day_total,
-                     sum(day_total) OVER w AS mov_sum,
+              SELECT dt, CAST(day_total_dec AS DOUBLE) AS day_total,
+                     CAST(sum(day_total_dec) OVER w AS DOUBLE) AS mov_sum,
                      count(*) OVER w AS mov_n,
-                     CAST(round(sum(day_total) OVER w / count(*) OVER w, 6) AS DECIMAL(38,6)) AS mov_avg
+                     round(CAST(sum(day_total_dec) OVER w AS DOUBLE) / count(*) OVER w, 6) AS mov_avg
               FROM daily
               WINDOW w AS (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY dt""")),
@@ -132,12 +132,12 @@ object Windows {
         val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         T.customer(s, d).select(
           col("c_mktsegment"), col("c_custkey"),
-          round(cume_dist().over(w), 6).cast(D).as("cd"),
+          round(cume_dist().over(w), 6).as("cd"),
           nth_value(col("c_name"), 2).over(wf).as("second_name"))
           .orderBy(col("c_mktsegment"), col("c_custkey"))
       },
       Some("""SELECT c_mktsegment, c_custkey,
-                     CAST(round(cume_dist() OVER w, 6) AS DECIMAL(38,6)) AS cd,
+                     round(cume_dist() OVER w, 6) AS cd,
                      nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment
                         ORDER BY c_acctbal, c_custkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name
