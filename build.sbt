@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's one-line JSON from `sbt runMain` output.
+// Default sbt decorates forked stdout with "[info] " prefixes and appends a
+// "[success] Total time" line — both break a line-oriented JSON parse. Pass
+// program output through verbatim and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

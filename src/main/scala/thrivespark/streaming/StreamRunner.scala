@@ -13,11 +13,26 @@ import org.apache.spark.sql.functions._
   * shuffle is keyed by the aggregation key exactly as in batch. */
 object StreamRunner {
 
+  /** Streaming state is partitioned by `spark.sql.shuffle.partitions` at the
+    * stream's FIRST start and pinned in the checkpoint thereafter. Size it to
+    * the stream's key cardinality, not the batch-side default: every extra
+    * partition is an extra state-store instance committed per micro-batch
+    * (32 → 32 HDFS-state commits per batch here, dominated by fs overhead).
+    * On a real cluster with millions of keys you would raise it; these demo
+    * streams carry a handful of keys. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** #58: 1-hour tumbling counts with a 10-minute watermark; rows later than
     * the watermark are dropped from the aggregate. Returns the materialized
     * result after processing all available files in `srcDir`. */
   def tumblingWithWatermark(spark: SparkSession, srcDir: String,
-      checkpoint: String, queryName: String): DataFrame = {
+      checkpoint: String, queryName: String): DataFrame =
+      withStatePartitions(spark, 4) {
     val schema = spark.read.parquet(srcDir).schema
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -40,7 +55,8 @@ object StreamRunner {
 
   /** #59: stateful streaming dedup on event_id across micro-batches. */
   def dedupWithinWatermark(spark: SparkSession, srcDir: String,
-      checkpoint: String, queryName: String): DataFrame = {
+      checkpoint: String, queryName: String): DataFrame =
+      withStatePartitions(spark, 4) {
     val schema = spark.read.parquet(srcDir).schema
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
