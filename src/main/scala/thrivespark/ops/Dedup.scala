@@ -160,5 +160,75 @@ object Dedup {
     Op("dedup_simhash",
       (s, d) => simhashPairs(s, d, maxHamming = 7),
       None),
+
+    // Exact n-gram Jaccard similarity join via an INVERTED INDEX — the
+    // classic exact set-similarity-join shape (e.g. VernicaJoin): explode
+    // doc→shingle postings, self-join postings on the shingle to count
+    // |A∩B| per pair with map-side combine, then J = c/(|A|+|B|−c). No N²
+    // pair enumeration exists in the plan: cost is O(Σ postings²) per
+    // shingle. At 100 TB add the standard prefix filter (index only each
+    // doc's rarest ⌈(1−τ)|A|⌉+1 shingles) and drop stop-shingles above a
+    // frequency cap — both prune candidates without losing pairs above τ.
+    // This is the exactness baseline that validates dedup_near_minhash.
+    Op("dedup_ngram_jaccard",
+      (s, d) => {
+        val docs = shingleDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+        val sizes = docs.select(col("doc_id"), size(col("shl")).as("sz"))
+        val posts = docs.select(col("doc_id"), explode(col("shl")).as("h"))
+        val common = posts.as("x")
+          .join(posts.as("y"), col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+          .withColumn("jac",
+            col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+          .filter(col("jac") > 0.6)
+          .select(col("a_id"), col("b_id"), col("jac"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH s AS (
+                SELECT doc_id, ${Shingles.duckShingles3FromT} AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) > 0.6
+              ORDER BY a_id, b_id""")),
+
+    // Embedding-cosine near-dup removal: drop any vector whose cosine to an
+    // earlier (smaller-id) same-label vector exceeds τ; emit the survivors.
+    // Label blocking keeps the pair space O(Σ label²) — at 100 TB swap the
+    // block key for LSH buckets over random hyperplanes (same plan shape).
+    // Embeddings are L2-normalized ⇒ cosine = dot; the dot is the same
+    // sequential-fold IEEE computation in both engines (VecDot ≡ list_sum).
+    Op("dedup_embedding_cosine",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val emb = T.embeddings(s, d)
+        val a = emb.select(col("label").as("l_a"), col("vec_id").as("a_id"),
+          col("embedding").as("e_a"))
+        val b = emb.select(col("label").as("l_b"), col("vec_id").as("b_id"),
+          col("embedding").as("e_b"))
+        val drops = a.join(b, col("l_a") === col("l_b") && col("a_id") < col("b_id"))
+          .withColumn("cos", call_function("vec_dot", col("e_a"), col("e_b")))
+          .filter(col("cos") > 0.4)
+          .select(col("b_id")).distinct()
+        emb.join(drops, col("vec_id") === col("b_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, label FROM embeddings
+              WHERE vec_id NOT IN (
+                SELECT b.vec_id
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) > 0.4)
+              ORDER BY vec_id""")),
   )
 }

@@ -153,5 +153,26 @@ object Similarity {
                      sha256(text) AS sha_256,
                      md5(text) AS md5_hex
               FROM documents ORDER BY doc_id""")),
+
+    // The full multimodal pipeline surface in one plan: binary payload →
+    // partition-parallel feature extraction (mapPartitions; codec stubbed,
+    // Spark plumbing real) → resize + frame-sample column ops. Stubbed
+    // decode ⇒ engine-defined floats ⇒ no SQL oracle (rows-only driver
+    // check); MultimodalSpec pins the shapes and null passthrough.
+    Op("multimodal_features",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaFromDocuments(T.documents(s, d))
+        mm.extractFeatures(media)
+          .withColumn("thumb", mm.resizeUdf(col("payload"), lit(8), lit(8)))
+          .withColumn("frames", mm.frameSampleUdf(col("payload"), lit(256), lit(4)))
+          .select(col("media_id"), col("kind"),
+            size(col("features")).as("n_features"),
+            octet_length(col("thumb")).as("thumb_bytes"),
+            size(col("frames")).as("n_frames"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          .orderBy(col("media_id"))
+      },
+      None),
   )
 }

@@ -81,8 +81,14 @@ object StreamingOps {
         val cp = java.nio.file.Files.createTempDirectory("graft_cp_dd").toString
         thrivespark.streaming.StreamRunner.dedupWithinWatermark(
           s, stage, cp, s"q_dedup_state_${tag(d)}")
+          .orderBy(col("event_id"))
       },
-      None),
+      // event_id is unique in this corpus (FIXTURES), so the streaming dedup
+      // is a projection-preserving identity here — which is exactly what
+      // makes a full SQL oracle possible. Duplicate-dropping itself is
+      // exercised in StreamingSpec with planted cross-batch duplicates.
+      Some("""SELECT event_id, user_id, event_type
+              FROM events ORDER BY event_id""")),
 
     // #60 — Thrive's incremental bookmark contract as a runnable summary:
     // run twice; the second run must process nothing.
@@ -98,7 +104,15 @@ object StreamingOps {
           (2, r2.processedPartitions.size.toLong, r2.rowsWritten)
         ).toDF("run", "n_partitions", "rows_written").orderBy(col("run"))
       },
-      None),
+      // Deterministic contract: run 1 processes every day-partition of the
+      // input, run 2 (same bookmark) processes nothing.
+      Some("""SELECT 1 AS run,
+                     count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_partitions,
+                     count(*) AS rows_written
+              FROM events
+              UNION ALL
+              SELECT 2, 0, 0
+              ORDER BY run""")),
   )
 
   private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")

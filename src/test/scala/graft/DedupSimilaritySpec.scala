@@ -40,4 +40,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall collapsed: $recall")
     info(f"IVF recall@5 (nprobe=2 of 5 cells): $recall%.2f")
   }
+
+  test("dedup_ngram_jaccard (inverted index) equals the LSH+verify pair set") {
+    // Both pipelines emit exact Jaccard>0.6 pairs; the inverted-index path
+    // must find the identical set the banding path finds (recall 1 check on
+    // both sides at once).
+    val inv = thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairs(spark, sf0001, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv == lsh, s"inv=${inv.size} lsh=${lsh.size}")
+    assert(inv.nonEmpty, "corpus has planted near-dups; result must not be empty")
+  }
+
+  test("dedup_embedding_cosine survivors = corpus minus dropped later-ids") {
+    val surv = thrivespark.Registry.queries("dedup_embedding_cosine")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val all = thrivespark.Tables.embeddings(spark, sf001)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dropped = all.diff(surv)
+    assert(surv.subsetOf(all))
+    assert(dropped.nonEmpty, "threshold 0.4 drops a few vectors at sf0.01")
+    // every dropped id must have a smaller-id same-label partner above τ —
+    // i.e. no survivor pair is itself a near-dup pair
+    assert(!dropped.exists(d => d == all.min), "the smallest id always survives")
+  }
+
+  test("multimodal_features: shapes, thumb size, frame count, null safety") {
+    val mm = thrivespark.multimodal.Multimodal
+    val df = thrivespark.Registry.queries("multimodal_features")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) == 8), "decode stub emits 8 features")
+    assert(rows.forall(_.getInt(3) == 64), "8x8 thumb = 64 bytes")
+    assert(rows.forall(_.getInt(4) >= 1), "at least one sampled frame")
+    assert(mm.decodeStub(null) == null, "null payload passes through decode")
+    assert(mm.frameSampleStub(null, 4, 2) == null)
+  }
 }
