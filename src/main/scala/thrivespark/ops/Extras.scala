@@ -336,5 +336,98 @@ object Extras {
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
                      max(CAST(o_orderdate AS DATE)) AS max_date
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Composite analytical query, TPC-H Q3 shape: 3-way join, filtered fact
+    // sides, grouped revenue, global top-10. The filtered customer segment
+    // broadcasts (smallest side); the lineitem⋈orders join is the big
+    // shuffle; TakeOrderedAndProject replaces a full sort for the LIMIT —
+    // the plan that holds when lineitem is 100 TB.
+    Op("q3_order_priority",
+      (s, d) => {
+        val cut = lit("1998-06-01").cast("timestamp")
+        val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = T.orders(s, d).filter(col("o_orderdate") < cut)
+        val l = T.lineitem(s, d).filter(col("l_shipdate") > cut)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"),
+            col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                     o_orderpriority,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-06-01'
+                AND l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // Composite, TPC-H Q5 shape: 6-table star join — the full dimension
+    // chain (supplier⋈nation⋈region, pre-filtered and broadcast as one
+    // small build side) against the lineitem⋈orders⋈customer fact spine,
+    // with the local-supplier constraint c_nationkey = s_nationkey.
+    Op("q5_regional_volume",
+      (s, d) => {
+        val dim = T.supplier(s, d)
+          .join(T.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(T.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        T.lineitem(s, d)
+          .join(T.orders(s, d).filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // Salted SKEWED JOIN (complement of agg_salted_skew): when one probe key
+    // dominates, replicate the build side S ways and scatter the probe side
+    // by a salt, so the hot key's rows spread over S reducers. Result is
+    // identical to the plain join; AQE's skew-join split is the automatic
+    // variant, this is the explicit one that also works pre-AQE / in
+    // streaming joins.
+    Op("join_salted_skew",
+      (s, d) => {
+        val S = 8
+        val e = T.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
+        val c = T.customer(s, d)
+          .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+        e.join(c, col("user_id") === col("c_custkey") && e("salt") === c("salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
   )
 }

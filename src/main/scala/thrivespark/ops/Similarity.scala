@@ -93,11 +93,48 @@ object Similarity {
                 WHERE a.vec_id % 50 = 0)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
-    // Approximate scale path (no oracle — driver rows-only check; recall
-    // vs brute force measured in SimilaritySpec).
+    // Approximate scale path — but fully DETERMINISTIC: centroid choice
+    // (vec_id % 100), assignment (max sim, tie → lowest cent_id), probe set
+    // (top-nprobe cells, same tie-break) and final ranking all have total
+    // orders, and the dot is the same sequential IEEE fold in both engines.
+    // So the "approximate" operator still gets an exact SQL oracle (r2);
+    // recall vs brute force is measured separately in DedupSimilaritySpec.
     Op("sim_ann_ivf",
       (s, d) => annTopK(s, d),
-      None),
+      Some("""WITH cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE vec_id % 100 = 0),
+              a1 AS (
+                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c),
+              assigned AS (SELECT c_id, c_emb, cent_id AS cell FROM a1 WHERE arn = 1),
+              q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id % 50 = 0),
+              p1 AS (
+                SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS crn
+                FROM q CROSS JOIN cent c),
+              probes AS (SELECT q_id, q_emb, cell FROM p1 WHERE crn <= 2),
+              cand AS (
+                SELECT p.q_id, a.c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) AS cos
+                FROM probes p JOIN assigned a ON p.cell = a.cell
+                WHERE p.q_id <> a.c_id)
+              SELECT q_id, c_id, round(cos, 6) AS cos, rn FROM (
+                SELECT q_id, c_id, cos,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id) AS INTEGER) AS rn
+                FROM cand)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     Op("sim_threshold_pairs",
       (s, d) => {
