@@ -77,6 +77,28 @@ class PlanSpec extends AnyFunSuite {
     new thrivespark.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("q3_order_priority: top-10 via TakeOrderedAndProject, no global sort") {
+    val p = plan("q3_order_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer side must broadcast")
+  }
+
+  test("q5_regional_volume: dim chain broadcasts; one agg shuffle on the fact") {
+    val df = Registry.queries("q5_regional_volume")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim chain must broadcast:\n$p")
+    // lineitem joins happen map-side: the only Exchanges are the aggregate
+    // shuffle and the final order-by (plus broadcasts, which don't count)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"fact side must not shuffle before the agg ($shuffles):\n$p")
+  }
+
+  test("dedup_ngram_jaccard: no cartesian/BNLJ pair enumeration in the plan") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"inverted index must not enumerate N^2 pairs:\n$p")
+  }
+
   test("UDF shingles == native shingles composition") {
     import spark.implicits._
     val docs = thrivespark.Tables.documents(spark, sf0001).limit(50)
