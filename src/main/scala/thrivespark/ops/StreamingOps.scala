@@ -90,6 +90,21 @@ object StreamingOps {
       Some("""SELECT event_id, user_id, event_type
               FROM events ORDER BY event_id""")),
 
+    // Arbitrary stateful processing (mapGroupsWithState): per-user running
+    // aggregate carried across micro-batches in the state store. The final
+    // state equals the batch aggregate — which is the oracle.
+    Op("stream_custom_state",
+      (s, d) => {
+        val stage = stageDir(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_st").toString
+        thrivespark.streaming.StreamRunner.userStateCounts(
+          s, stage, cp, s"q_user_state_${tag(d)}")
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // #60 — Thrive's incremental bookmark contract as a runnable summary:
     // run twice; the second run must process nothing.
     Op("incremental_bookmark",

@@ -53,6 +53,59 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Custom-state element for mapGroupsWithState: exact fixed-point sum as
+    * unscaled decimal(18,6) micros — associative, so cross-batch accumulation
+    * order can't drift, and < 2^53 at any realistic per-user volume so the
+    * final double emission is the correctly-rounded quotient both engines
+    * compute. */
+  final case class UserAgg(n: Long, sumMicros: Long)
+
+  /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
+    * per-user running (count, exact sum) surviving across micro-batches in
+    * the state store. Update-mode emissions are folded to the final state
+    * per key with max_by on the monotone count. At scale this is the
+    * arbitrary-stateful-processing path (timeouts, eviction, custom types)
+    * that windowed aggregation can't express. */
+  def userStateCounts(spark: SparkSession, srcDir: String,
+      checkpoint: String, queryName: String): DataFrame =
+      withStatePartitions(spark, 4) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    // exact: same rounding as CAST(value AS DECIMAL(18,6)) in both engines
+    def micros(v: Double): Long =
+      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val updated = in.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0L))
+          var n = prev.n
+          var s = prev.sumMicros
+          rows.foreach { case (_, v) => n += 1; s += micros(v) }
+          state.update(UserAgg(n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_micros")
+    val q = updated.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        (max_by(col("sum_micros"), col("n_events")) / 1e6).as("sum_value"))
+  }
+
   /** #59: stateful streaming dedup on event_id across micro-batches. */
   def dedupWithinWatermark(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =

@@ -118,6 +118,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 9L), s"got ${ids.toSeq}")
   }
 
+  test("stream_custom_state: mapGroupsWithState carries state across batches") {
+    // two batches touching the same user: the final state must be the union,
+    // proving the state store round-trip (not per-batch aggregation)
+    val dir = Files.createTempDirectory("graft_stream_src3").toString
+    val ev = Tables.events(spark, sf0001).limit(100)
+    ev.repartition(2).write.mode("overwrite").parquet(dir)
+    val cp = Files.createTempDirectory("graft_cp_st_t").toString
+    val got = thrivespark.streaming.StreamRunner
+      .userStateCounts(spark, dir, cp, "t_user_state")
+    val want = ev.groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap == want, s"state diverged: got=${gotMap.size} want=${want.size}")
+    assert(want.values.exists(_ > 1), "fixture must have a multi-event user")
+  }
+
   test("StreamRunner file-replay paths run end to end (#58/#59 plumbing)") {
     val dir = Files.createTempDirectory("graft_stream_src2").toString
     Tables.events(spark, sf0001).limit(200).repartition(2)
