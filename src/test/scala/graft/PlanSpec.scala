@@ -93,6 +93,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"fact side must not shuffle before the agg ($shuffles):\n$p")
   }
 
+  test("partitioned sink read-back prunes partitions on the dt filter") {
+    // Hive-style dt= layout: a filter on the partition column must become a
+    // PartitionFilter (directories skipped), not a row-level Filter over a
+    // full scan — THE property that makes incremental reads O(day) not
+    // O(history) at 100 TB.
+    Registry.queries("sink_partitioned")(spark, sf0001).count() // ensure sink
+    val sink = s"/tmp/graft_sink_partitioned_${new java.io.File(sf0001).getName}"
+    val p = spark.read.parquet(sink)
+      .filter(col("dt") === "2024-01-15")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no partition pruning:\n$p")
+  }
+
   test("dedup_ngram_jaccard: no cartesian/BNLJ pair enumeration in the plan") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
