@@ -154,9 +154,9 @@ object Aggs {
              count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
-                     round(corr(value, k), 4) AS corr_vk,
-                     round(covar_samp(value, k), 4) AS cov_vk,
-                     round(regr_slope(value, k), 4) AS slope_vk,
+                     round(corr(value, k), 4) + 0.0 AS corr_vk,
+                     round(covar_samp(value, k), 4) + 0.0 AS cov_vk,
+                     round(regr_slope(value, k), 4) + 0.0 AS slope_vk,
                      count(*) AS n
               FROM (SELECT event_type, value,
                            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -169,10 +169,10 @@ object Scalars {
                      CAST(len(embedding) AS INTEGER) AS dim,
                      round(sqrt(list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-                     round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-                     round(CAST(embedding[2] AS DOUBLE), 4) AS e2,
-                     round(CAST(embedding[3] AS DOUBLE), 4) AS e3,
-                     round(CAST(embedding[4] AS DOUBLE), 4) AS e4
+                     round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1,
+                     round(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS e2,
+                     round(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS e3,
+                     round(CAST(embedding[4] AS DOUBLE), 4) + 0.0 AS e4
               FROM embeddings ORDER BY vec_id""")),
 
     // Generator over arrays: explode the first 3 embedding dims to
@@ -185,7 +185,7 @@ object Scalars {
           round(col("v").cast("double"), 4).as("v"))
         .orderBy(col("vec_id"), col("dim_idx")),
       Some("""SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
-                     round(CAST(embedding[i] AS DOUBLE), 4) AS v
+                     round(CAST(embedding[i] AS DOUBLE), 4) + 0.0 AS v
               FROM embeddings, generate_series(1, 3) AS g(i)
               ORDER BY vec_id, dim_idx""")),
 

@@ -84,7 +84,7 @@ object Similarity {
           .select(col("q_id"), col("c_id"), round6(col("cos")).as("cos"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
-      Some(s"""SELECT q_id, c_id, round(cos, 6) AS cos, rn
+      Some(s"""SELECT q_id, c_id, round(cos, 6) + 0.0 AS cos, rn
               FROM (
                 SELECT a.vec_id AS q_id, b.vec_id AS c_id, $duckDot AS cos,
                        CAST(row_number() OVER (PARTITION BY a.vec_id
@@ -129,7 +129,7 @@ object Similarity {
                          i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) AS cos
                 FROM probes p JOIN assigned a ON p.cell = a.cell
                 WHERE p.q_id <> a.c_id)
-              SELECT q_id, c_id, round(cos, 6) AS cos, rn FROM (
+              SELECT q_id, c_id, round(cos, 6) + 0.0 AS cos, rn FROM (
                 SELECT q_id, c_id, cos,
                        CAST(row_number() OVER (PARTITION BY q_id
                          ORDER BY cos DESC, c_id) AS INTEGER) AS rn
@@ -150,7 +150,7 @@ object Similarity {
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-                     round($duckDot, 6) AS cos
+                     round($duckDot, 6) + 0.0 AS cos
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE $duckDot > 0.3
