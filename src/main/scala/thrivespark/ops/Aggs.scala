@@ -5,9 +5,10 @@ import thrivespark.{Op, Tables => T}
 import thrivespark.Det._
 
 /** SURVEY.md §2.4 — aggregation (#21–#28).
-  * All money/quantity sums go through decimal(38,6) (rule R2) so partial
+  * All money/quantity sums accumulate in decimal(18,6) (rule R2) so partial
   * aggregation (map-side combine) stays exact and associative — the property
-  * that makes the same plan correct on 32 local threads and 1000 executors. */
+  * that makes the same plan correct on 32 local threads and 1000 executors —
+  * and are emitted as DOUBLE via one final cast (see Det.scala). */
 object Aggs {
   val ops: Seq[Op] = Seq(
     // #21 — flagship, TPC-H Q1 shape.

@@ -16,7 +16,7 @@ import thrivespark.Det._
   * Scale path: sim_topk_cosine broadcasts the (small) query set against the
   * corpus — a map-side-only plan that scales linearly in corpus size;
   * sim_threshold_pairs blocks on the label column so the pair space is
-  * O(Σ label²) not O(n²). An IVF-style variant is the documented v2 upgrade.
+  * O(Σ label²) not O(n²); sim_ann_ivf is the sub-linear scale path.
   */
 object Similarity {
   /** dot(a, b) in double, sequential left fold — deterministic across
