@@ -17,11 +17,15 @@ object Extras {
 
   def bucketedNames(d: String): (String, String) = {
     val tag = new java.io.File(d).getName.replace(".", "_")
-    (s"li_bucketed_$tag", s"o_bucketed_$tag")
+    (s"li_bucketed2_$tag", s"o_bucketed2_$tag")
   }
 
   /** Create (once per session) lineitem/orders bucketed+sorted on the join
-    * key, stored under /tmp (external tables; in-memory catalog). */
+    * key, stored under /tmp (external tables; in-memory catalog). Only the
+    * columns the co-located join consumes are materialized — at 100 TB the
+    * bucketed copy is a column-pruned projection of the fact table, not a
+    * second full copy (the write cost is the price of every later
+    * exchange-free join, so keep it minimal). */
   def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     // AQE's DisableUnnecessaryBucketedScan heuristic can turn bucketed reads
     // off; pin them on — the whole point here is the exchange-free join.
@@ -40,8 +44,10 @@ object Extras {
           .bucketBy(8, key).sortBy(key).saveAsTable(table)
       }
     }
-    ensure(liT, T.lineitem(s, d), "l_orderkey")
-    ensure(oT, T.orders(s, d), "o_orderkey")
+    ensure(liT, T.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey")
+    ensure(oT, T.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey")
   }
 
   val ops: Seq[Op] = Seq(
