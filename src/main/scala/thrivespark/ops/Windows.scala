@@ -145,6 +145,46 @@ object Windows {
               WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
               ORDER BY c_mktsegment, c_custkey""")),
 
+    // Batch sessionization — gaps-and-islands: flag gaps > 30 min, running
+    // sum of flags numbers the sessions, then aggregate per session. The
+    // window shuffles once on user_id and both window passes share that
+    // partitioning (PLANS: single Exchange). Complements stream_session,
+    // which gets the same semantics from session_window on a stream.
+    Op("win_sessionize",
+      (s, d) => {
+        val gapUs = 30L * 60 * 1000000
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("new_s",
+            when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+                 lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > 30 * 60 * 1000000
+                            OR lag(epoch_us(ts), 1)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+              sess AS (
+                SELECT user_id, us,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                FROM flagged)
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(us) AS start_us, max(us) AS end_us
+              FROM sess GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
     Op("topk_per_group",
       (s, d) => {
         val w = Window.partitionBy(col("p_brand"))
