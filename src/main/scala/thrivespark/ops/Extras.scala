@@ -343,6 +343,23 @@ object Extras {
                      max(CAST(o_orderdate AS DATE)) AS max_date
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Reshape: unpivot/melt (inverse of agg_pivot) — wide metric columns to
+    // (id, metric, value) rows. Pure Generate (no shuffle until the sort):
+    // the scale-safe way to feed generic per-metric pipelines.
+    Op("etl_unpivot",
+      (s, d) => T.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
+        .orderBy(col("c_custkey"), col("metric")),
+      Some("""SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+              FROM customer
+              ORDER BY c_custkey, metric""")),
+
     // Composite analytical query, TPC-H Q3 shape: 3-way join, filtered fact
     // sides, grouped revenue, global top-10. The filtered customer segment
     // broadcasts (smallest side); the lineitem⋈orders join is the big
