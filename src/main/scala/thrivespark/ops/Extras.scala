@@ -343,6 +343,41 @@ object Extras {
                      max(CAST(o_orderdate AS DATE)) AS max_date
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // CDC upsert compaction (MERGE latest-wins without a table format):
+    // union base + change rows, rank per key by (version, tiebreak) desc,
+    // keep rn=1. One shuffle on the key; at 100 TB this is the standard
+    // snapshot-compaction job over a CDC log (and the batch equivalent of
+    // re-ingestion idempotency). Changes derived deterministically here:
+    // every 7th customer gets a v2 row with doubled balance.
+    Op("etl_cdc_upsert",
+      (s, d) => {
+        val base = T.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(1).as("version"))
+        val changes = T.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") * 2).as("c_acctbal"), lit(2).as("version"))
+        val w = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("version").desc)
+        base.unionByName(changes)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("version"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, version FROM (
+                SELECT c_custkey, c_name, c_acctbal, version,
+                       row_number() OVER (PARTITION BY c_custkey
+                                          ORDER BY version DESC) AS rn
+                FROM (
+                  SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer
+                  UNION ALL
+                  SELECT c_custkey, c_name, c_acctbal * 2, 2 FROM customer
+                  WHERE c_custkey % 7 = 0))
+              WHERE rn = 1 ORDER BY c_custkey""")),
+
     // Reshape: unpivot/melt (inverse of agg_pivot) — wide metric columns to
     // (id, metric, value) rows. Pure Generate (no shuffle until the sort):
     // the scale-safe way to feed generic per-metric pipelines.
