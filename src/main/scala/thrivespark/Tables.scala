@@ -12,17 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scales from one local file to a 100 TB multi-file dataset unchanged.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // ms-precision parquet timestamps must arrive as TIMESTAMP (session-TZ
-    // UTC), not TIMESTAMP_NTZ — same values under UTC, but unix_micros() and
-    // friends require the TZ-typed flavor.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    // events.ts is TIMESTAMP(NANOS) which Spark 4 refuses natively; read as
-    // raw nanos LONG and convert below (values are µs-resolution, so the
-    // integer division is lossless — FIXTURES.md).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  // Reader cache: a DataFrame is an immutable plan, so reusing one per
+  // (session, file) is result-identical while skipping the repeated footer
+  // read + relation resolution that 100+ queries would otherwise each pay.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"), {
+      // ms-precision parquet timestamps must arrive as TIMESTAMP (session-TZ
+      // UTC), not TIMESTAMP_NTZ — same values under UTC, but unix_micros() and
+      // friends require the TZ-typed flavor.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) which Spark 4 refuses natively; read as
+      // raw nanos LONG and convert below (values are µs-resolution, so the
+      // integer division is lossless — FIXTURES.md).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
