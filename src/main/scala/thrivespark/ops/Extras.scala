@@ -343,6 +343,33 @@ object Extras {
                      max(CAST(o_orderdate AS DATE)) AS max_date
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Small-file compaction as a driver-visible query: stage events as many
+    // small files, compact to ⌈bytes/target⌉ files with an atomic directory
+    // swap, and emit the invariant the maintenance job must satisfy — row
+    // count and content survive, file count collapses. The oracle checks
+    // the data side (counts/sums vs the source table); CompactionSpec pins
+    // the file-count + atomicity mechanics.
+    Op("etl_compaction",
+      (s, d) => {
+        val dir = s"/tmp/graft_compact_${new java.io.File(d).getName}"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+          T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+            .repartition(64) // the small-file pathology
+            .write.mode("overwrite").parquet(dir)
+        }
+        val rep = Compaction.compact(s, dir, targetBytesPerFile = 8L * 1024 * 1024)
+        s.read.parquet(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("compacted_to_fewer",
+            lit(rep.filesAfter <= rep.filesBefore).cast("int"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                     1 AS compacted_to_fewer
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // CDC upsert compaction (MERGE latest-wins without a table format):
     // union base + change rows, rank per key by (version, tiebreak) desc,
     // keep rn=1. One shuffle on the key; at 100 TB this is the standard
