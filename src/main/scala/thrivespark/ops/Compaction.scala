@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
 /** Small-file compaction — the maintenance step every incremental
   * micro-batch sink eventually needs (the reference's Camus folders had the
   * same pathology [K]): rewrite a parquet dataset into ⌈bytes/target⌉
-  * files, then atomically swap directories. Partitioned layouts are
-  * preserved (dt=... directories compact independently via the same read →
-  * repartition → write path because partition columns round-trip).
+  * files, then atomically swap directories. For Hive-style partitioned
+  * layouts pass `partitionBy` — the rewrite then repartitions BY the
+  * partition columns and writes with partitionBy, so the dt=... directory
+  * structure (and therefore partition pruning) survives compaction; a
+  * plain read→write would silently flatten it to unpartitioned files.
   *
   * At cluster scale the swap is a metastore location flip or a manifest
   * commit; the local implementation uses directory renames with the same
@@ -24,7 +26,8 @@ object Compaction {
       .toSeq
 
   def compact(spark: SparkSession, dir: String,
-      targetBytesPerFile: Long = 128L * 1024 * 1024): Report = {
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Report = {
     val root = Paths.get(dir)
     val before = parquetFiles(root)
     val totalBytes = before.map(Files.size).sum
@@ -33,7 +36,12 @@ object Compaction {
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    if (partitionBy.nonEmpty)
+      // one write task per partition value → one compacted file per dt= dir
+      df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(tmp)
+    else
+      df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
 
     val old = dir.stripSuffix("/") + ".compact_old"
     Files.move(root, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)

@@ -44,6 +44,29 @@ class BookmarkSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == n, "post-swap read must see all rows")
   }
 
+  test("partitioned compaction preserves the dt= layout (pruning survives)") {
+    import thrivespark.ops.Compaction
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact_p").toString + "/data"
+    val ev = Tables.events(spark, sf0001).withColumn("dt", to_date(col("ts")))
+    ev.repartition(17).write.partitionBy("dt").parquet(dir) // many files per dt=
+    val n = ev.count()
+    val nDays = ev.select(col("dt")).distinct().count()
+    val r = Compaction.compact(spark, dir,
+      targetBytesPerFile = 64L * 1024 * 1024, partitionBy = Seq("dt"))
+    assert(r.rows == n && r.filesAfter < r.filesBefore, r.toString)
+    // dt= directories must survive the rewrite…
+    val dtDirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("dt="))
+    assert(dtDirs.toLong == nDays, s"expected $nDays dt= dirs, got $dtDirs")
+    // …and a dt filter must still prune at the scan
+    val someDay = ev.select(min(col("dt"))).collect()(0).getDate(0).toString
+    val p = spark.read.parquet(dir).filter(col("dt") === someDay)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), s"pruning lost:\n$p")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("sink interface ships frames to the fake (#5)") {
     val sink = new RecordingSink
     val df = Tables.region(spark, sf0001)
