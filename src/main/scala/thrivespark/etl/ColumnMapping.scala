@@ -34,6 +34,19 @@ object ColumnMapping {
     df.select(specs.map(sp =>
       expr(s"try_cast(`${sp.src}` AS ${sp.dtype})").as(sp.dest)): _*)
 
+  /** One-pass audit variant: every input row projected to its typed dest
+    * columns plus a `_valid` flag. Callers compute accept aggregates AND
+    * reject counts from a single scan with conditional aggregation — no
+    * second branch over the input and no eager action (the `split` shape
+    * costs two filtered passes when both sides are aggregated separately). */
+  def tagged(df: DataFrame, specs: Seq[ColumnSpec]): DataFrame = {
+    val typed = df.select(specs.map(sp =>
+      expr(s"try_cast(`${sp.src}` AS ${sp.dtype})").as(sp.dest)): _*)
+    val valid = specs.filter(_.required).map(sp => col(sp.dest).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    typed.withColumn("_valid", valid)
+  }
+
   /** (accepted, rejected): required-null rows (including cast failures) are
     * quarantined, everything else passes. The rejected frame carries the
     * ORIGINAL raw columns (prefixed `raw_` where they'd collide) plus a

@@ -131,6 +131,11 @@ object Extras {
     // declared src:dest:type[:required] lines compile to a typed projection;
     // required-null / failed-cast rows are quarantined. The corpus has no
     // dirty rows (FIXTURES) — EtlSpec plants them; here the audit shape runs.
+    // One pass, fully lazy: conditional aggregation over the tagged frame
+    // yields both accept aggregates and the reject audit; the global
+    // n_rejected is a window over the (tiny) aggregate output, never a
+    // second scan or a plan-time action (at 100 TB an eager bad.count()
+    // here would be a full extra pass before the query even runs).
     Op("etl_schema_mapping",
       (s, d) => {
         val specs = thrivespark.etl.ColumnMapping.parse(
@@ -138,11 +143,16 @@ object Extras {
             |event_type:type:string:required
             |value:amount:decimal(18,2):required
             |ts:event_date:date""".stripMargin)
-        val (ok, bad) = thrivespark.etl.ColumnMapping.split(T.events(s, d), specs)
-        ok.groupBy(col("type"))
-          .agg(count(lit(1)).as("n"), sum(col("amount").cast(D)).cast("double").as("sum_amount"),
-               min(col("event_date")).as("first_date"))
-          .withColumn("n_rejected", lit(bad.count()))
+        val tagged = thrivespark.etl.ColumnMapping.tagged(T.events(s, d), specs)
+        val v = col("_valid")
+        tagged.groupBy(col("type"))
+          .agg(count(when(v, lit(1))).as("n"),
+               sum(when(v, col("amount")).cast(D)).cast("double").as("sum_amount"),
+               min(when(v, col("event_date"))).as("first_date"),
+               count(when(!v, lit(1))).as("rej_here"))
+          .withColumn("n_rejected", sum(col("rej_here")).over())
+          .filter(col("n") > 0) // groups formed only by rejected rows are not emitted
+          .drop("rej_here")
           .orderBy(col("type"))
       },
       Some("""SELECT event_type AS type, count(*) AS n,

@@ -217,12 +217,16 @@ object Scalars {
 
     Op("fn_json",
       (s, d) => {
-        val schema = StructType(Seq(StructField("k", IntegerType)))
+        // One parse per row: both extracted fields live in the same
+        // from_json schema, so the JSON text is tokenized exactly once
+        // (absent keys surface as nulls, matching json_extract_string).
+        val schema = StructType(Seq(
+          StructField("k", IntegerType),
+          StructField("missing", org.apache.spark.sql.types.StringType)))
         T.events(s, d)
           .withColumn("j", from_json(col("props"), schema))
-          .withColumn("missing", get_json_object(col("props"), "$.missing"))
           .groupBy(col("j.k").as("k"))
-          .agg(count(lit(1)).as("cnt"), count(col("missing")).as("n_missing_notnull"))
+          .agg(count(lit(1)).as("cnt"), count(col("j.missing")).as("n_missing_notnull"))
           .orderBy(col("k"))
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
