@@ -2,7 +2,7 @@ package thrivespark.ops
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10 #60 — Thrive's core incremental-processing semantic
@@ -34,7 +34,14 @@ object Bookmark {
   /** Incremental load: read `events`-shaped input, keep only partitions
     * (days) strictly newer than the bookmark, write them with dynamic
     * partition overwrite, then advance the bookmark. Returns what happened
-    * so tests can assert the second run processes nothing. */
+    * so tests can assert the second run processes nothing.
+    *
+    * Single-pass: the partitioned write is the ONLY job over the increment.
+    * Row count and the new bookmark ride along as `observe()` metrics on the
+    * write, and the processed-partition list comes from the sink's dt=
+    * directory listing afterwards (Thrive likewise enumerated the written
+    * Camus folders rather than re-scanning the input). At 100 TB the old
+    * shape (distinct+collect, then count, then write) tripled ingest cost. */
   def incrementalLoad(spark: SparkSession, input: DataFrame, outDir: String,
       bookmarkPath: String): RunResult = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -44,14 +51,24 @@ object Bookmark {
       case Some(b) => withDt.filter(col("dt") > lit(b).cast("date"))
       case None => withDt
     }
-    val parts = fresh.select(col("dt")).distinct().collect()
-      .map(_.getDate(0).toString).sorted.toSeq
-    if (parts.isEmpty) return RunResult(Seq.empty, 0L)
-    val n = fresh.count()
-    fresh.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(outDir)
-    writeBookmark(bookmarkPath, parts.last)
+    val obs = Observation()
+    fresh.observe(obs, count(lit(1)).as("rows"), max(col("dt")).as("max_dt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(outDir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    // an empty increment writes no partition directories (dynamic overwrite
+    // touches only partitions present in the data) — genuine no-op
+    if (n == 0L) return RunResult(Seq.empty, 0L)
+    val parts = listDtPartitions(outDir)
+      .filter(p => bookmark.forall(p > _)).sorted
+    writeBookmark(bookmarkPath, obs.get("max_dt").toString)
     RunResult(parts, n)
   }
+
+  /** Hive-style dt= partition values present in the sink. */
+  private def listDtPartitions(outDir: String): Seq[String] =
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(_.getName.stripPrefix("dt=")).toSeq
 
   /** Rollback: reset the bookmark to `to` (partitions newer than it will be
     * reprocessed and overwritten on the next run — same contract as Thrive's

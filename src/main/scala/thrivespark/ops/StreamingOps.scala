@@ -128,6 +128,35 @@ object StreamingOps {
               UNION ALL
               SELECT 2, 0, 0
               ORDER BY run""")),
+
+    // The remaining Thrive lifecycle phase (§3.1): rollback. Load everything,
+    // roll the bookmark back two day-partitions, re-load — exactly those two
+    // days reprocess (dynamic partition overwrite keeps the sink complete).
+    Op("incremental_rollback",
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft_rb_q").toString
+        val ev = thrivespark.Tables.events(s, d)
+        val r1 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
+        val parts = r1.processedPartitions
+        thrivespark.ops.Bookmark.rollback(s"$base/bm", parts(parts.length - 3))
+        val r2 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
+        Seq(
+          (1, r1.processedPartitions.size.toLong, r1.rowsWritten),
+          (2, r2.processedPartitions.size.toLong, r2.rowsWritten)
+        ).toDF("run", "n_partitions", "rows_written").orderBy(col("run"))
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+              cut AS (SELECT d FROM days ORDER BY d DESC LIMIT 1 OFFSET 2)
+              SELECT 1 AS run,
+                     (SELECT count(*) FROM days) AS n_partitions,
+                     (SELECT count(*) FROM events) AS rows_written
+              UNION ALL
+              SELECT 2, 2,
+                     (SELECT count(*) FROM events
+                      WHERE CAST(date_trunc('day', ts) AS DATE) > (SELECT d FROM cut))
+              ORDER BY run""")),
   )
 
   private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")

@@ -16,7 +16,15 @@ class BookmarkSinkSpec extends AnyFunSuite {
     val bm = Files.createTempDirectory("graft_bm").toString + "/bookmark"
     val events = Tables.events(spark, sf0001)
 
-    val r1 = Bookmark.incrementalLoad(spark, events, out, bm)
+    // single-pass contract: the partitioned write must be the ONLY Spark job
+    // over the increment (row count + bookmark ride along as observe metrics)
+    spark.sparkContext.setJobGroup("bm_run1", "bookmark first load")
+    val r1 = try Bookmark.incrementalLoad(spark, events, out, bm)
+      finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 5_000_000_000L // status store is async
+    def groupJobs() = spark.sparkContext.statusTracker.getJobIdsForGroup("bm_run1").length
+    while (groupJobs() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(groupJobs() == 1, s"expected exactly one data pass, saw ${groupJobs()} jobs")
     assert(r1.processedPartitions.nonEmpty && r1.rowsWritten == events.count())
 
     val r2 = Bookmark.incrementalLoad(spark, events, out, bm)
