@@ -24,6 +24,23 @@ class PropertySpec extends AnyFunSuite {
     thrivespark.Registry.queries("dedup_near_minhash")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("prefix-filtered Jaccard join == brute-force all-pairs (recall = 1 by theorem)") {
+    val docs = Dedup.shingleDocs(spark, sf001)
+    val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
+    val brute = sa.crossJoin(sb).filter(col("a_id") < col("b_id"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("c").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jac") > 0.6)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute,
+      s"lost: ${brute.diff(filtered).take(5)}, extra: ${filtered.diff(brute).take(5)}")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = thrivespark.Registry.queries("dedup_exact")(spark, sf001)
     val ids = once.select(col("keep_id")).collect().map(_.getLong(0)).toSet
