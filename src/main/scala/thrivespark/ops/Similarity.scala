@@ -136,6 +136,30 @@ object Similarity {
                 FROM cand)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
+    // The NAIVE all-pairs formulation — no blocking in the user's query.
+    // SimilarityJoinRewrite (optimizer rule) injects exact projection-bucket
+    // blocking, so this plans as a shuffled equi-join instead of a
+    // CartesianProduct (asserted in PlanSpec) while producing byte-identical
+    // results to the brute-force oracle.
+    Op("sim_join_rewrite",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        thrivespark.plans.SimilarityJoinRewrite.install(s)
+        val a = T.embeddings(s, d)
+          .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+        val b = T.embeddings(s, d)
+          .select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        a.join(b, dot(col("e_a"), col("e_b")) > 0.45 && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round6(dot(col("e_a"), col("e_b"))).as("cos"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round($duckDot, 6) + 0.0 AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE $duckDot > 0.45
+              ORDER BY a_id, b_id""")),
+
     Op("sim_threshold_pairs",
       (s, d) => {
         thrivespark.functions.Register(s)

@@ -55,6 +55,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("sim_join_rewrite: naive vec_dot>τ join plans as equi-join, not cartesian") {
+    val p = plan("sim_join_rewrite")
+    assert(!p.contains("CartesianProduct"), s"cartesian survived:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ survived:\n$p")
+    // the injected blocking: a 3-probe generate + hash/merge join on buckets
+    assert(p.contains("Generate"), s"probe expansion missing:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no equi-join:\n$p")
+    // and the rewrite is exact: same pairs as a driver-side brute force
+    // (computed outside Spark so no optimizer rule can touch it)
+    val vecs = thrivespark.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val naive = (for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs if ia < ib
+      d = ea.zip(eb).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      if d > 0.45
+    } yield (ia, ib)).toSet
+    val rewritten = Registry.queries("sim_join_rewrite")(spark, sf0001)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rewritten == naive, s"lost=${naive.diff(rewritten)} extra=${rewritten.diff(naive)}")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
