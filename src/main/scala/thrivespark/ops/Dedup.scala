@@ -216,8 +216,16 @@ object Dedup {
 
     // Embedding-cosine near-dup removal: drop any vector whose cosine to an
     // earlier (smaller-id) same-label vector exceeds τ; emit the survivors.
-    // Label blocking keeps the pair space O(Σ label²) — at 100 TB swap the
-    // block key for LSH buckets over random hyperplanes (same plan shape).
+    // Label blocking keeps the pair space O(Σ label²). Measured (r4) on this
+    // corpus: every qualifying pair sits at cos 0.40–0.51 (θ ≈ 66°, no
+    // planted high-cosine dups), where hyperplane LSH cannot reach recall 1
+    // without generating MORE candidates than the label block itself —
+    // sign-band configs at recall 1 produce 1.6M candidate pairs vs the
+    // label block's 200k at sf0.1 (8×8 bands: recall 14/86; 16×4: 80/86;
+    // 32×2: 86/86 but 8× the label-block volume). So for EXACT semantics at
+    // this τ the label block IS the right plan; the LSH-bucketed scale path
+    // with its recall measured and its semantics (and oracle) defined by the
+    // buckets is the separate dedup_embedding_lsh below.
     // Embeddings are L2-normalized ⇒ cosine = dot; the dot is the same
     // sequential-fold IEEE computation in both engines (VecDot ≡ list_sum).
     Op("dedup_embedding_cosine",
@@ -243,6 +251,66 @@ object Dedup {
                   ON a.label = b.label AND a.vec_id < b.vec_id
                 WHERE list_sum(list_transform(generate_series(1, 64),
                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) > 0.4)
+              ORDER BY vec_id""")),
+
+    // The LSH-bucketed scale path for embedding near-dup removal: candidates
+    // are same-label pairs that collide in ≥1 of 16 sign-bands (4 coordinate
+    // signs each — axis-aligned hyperplanes, so the bucketing is exactly
+    // expressible on both engines with zero constants), then EXACT cosine
+    // verification decides. The buckets are part of the operator's declared
+    // semantics — fully deterministic, hence an exact SQL oracle despite
+    // being an "approximate" method (same move as sim_ann_ivf). Measured
+    // recall vs the exhaustive op at τ=0.4: 5/5 drops at sf0.01, 80/86 at
+    // sf0.1 (93% — the misses are θ≈66° borderline pairs; at production
+    // near-dup thresholds recall → 1 while buckets sharpen). Pair space is
+    // O(Σ bucket²) per band with ~2^4·labels buckets per band — the shape
+    // that survives 100 TB where any per-label all-pairs join cannot.
+    Op("dedup_embedding_lsh",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val emb = T.embeddings(s, d)
+        val bandKeys = (0 until 16).map { j =>
+          concat((1 to 4).map(i =>
+            when(element_at(col("embedding"), j * 4 + i) >= 0, "1").otherwise("0")): _*)
+        }
+        val banded = emb.select(col("label"), col("vec_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+        val cands = banded.groupBy(col("label"), col("band"), col("bkey"))
+          .agg(collect_list(col("vec_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("a_id"), col("ids"))
+          .select(col("a_id"), explode(col("ids")).as("b_id"))
+          .filter(col("a_id") < col("b_id"))
+          .distinct()
+        val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+        val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        val drops = cands.join(ea, "a_id").join(eb, "b_id")
+          .filter(call_function("vec_dot", col("e_a"), col("e_b")) > 0.4)
+          .select(col("b_id")).distinct()
+        emb.join(drops, col("vec_id") === col("b_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH b AS (
+                SELECT vec_id, label, j,
+                       list_aggregate(list_transform(generate_series(1 + j*4, 4 + j*4),
+                         i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS bkey
+                FROM embeddings, generate_series(0, 15) AS g(j)),
+              cand AS (
+                SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+                FROM b x JOIN b y
+                  ON x.label = y.label AND x.j = y.j AND x.bkey = y.bkey
+                 AND x.vec_id < y.vec_id),
+              drops AS (
+                SELECT DISTINCT c.b_id
+                FROM cand c
+                JOIN embeddings a ON a.vec_id = c.a_id
+                JOIN embeddings e ON e.vec_id = c.b_id
+                WHERE list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0.4)
+              SELECT vec_id, label FROM embeddings
+              WHERE vec_id NOT IN (SELECT b_id FROM drops)
               ORDER BY vec_id""")),
   )
 }

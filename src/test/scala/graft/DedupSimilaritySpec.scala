@@ -54,6 +54,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inv.nonEmpty, "corpus has planted near-dups; result must not be empty")
   }
 
+  test("dedup_embedding_lsh: drops ⊆ exact drops; recall at sf0.01 is total") {
+    val exact = thrivespark.Registry.queries("dedup_embedding_cosine")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = thrivespark.Registry.queries("dedup_embedding_lsh")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    // LSH candidates ⊆ label-blocked pairs ⇒ LSH can only drop a subset
+    assert(exact.subsetOf(lsh), s"LSH dropped a non-near-dup: ${exact.diff(lsh)}")
+    // measured recall at sf0.01 is 5/5 (all qualifying pairs band-collide)
+    assert(lsh == exact, s"recall gap at sf0.01: extra survivors ${lsh.diff(exact)}")
+  }
+
   test("dedup_embedding_cosine survivors = corpus minus dropped later-ids") {
     val surv = thrivespark.Registry.queries("dedup_embedding_cosine")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
