@@ -15,10 +15,15 @@ object Tables {
   // Reader cache: a DataFrame is an immutable plan, so reusing one per
   // (session, file) is result-identical while skipping the repeated footer
   // read + relation resolution that 100+ queries would otherwise each pay.
+  // Entries of stopped sessions are pruned on access so a long-lived JVM
+  // (test suites, multi-session services) doesn't pin dead sessions and
+  // their plans forever. (getOrElseUpdate may double-evaluate under a race;
+  // harmless — both values are equivalent immutable plans.)
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"), {
       // ms-precision parquet timestamps must arrive as TIMESTAMP (session-TZ
       // UTC), not TIMESTAMP_NTZ — same values under UTC, but unix_micros() and
@@ -30,6 +35,7 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

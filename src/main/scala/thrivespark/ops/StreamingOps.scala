@@ -77,7 +77,7 @@ object StreamingOps {
 
     Op("stream_dedup_state",
       (s, d) => {
-        val stage = stageDir(s, d)
+        val stage = stageDirOrdered(s, d)
         val cp = java.nio.file.Files.createTempDirectory("graft_cp_dd").toString
         thrivespark.streaming.StreamRunner.dedupWithinWatermark(
           s, stage, cp, s"q_dedup_state_${tag(d)}")
@@ -161,7 +161,10 @@ object StreamingOps {
 
   private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")
 
-  /** Stage events (µs timestamps) once per sf as a multi-file stream source. */
+  /** Stage events (µs timestamps) once per sf as a multi-file stream source.
+    * Files are hash-split, so each spans the full ts range — batch 2 carries
+    * events older than batch 1's watermark, which is exactly what
+    * stream_watermark_late needs to exercise late-drop. */
   private def stageDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = s"/tmp/graft_stream_stage_${tag(d)}"
     // two files = two micro-batches: enough to exercise cross-batch state
@@ -169,6 +172,28 @@ object StreamingOps {
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       thrivespark.Tables.events(s, d).repartition(2)
         .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Time-ordered staging: file 1 = older half, file 2 = newer half, written
+    * sequentially so the source replays them in order. This makes the
+    * stream_dedup_state identity oracle robust BY CONSTRUCTION: no batch-2
+    * event can arrive below batch 1's watermark, so
+    * dropDuplicatesWithinWatermark can never filter an input row even if a
+    * future Spark tightens below-watermark handling. */
+  private def stageDirOrdered(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_stage_ord_${tag(d)}"
+    if (!new java.io.File(s"$dir/_ok").exists()) {
+      val ev = thrivespark.Tables.events(s, d)
+      val r = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val cut = new java.sql.Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      ev.filter(col("ts") < lit(cut)).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      ev.filter(col("ts") >= lit(cut)).coalesce(1)
+        .write.mode("append").parquet(dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
     }
     dir
   }

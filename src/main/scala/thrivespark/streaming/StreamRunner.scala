@@ -77,9 +77,13 @@ object StreamRunner {
       .parquet(srcDir)
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
-    // exact: same rounding as CAST(value AS DECIMAL(18,6)) in both engines
+    // exact: BigDecimal.valueOf goes through Double.toString (the shortest
+    // decimal round-trip), which is also what Spark's cast-to-decimal and
+    // DuckDB's double→DECIMAL(18,6) round — the raw `new BigDecimal(v)`
+    // constructor would keep the full binary expansion and could round a
+    // .5e-6-boundary value differently from both engines
     def micros(v: Double): Long =
-      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
     val updated = in.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
