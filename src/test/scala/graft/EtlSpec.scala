@@ -14,6 +14,19 @@ class EtlSpec extends AnyFunSuite {
       |raw_amount:amount:decimal(18,2):required
       |raw_note:note:string""".stripMargin
 
+  test("etl_schema_mapping constructs lazily: zero Spark jobs at plan time") {
+    // first touch of a parquet path runs a footer/schema metadata job —
+    // that's the reader, not the query; warm the cached reader first
+    thrivespark.Tables.events(spark, sf0001)
+    spark.sparkContext.setJobGroup("etl_sm_lazy", "query construction")
+    val df = try thrivespark.Registry.queries("etl_schema_mapping")(spark, sf0001)
+      finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500) // let any accidental job surface in the status store
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("etl_sm_lazy")
+    assert(jobs.isEmpty, s"query construction ran ${jobs.length} eager job(s)")
+    assert(df.count() > 0) // and the frame still executes fine afterwards
+  }
+
   test("parse reads the columns-file grammar") {
     val specs = ColumnMapping.parse(cfg)
     assert(specs.map(_.dest) == Seq("id", "amount", "note"))
