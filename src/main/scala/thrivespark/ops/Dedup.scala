@@ -323,5 +323,24 @@ object Dedup {
               SELECT vec_id, label FROM embeddings
               WHERE vec_id NOT IN (SELECT b_id FROM drops)
               ORDER BY vec_id""")),
+
+    // Sketch-union UDAF (§4 custom candidate 2): per-language MinHash
+    // signature of the UNION of all documents' shingle sets, computed by
+    // elementwise-min aggregation of per-doc signatures — distributive, so
+    // partial aggregation on any partitioning is exact and the shuffle
+    // carries one 32-long row per group. Engine-specific hashing ⇒ rows-only
+    // driver check; PropertySpec proves union-of-signatures ==
+    // signature-of-union per group.
+    Op("dedup_minhash_union",
+      (s, d) => {
+        val mhu = udaf(thrivespark.udf.MinHashUnionAggregator)
+        val sigs = signatures(shingleDocs(s, d))
+        T.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(sigs, "doc_id")
+          .groupBy(col("lang"))
+          .agg(mhu(col("sig")).as("union_sig"), count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      None),
   )
 }

@@ -24,6 +24,23 @@ class PropertySpec extends AnyFunSuite {
     thrivespark.Registry.queries("dedup_near_minhash")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("minhash-union UDAF: union of signatures == signature of union (per lang)") {
+    thrivespark.functions.Register(spark)
+    val docs = Dedup.shingleDocs(spark, sf001)
+      .join(thrivespark.Tables.documents(spark, sf001).select(col("doc_id"), col("lang")), "doc_id")
+    // ground truth: re-shingle nothing — hash-set union per lang, then one signature
+    val expected = docs.groupBy(col("lang"))
+      .agg(array_distinct(flatten(collect_list(col("shl")))).as("u"))
+      .select(col("lang"), call_function("minhash_signature", col("u")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val got = thrivespark.Registry.queries("dedup_minhash_union")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lang, sig) =>
+      assert(sig == expected(lang), s"signature mismatch for $lang")
+    }
+  }
+
   test("prefix-filtered Jaccard join == brute-force all-pairs (recall = 1 by theorem)") {
     val docs = Dedup.shingleDocs(spark, sf001)
     val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
