@@ -55,6 +55,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("SimilarityJoinRewrite leaves equi-keyed similarity joins untouched") {
+    thrivespark.plans.SimilarityJoinRewrite.install(spark)
+    // sim_threshold_pairs blocks on label (an equi conjunct): the rule must
+    // not inject probes there — its plan stays a plain equi-join on label
+    val p = plan("sim_threshold_pairs")
+    assert(!p.contains("__sim_bucket"), s"rule fired on an equi-keyed join:\n$p")
+    assert(!p.contains("Generate"), s"unexpected probe expansion:\n$p")
+  }
+
   test("sim_join_rewrite: naive vec_dot>τ join plans as equi-join, not cartesian") {
     val p = plan("sim_join_rewrite")
     assert(!p.contains("CartesianProduct"), s"cartesian survived:\n$p")
