@@ -47,6 +47,19 @@ object ColumnMapping {
     typed.withColumn("_valid", valid)
   }
 
+  /** The reference's `setup` phase [K §3.1]: deterministic target-table DDL
+    * generated from the columns config — the declared contract IS the
+    * schema, never inference. Spark-SQL dialect, partitioned parquet (the
+    * Hive-DDL analog of ALTER TABLE ADD PARTITION ingestion). */
+  def ddl(table: String, specs: Seq[ColumnSpec],
+      partitionBy: Seq[String] = Nil): String = {
+    val cols = specs.map(sp =>
+      s"${sp.dest} ${sp.dtype.toUpperCase}" + (if (sp.required) " NOT NULL" else ""))
+    val part = if (partitionBy.isEmpty) "" else
+      partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+    s"CREATE TABLE $table (${cols.mkString(", ")}) USING parquet$part"
+  }
+
   /** (accepted, rejected): required-null rows (including cast failures) are
     * quarantined, everything else passes. The rejected frame carries the
     * ORIGINAL raw columns (prefixed `raw_` where they'd collide) plus a

@@ -386,6 +386,31 @@ object Extras {
     // snapshot-compaction job over a CDC log (and the batch equivalent of
     // re-ingestion idempotency). Changes derived deterministically here:
     // every 7th customer gets a v2 row with doubled balance.
+    // The reference's `setup` lifecycle phase (§3.1 #2): the columns config
+    // compiles to the target-table contract — metadata rows here, exact DDL
+    // string pinned in EtlSpec. Completes the load/setup/rollback trio as
+    // driver-visible queries.
+    Op("etl_setup_ddl",
+      (s, d) => {
+        import s.implicits._
+        val specs = thrivespark.etl.ColumnMapping.parse(
+          """event_id:id:bigint:required
+            |event_type:type:string:required
+            |value:amount:decimal(18,2):required
+            |ts:event_date:date""".stripMargin)
+        specs.zipWithIndex.map { case (sp, i) =>
+          (i + 1, sp.dest, sp.dtype, if (sp.required) 1 else 0)
+        }.toDF("ord", "col_name", "col_type", "required")
+          .orderBy(col("ord"))
+      },
+      Some("""SELECT * FROM (VALUES
+                (1, 'id', 'bigint', 1),
+                (2, 'type', 'string', 1),
+                (3, 'amount', 'decimal(18,2)', 1),
+                (4, 'event_date', 'date', 0))
+              AS t(ord, col_name, col_type, required)
+              ORDER BY ord""")),
+
     Op("etl_cdc_upsert",
       (s, d) => {
         val base = T.customer(s, d).select(

@@ -27,6 +27,22 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() > 0) // and the frame still executes fine afterwards
   }
 
+  test("setup phase: ddl() renders the declared contract exactly") {
+    val specs = ColumnMapping.parse(
+      """event_id:id:bigint:required
+        |value:amount:decimal(18,2):required
+        |ts:event_date:date""".stripMargin)
+    assert(ColumnMapping.ddl("events_typed", specs, partitionBy = Seq("event_date")) ==
+      "CREATE TABLE events_typed (id BIGINT NOT NULL, amount DECIMAL(18,2) NOT NULL, " +
+      "event_date DATE) USING parquet PARTITIONED BY (event_date)")
+    // and the generated DDL is valid Spark SQL: create, describe, drop
+    spark.sql("DROP TABLE IF EXISTS events_typed")
+    spark.sql(ColumnMapping.ddl("events_typed", specs, partitionBy = Seq("event_date")))
+    val cols = spark.table("events_typed").schema.fieldNames.toSet
+    assert(cols == Set("id", "amount", "event_date"))
+    spark.sql("DROP TABLE events_typed")
+  }
+
   test("parse reads the columns-file grammar") {
     val specs = ColumnMapping.parse(cfg)
     assert(specs.map(_.dest) == Seq("id", "amount", "note"))
