@@ -386,6 +386,31 @@ object Extras {
     // snapshot-compaction job over a CDC log (and the batch equivalent of
     // re-ingestion idempotency). Changes derived deterministically here:
     // every 7th customer gets a v2 row with doubled balance.
+    // Thrive's central parse step as a first-class utility: nested JSON →
+    // declared-schema parse (never inferred) → recursive struct flatten to
+    // scalar columns. The payload is built from events itself so the oracle
+    // is the identity projection; doubles survive the JSON round-trip
+    // exactly (shortest-representation render, exact re-parse).
+    Op("etl_json_flatten",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val raw = T.events(s, d).select(col("event_id"),
+          to_json(struct(col("event_type"),
+            struct(col("user_id"), col("value")).as("u"))).as("payload"))
+        val schema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("u", StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("value", DoubleType))))))
+        val parsed = raw.select(col("event_id"),
+          from_json(col("payload"), schema).as("j"))
+        thrivespark.etl.Flatten.flatten(parsed)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type AS j_event_type,
+                     user_id AS j_u_user_id, value AS j_u_value
+              FROM events ORDER BY event_id""")),
+
     // The reference's `setup` lifecycle phase (§3.1 #2): the columns config
     // compiles to the target-table contract — metadata rows here, exact DDL
     // string pinned in EtlSpec. Completes the load/setup/rollback trio as

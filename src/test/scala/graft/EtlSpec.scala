@@ -27,6 +27,19 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() > 0) // and the frame still executes fine afterwards
   }
 
+  test("Flatten expands arbitrarily nested structs; arrays stay intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "x")).toDF("a", "b", "c")
+      .select(col("a"), struct(col("b"),
+        struct(col("c"), array(lit(1), lit(2)).as("arr")).as("inner")).as("outer"))
+    val flat = thrivespark.etl.Flatten.flatten(df)
+    assert(flat.columns.toSeq == Seq("a", "outer_b", "outer_inner_c", "outer_inner_arr"))
+    val r = flat.head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 2.5 && r.getString(2) == "x"
+      && r.getSeq[Int](3) == Seq(1, 2))
+  }
+
   test("setup phase: ddl() renders the declared contract exactly") {
     val specs = ColumnMapping.parse(
       """event_id:id:bigint:required
