@@ -68,6 +68,31 @@ object Prof {
           .write.mode("overwrite").parquet(dir)
         val r = thrivespark.ops.Compaction.compact(spark, dir, 64L * 1024 * 1024)
         println(s"[prof] compact: $r reread=${spark.read.parquet(dir).count()}")
+      case "ngram" =>
+        import thrivespark.ops.Dedup
+        import org.apache.spark.sql.functions._
+        val tau = 0.6
+        val docs = Dedup.shingleDocs(spark, sfDir)
+        time("shingles")(docs.count())
+        val posts = docs.select(col("doc_id"), explode(col("shl")).as("h"))
+        time("posts")(posts.count())
+        val freqs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        time("freqs")(freqs.count())
+        val pref = posts.join(freqs, "h")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+          .select(col("doc_id"), explode(expr(
+            s"slice(ord, 1, cast(size(ord) - ceil($tau * size(ord)) + 1 as int))")).as("p"))
+          .select(col("doc_id"), col("p.h").as("h"))
+        time("prefix postings")(pref.count())
+        val cands = pref.as("x")
+          .join(pref.as("y"), col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+        time("candidates")(cands.count())
+        time("full query")(thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
+        time("full query warm")(thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
+
       case "buckets" =>
         import thrivespark.ops.Dedup._
         import org.apache.spark.sql.functions._
