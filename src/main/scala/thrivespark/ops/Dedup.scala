@@ -330,7 +330,9 @@ object Dedup {
     // partial aggregation on any partitioning is exact and the shuffle
     // carries one 32-long row per group. Engine-specific hashing ⇒ rows-only
     // driver check; PropertySpec proves union-of-signatures ==
-    // signature-of-union per group.
+    // signature-of-union per group. The signature is emitted hex-encoded as
+    // one scalar string (not a raw array column) per SURVEY §7.4 #4 so
+    // downstream scalar-only consumers can sort/hash the result.
     Op("dedup_minhash_union",
       (s, d) => {
         val mhu = udaf(thrivespark.udf.MinHashUnionAggregator)
@@ -338,7 +340,12 @@ object Dedup {
         T.documents(s, d).select(col("doc_id"), col("lang"))
           .join(sigs, "doc_id")
           .groupBy(col("lang"))
-          .agg(mhu(col("sig")).as("union_sig"), count(lit(1)).as("n_docs"))
+          .agg(mhu(col("sig")).as("raw_sig"), count(lit(1)).as("n_docs"))
+          .select(
+            col("lang"),
+            concat_ws("", transform(col("raw_sig"), x => lpad(hex(x), 16, "0")))
+              .as("union_sig_hex"),
+            col("n_docs"))
           .orderBy(col("lang"))
       },
       None),

@@ -28,13 +28,16 @@ class PropertySpec extends AnyFunSuite {
     thrivespark.functions.Register(spark)
     val docs = Dedup.shingleDocs(spark, sf001)
       .join(thrivespark.Tables.documents(spark, sf001).select(col("doc_id"), col("lang")), "doc_id")
-    // ground truth: re-shingle nothing — hash-set union per lang, then one signature
+    // ground truth: re-shingle nothing — hash-set union per lang, then one
+    // signature, hex-encoded the same way the query encodes its output
     val expected = docs.groupBy(col("lang"))
       .agg(array_distinct(flatten(collect_list(col("shl")))).as("u"))
-      .select(col("lang"), call_function("minhash_signature", col("u")).as("sig"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .select(col("lang"),
+        concat_ws("", transform(call_function("minhash_signature", col("u")),
+          x => lpad(hex(x), 16, "0"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val got = thrivespark.Registry.queries("dedup_minhash_union")(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got.keySet == expected.keySet)
     got.foreach { case (lang, sig) =>
       assert(sig == expected(lang), s"signature mismatch for $lang")
