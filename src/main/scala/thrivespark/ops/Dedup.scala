@@ -182,9 +182,25 @@ object Dedup {
     // qualifying pair must share a token under ANY total order. Candidates
     // are then verified EXACTLY on the full shingle sets, so the output is
     // identical to the unfiltered join (recall 1 by construction, proved
-    // against brute force in PropertySpec). Cost: O(Σ prefix-posting²) per
-    // token, with the heavy head of the frequency distribution excluded
-    // from the index by the rarest-first order.
+    // against brute force in PropertySpec).
+    // Two further PPJoin filters prune candidates at generation time, both
+    // exact (no recall loss):
+    //   length filter — J ≥ τ ⟹ |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤
+    //   min(|A|,|B|), so min ≥ τ·max; pairs with incompatible set sizes
+    //   never leave the postings join;
+    //   positional filter — if the shared token sits at (1-based) position
+    //   i of A's sorted order and j of B's, the overlap is bounded by
+    //   (i,j already matched ≥ 1) + what remains: 1 + min(|A|−i, |B|−j);
+    //   J ≥ τ ⟺ |A∩B| ≥ τ/(1+τ)·(|A|+|B|), so a shared token too deep in
+    //   both orders cannot witness a qualifying pair.
+    // A blunt stop-shingle df cap was considered and REJECTED: dropping
+    // hot tokens from the index breaks recall 1 (a qualifying pair whose
+    // prefixes overlap only on capped tokens would be lost). The
+    // rarest-first global order is the principled version of that idea —
+    // hot shingles sort to the END of each doc's order and fall outside
+    // most prefixes, and the positional filter neutralizes the few that
+    // survive into long docs' prefixes.
+    // Cost: O(Σ prefix-posting²) per token post-filters.
     // This is the exactness baseline that validates dedup_near_minhash.
     Op("dedup_ngram_jaccard",
       (s, d) => {
@@ -195,13 +211,21 @@ object Dedup {
         val pref = posts.join(freqs, "h")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-          .select(col("doc_id"), explode(expr(
+          .select(col("doc_id"), size(col("ord")).as("sz"), posexplode(expr(
             s"slice(ord, 1, cast(size(ord) - ceil($tau * size(ord)) + 1 as int))"))
-            .as("p"))
-          .select(col("doc_id"), col("p.h").as("h"))
+            .as(Seq("pos0", "p")))
+          .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
+            col("p.h").as("h"))
         val cands = pref.as("x")
           .join(pref.as("y"), col("x.h") === col("y.h") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            // length filter: min size ≥ τ · max size
+            least(col("x.sz"), col("y.sz")).cast("double") >=
+              lit(tau) * greatest(col("x.sz"), col("y.sz")) &&
+            // positional filter: 1 + min(remaining) ≥ τ/(1+τ) · (|A|+|B|)
+            (lit(1) + least(col("x.sz") - col("x.pos"),
+              col("y.sz") - col("y.pos"))).cast("double") >=
+              lit(tau / (1 + tau)) * (col("x.sz") + col("y.sz")))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
         val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))

@@ -81,15 +81,27 @@ object Prof {
         val pref = posts.join(freqs, "h")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-          .select(col("doc_id"), explode(expr(
-            s"slice(ord, 1, cast(size(ord) - ceil($tau * size(ord)) + 1 as int))")).as("p"))
-          .select(col("doc_id"), col("p.h").as("h"))
+          .select(col("doc_id"), size(col("ord")).as("sz"), posexplode(expr(
+            s"slice(ord, 1, cast(size(ord) - ceil($tau * size(ord)) + 1 as int))"))
+            .as(Seq("pos0", "p")))
+          .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
+            col("p.h").as("h"))
         time("prefix postings")(pref.count())
-        val cands = pref.as("x")
+        val bare = pref.as("x")
           .join(pref.as("y"), col("x.h") === col("y.h") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-        time("candidates")(cands.count())
+        time("candidates (no filters)")(bare.count())
+        val cands = pref.as("x")
+          .join(pref.as("y"), col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.sz"), col("y.sz")).cast("double") >=
+              lit(tau) * greatest(col("x.sz"), col("y.sz")) &&
+            (lit(1) + least(col("x.sz") - col("x.pos"),
+              col("y.sz") - col("y.pos"))).cast("double") >=
+              lit(tau / (1 + tau)) * (col("x.sz") + col("y.sz")))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+        time("candidates (filtered)")(cands.count())
         time("full query")(thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
         time("full query warm")(thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
 
