@@ -86,6 +86,49 @@ class PlanSpec extends AnyFunSuite {
     assert(rewritten == naive, s"lost=${naive.diff(rewritten)} extra=${rewritten.diff(naive)}")
   }
 
+  test("multi-projection blocking: prunes below single-projection in the " +
+      "near-dup regime; no recall-1 scheme can prune at mid-τ (measured)") {
+    import thrivespark.plans.SimilarityJoinRewrite
+    thrivespark.functions.Register(spark)
+    val emb = thrivespark.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    def bucketed(us: Seq[Array[Float]], w: Double): org.apache.spark.sql.DataFrame =
+      emb.select(col("vec_id") +: us.zipWithIndex.map { case (u, i) =>
+        floor(call_function("vec_dot", col("embedding"), typedlit(u.toSeq)) / w)
+          .as(s"f$i")
+      }: _*)
+    // candidate count = pairs surviving the bucket-adjacency join (equality
+    // after ±1 probes ⟺ every coordinate differs by ≤ 1)
+    def candidates(df: org.apache.spark.sql.DataFrame, k: Int): Long =
+      df.as("x").join(df.as("y"), col("x.vec_id") < col("y.vec_id") &&
+          (0 until k).map(i => abs(col(s"x.f$i") - col(s"y.f$i")) <= 1)
+            .reduce(_ && _))
+        .count()
+    val fixedU = Seq(Array.fill(64)(0.125f)) // r4's single fixed probe
+    val us = SimilarityJoinRewrite.probeVectors.toSeq
+    val k = SimilarityJoinRewrite.NumProjections
+    // near-dup regime (τ=0.99, w≈0.14): each projection prunes, and AND-ing
+    // k of them multiplies — candidates must drop strictly below single
+    val wHi = SimilarityJoinRewrite.width(0.99)
+    val singleHi = candidates(bucketed(fixedU, wHi), 1)
+    val multiHi = candidates(bucketed(us, wHi), k)
+    assert(multiHi < singleHi,
+      s"τ=0.99: multi ($multiHi) not below single ($singleHi)")
+    // mid-τ regime (τ=0.45, w≈1.05): the recall-1 Cauchy–Schwarz width
+    // exceeds the whole projection spread of 64-dim unit vectors (~N(0,1/64)
+    // per coordinate), so NO projection count can prune — both configs must
+    // admit every pair. This pins the documented measurement: the rewrite's
+    // value at mid-τ is the plan shape (equi-join, never cartesian), not
+    // candidate reduction.
+    val all = emb.count(); val allPairs = all * (all - 1) / 2
+    val wLo = SimilarityJoinRewrite.width(0.45)
+    assert(candidates(bucketed(us, wLo), k) == allPairs)
+    // and the rule picks its projection count accordingly: extra probes are
+    // pure 3^k fan-out where buckets cannot prune
+    assert(SimilarityJoinRewrite.projectionsFor(0.45) == 1)
+    assert(SimilarityJoinRewrite.projectionsFor(0.99) == SimilarityJoinRewrite.NumProjections)
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
