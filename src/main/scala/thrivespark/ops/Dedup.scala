@@ -261,6 +261,9 @@ object Dedup {
     // this τ the label block IS the right plan; the LSH-bucketed scale path
     // with its recall measured and its semantics (and oracle) defined by the
     // buckets is the separate dedup_embedding_lsh below.
+    // USE THIS OP for exact-τ semantics at validation scale; USE
+    // dedup_embedding_lsh as the 100 TB default (README "Which embedding
+    // dedup to use" spells out the measured tradeoff).
     // Embeddings are L2-normalized ⇒ cosine = dot; the dot is the same
     // sequential-fold IEEE computation in both engines (VecDot ≡ list_sum).
     Op("dedup_embedding_cosine",
