@@ -18,7 +18,8 @@ object Registry {
     ops.Scans.ops ++ ops.Filters.ops ++ ops.Joins.ops ++ ops.Aggs.ops ++
     ops.Windows.ops ++ ops.SortsSets.ops ++ ops.Scalars.ops ++
     ops.Text.ops ++ ops.Dedup.ops ++ ops.Similarity.ops ++
-    ops.StreamingOps.ops ++ ops.UdfSurface.ops ++ ops.Extras.ops
+    ops.StreamingOps.ops ++ ops.UdfSurface.ops ++ ops.Extras.ops ++
+    ops.Analytics.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(o => o.key -> o.fn): _*)

@@ -1,0 +1,113 @@
+package thrivespark.ops
+
+import org.apache.spark.sql.functions._
+import thrivespark.{Op, Tables => T}
+
+/** Behavioral-analytics shapes over the events stream — the classic
+  * large-scale product-analytics queries (funnel, cohort retention,
+  * per-group mode). All are single- or two-shuffle plans keyed on
+  * user_id, so they scale exactly like the aggregation core: partial
+  * aggregation map-side, one exchange per distinct grouping key.
+  */
+object Analytics {
+  val ops: Seq[Op] = Seq(
+    // Staged conversion funnel view → click → purchase, each step within
+    // 1 hour of the previous step's FIRST completion (the strict
+    // earliest-continuation semantics — deterministic, and expressible in
+    // both engines). Three conditional min-aggregations chained by
+    // user_id joins: every join key is user_id, so at scale the three
+    // stages co-partition after one shuffle, and each stage's agg output
+    // is |users| rows (broadcastable when users ≪ events).
+    Op("analytics_funnel",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val stages = Seq(
+          t1.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users")),
+          t2.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")),
+          t3.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+        stages.reduce(_.unionAll(_)).orderBy(col("stage"))
+      },
+      Some("""WITH t1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+              t2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+                GROUP BY e.user_id),
+              t3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 1 HOUR
+                GROUP BY e.user_id)
+              SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+              UNION ALL
+              SELECT '2_click', count(*) FROM t2
+              UNION ALL
+              SELECT '3_purchase', count(*) FROM t3
+              ORDER BY stage""")),
+
+    // Cohort retention: cohort = each user's first-seen day; cell
+    // (cohort, day_offset) counts distinct users from that cohort active
+    // that many days later. Two shuffles total (user_id for the cohort
+    // min + distinct-day projection, then the cell key) — the standard
+    // shape that a 100 TB events table feeds daily.
+    Op("analytics_retention",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort"))
+        val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some("""WITH c AS (
+                SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                FROM events GROUP BY user_id)
+              SELECT c.cohort,
+                     CAST(datediff('day', c.cohort,
+                       CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER) AS day_offset,
+                     count(DISTINCT e.user_id) AS n_users
+              FROM events e JOIN c ON e.user_id = c.user_id
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Deterministic per-group mode: each user's most frequent event_type,
+    // ties broken toward the lexicographically LARGEST type (declared so
+    // both engines compute the identical winner — a bare mode() has
+    // engine-defined tie behavior). max(struct(n, type)) is one extra
+    // shuffle-free reduction over the (user, type) counts.
+    Op("agg_mode",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_type"),
+          col("m.n").as("n"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_type AS mode_type, n
+              FROM (SELECT user_id, event_type, count(*) AS n,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY count(*) DESC, event_type DESC) AS rn
+                    FROM events GROUP BY user_id, event_type)
+              WHERE rn = 1 ORDER BY user_id""")),
+  )
+}

@@ -90,6 +90,25 @@ object StreamingOps {
       Some("""SELECT event_id, user_id, event_type
               FROM events ORDER BY event_id""")),
 
+    // Stream-stream inner join (views ⋈ purchases within 1 hour), both
+    // sides watermarked ⇒ bounded join state. Time-ordered staging means
+    // no input arrives below the watermark, so the streamed result is
+    // exactly the batch interval join — the oracle.
+    Op("stream_stream_join",
+      (s, d) => {
+        val stage = stageDirOrdered(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_ssj").toString
+        thrivespark.streaming.StreamRunner.viewPurchaseJoin(
+          s, stage, cp, s"q_ssj_${tag(d)}")
+          .orderBy(col("user_id"), col("view_us"), col("purchase_us"))
+      },
+      Some("""SELECT v.user_id, epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+              FROM events v JOIN events p
+                ON v.user_id = p.user_id
+               AND v.event_type = 'view' AND p.event_type = 'purchase'
+               AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+              ORDER BY 1, 2, 3""")),
+
     // Arbitrary stateful processing (mapGroupsWithState): per-user running
     // aggregate carried across micro-batches in the state store. The final
     // state equals the batch aggregate — which is the oracle.

@@ -110,6 +110,45 @@ object StreamRunner {
         (max_by(col("sum_micros"), col("n_events")) / 1e6).as("sum_value"))
   }
 
+  /** Stream-stream inner join: views ⋈ purchases on user within a 1-hour
+    * event-time interval, both sides watermarked so the join state is
+    * bounded (a view can be evicted once the purchase-side watermark
+    * passes view_ts + 1 hour). With a time-ordered staged source no input
+    * row ever arrives below the watermark, so the streamed result equals
+    * the batch join — which is the oracle. At scale this is THE pattern
+    * for joining two unbounded streams with bounded state: both sides
+    * shuffle on user_id, state size is O(events within the watermark
+    * horizon), not O(history). */
+  def viewPurchaseJoin(spark: SparkSession, srcDir: String,
+      checkpoint: String, queryName: String): DataFrame =
+      withStatePartitions(spark, 4) {
+    val schema = spark.read.parquet(srcDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("""user_id = p_user AND
+              purchase_ts > view_ts AND
+              purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** #59: stateful streaming dedup on event_id across micro-batches. */
   def dedupWithinWatermark(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =

@@ -136,6 +136,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.exists(_ > 1), "fixture must have a multi-event user")
   }
 
+  test("stream_stream_join: MemoryStream pairs match across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a view buffered in batch 1 must join a purchase arriving in batch 2 —
+    // proving the join state carries across micro-batches — while a
+    // purchase outside the 1-hour window must not match
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.toDF().select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = v.join(p,
+      expr("""user_id = p_user AND purchase_ts > view_ts AND
+              purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_state").start()
+    views.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0))
+    q.processAllAvailable()
+    purchases.addData(
+      Ev(2, ts("2024-01-01 10:30:00"), 7, "purchase", 1.0),  // in window
+      Ev(3, ts("2024-01-01 11:30:00"), 7, "purchase", 1.0))  // outside
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_state")
+      .select("user_id", "purchase_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inWindowUs = ts("2024-01-01 10:30:00").getTime * 1000
+    assert(got == Set((7L, inWindowUs)), s"got $got")
+  }
+
   test("StreamRunner file-replay paths run end to end (#58/#59 plumbing)") {
     val dir = Files.createTempDirectory("graft_stream_src2").toString
     Tables.events(spark, sf0001).limit(200).repartition(2)
