@@ -121,6 +121,52 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over the near-dup pair graph: iterative
+    * min-label propagation (each node adopts the smallest label among
+    * itself and its neighbors until fixpoint), so every dup CLUSTER — not
+    * just each pairwise edge — gets one canonical representative (its
+    * smallest doc_id). Pair-at-a-time survivor logic (keep the lower id of
+    * each pair) is not transitive: in a chain a–b–c it can drop b and c
+    * while a near-dup of c survives only because c (not a) matched it.
+    * Cluster-then-pick-canonical is how production training-data dedup
+    * resolves that.
+    *
+    * Scale shape: each iteration is one edge⋈label join + min-aggregate —
+    * all shuffles keyed on node id — and the loop runs O(component
+    * diameter) times (near-dup components are shallow; 2 iterations
+    * suffice on this corpus, capped at 20). localCheckpoint truncates the
+    * per-iteration lineage so plan size stays constant; on a cluster this
+    * would be a reliable checkpoint. The driver holds only the
+    * convergence COUNT, never the labels. */
+  def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(s, d, threshold)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dl")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("moved"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("moved")).count()
+      labels = updated.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact",
       (s, d) => T.documents(s, d)
@@ -165,6 +211,32 @@ object Dedup {
               SELECT doc_id, lang, n_chars FROM documents
               WHERE doc_id NOT IN (SELECT b_id FROM pairs)
               ORDER BY doc_id""")),
+
+    // Transitive dup CLUSTERS (see dupClusters): every doc in a near-dup
+    // component labeled with the component's smallest doc_id. Oracle =
+    // DuckDB recursive transitive closure over the same exact pair set.
+    Op("dedup_clusters",
+      (s, d) => dupClusters(s, d, 0.6),
+      Some(s"""WITH RECURSIVE s AS (
+                SELECT doc_id, ${Shingles.duckShingles3FromT} AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) > 0.6),
+              edges AS (
+                SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL
+                SELECT b_id, a_id FROM pairs),
+              walk(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+              reach AS (
+                SELECT src, dst FROM walk UNION SELECT src, src FROM edges)
+              SELECT src AS doc_id, min(dst) AS cluster_id
+              FROM reach GROUP BY src ORDER BY doc_id""")),
 
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);
     // DedupSpec verifies against brute-force hamming at small scale.

@@ -61,6 +61,21 @@ class PropertySpec extends AnyFunSuite {
       s"lost: ${brute.diff(filtered).take(5)}, extra: ${filtered.diff(brute).take(5)}")
   }
 
+  test("dedup_clusters: pair endpoints co-clustered, label = component min") {
+    val pairs = thrivespark.Registry.queries("dedup_near_minhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = thrivespark.Registry.queries("dedup_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both endpoints of every near-dup pair carry the same cluster label
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // each label is the smallest member of its cluster (canonical rep)
+    lbl.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl min is ${members.keys.min}")
+    }
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = thrivespark.Registry.queries("dedup_exact")(spark, sf001)
     val ids = once.select(col("keep_id")).collect().map(_.getLong(0)).toSet
