@@ -89,6 +89,31 @@ object Analytics {
               FROM events e JOIN c ON e.user_id = c.user_id
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Deterministic content-addressed train/val/test split — the
+    // training-data-pipeline way to hold out data: bucket by a stable hash
+    // of the key (md5, identical in both engines) instead of seeded
+    // sampling (engine- and partitioning-dependent). Buckets 0-89 train /
+    // 90-94 val / 95-99 test; membership is a pure function of doc_id, so
+    // the split is reproducible across engines, re-runs, and repartitions.
+    Op("analytics_hash_split",
+      (s, d) => {
+        val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100).as("b")
+        T.documents(s, d).select(col("doc_id"), col("lang"), bucket)
+          .withColumn("split",
+            when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                          ELSE 'test' END AS split,
+                     lang, count(*) AS n_docs
+              FROM (SELECT lang,
+                      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100 AS b
+                    FROM documents)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Deterministic per-group mode: each user's most frequent event_type,
     // ties broken toward the lexicographically LARGEST type (declared so
     // both engines compute the identical winner — a bare mode() has
