@@ -71,21 +71,32 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .distinct()
 
-  /** Full pipeline with exact-Jaccard verification (rule R5). */
+  /** Full pipeline with exact-Jaccard verification (rule R5). The verified
+    * pair set is tiny (O(dup pairs)) and three queries consume it
+    * (near_minhash, pipeline_survivors, clusters), so it is persisted per
+    * (session, sf, τ) like the shingle table — on a cluster, the second
+    * checkpointed intermediate of the dedup stage. */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = shingleDocs(s, d)
-    val cands = candidatePairs(bandBuckets(docs))
-    // exact Jaccard over the distinct shingle-hash sets (set identity is
-    // preserved by the 64-bit hashes up to ~2^-64 collisions)
-    val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
-    val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
-    cands.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jac") > threshold)
-      .select(col("a_id"), col("b_id"))
-      .orderBy(col("a_id"), col("b_id"))
+    pairCache.filterInPlace { case ((ss, _, _), _) => !ss.sparkContext.isStopped }
+    pairCache.getOrElseUpdate((s, d, threshold), {
+      val docs = shingleDocs(s, d)
+      val cands = candidatePairs(bandBuckets(docs))
+      // exact Jaccard over the distinct shingle-hash sets (set identity is
+      // preserved by the 64-bit hashes up to ~2^-64 collisions)
+      val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
+      cands.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jac") > threshold)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** doc_id + 64-bit simhash fingerprint over shingle hashes. */

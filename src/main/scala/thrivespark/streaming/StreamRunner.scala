@@ -121,7 +121,11 @@ object StreamRunner {
     * horizon), not O(history). */
   def viewPurchaseJoin(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =
-      withStatePartitions(spark, 4) {
+      // 2, not 4: a stream-stream join commits FOUR state stores per
+      // partition per micro-batch (keyed left/right + key-to-numValues
+      // each side), so partition count is 2× the commit lever it is for
+      // single-store aggs; 15 users of state don't need more parallelism
+      withStatePartitions(spark, 2) {
     val schema = spark.read.parquet(srcDir).schema
     def src() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
