@@ -1,7 +1,9 @@
 package thrivespark.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import thrivespark.{Op, Tables => T}
+import thrivespark.Det._
 
 /** Behavioral-analytics shapes over the events stream — the classic
   * large-scale product-analytics queries (funnel, cohort retention,
@@ -88,6 +90,46 @@ object Analytics {
                      count(DISTINCT e.user_id) AS n_users
               FROM events e JOIN c ON e.user_id = c.user_id
               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Time-series resample + gap-fill: a complete per-(user, day) spine
+    // over each user's active span (sequence + explode — the distributed
+    // way to densify; no driver-side calendar), missing days get n = 0 and
+    // FORWARD-FILLED daily value (last non-null over an ordered window —
+    // one shuffle on user_id, running frame, no self-join). The standard
+    // metrics-pipeline shape for "every entity must have a row every day".
+    Op("analytics_gapfill",
+      (s, d) => {
+        val agg = T.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("day_value"))
+        val spine = agg.groupBy(col("user_id"))
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(agg, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d").as("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH agg AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                       count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+                FROM events GROUP BY 1, 2),
+              span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM agg GROUP BY 1),
+              spine AS (
+                SELECT user_id,
+                       CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+                FROM span)
+              SELECT s.user_id, s.d AS day, coalesce(a.n, 0) AS n,
+                     last_value(a.day_value IGNORE NULLS) OVER
+                       (PARTITION BY s.user_id ORDER BY s.d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+              FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.d = a.d
+              ORDER BY 1, 2""")),
 
     // Deterministic content-addressed train/val/test split — the
     // training-data-pipeline way to hold out data: bucket by a stable hash
