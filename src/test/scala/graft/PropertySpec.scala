@@ -120,7 +120,8 @@ class PropertySpec extends AnyFunSuite {
 
   test("results are shuffle-partition-count invariant (decimal discipline)") {
     val keys = Seq("agg_pricing_summary", "join_inner_hash", "win_running_sum",
-      "dedup_near_minhash")
+      "dedup_near_minhash", "dedup_clusters", "agg_mode", "analytics_gapfill",
+      "analytics_hash_split")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
