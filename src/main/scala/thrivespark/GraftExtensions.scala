@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import thrivespark.functions.{LshBandKeys, MinHashSignature, ShingleHashes, SimHash64, VecDot}
 
 /** Session-extension entry point: makes the engine's custom Catalyst
-  * expressions first-class SQL functions on any session configured with
+  * expressions first-class SQL functions — and its optimizer rule and
+  * planner strategy first-class plan surface — on any session configured
+  * with
   *   spark.sql.extensions=thrivespark.GraftExtensions
-  * (the idiomatic deployment on a shared cluster; `functions.Register`
-  * offers the same per-session for driver-owned sessions like graft.Verify).
+  * (the idiomatic deployment on a shared cluster; `functions.Register` +
+  * the per-op `install` hooks offer the same per-session for driver-owned
+  * sessions like graft.Verify).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
@@ -32,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "distinct word-3-gram shingle hashes of a token array"),
       (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
+    // whole-plan surface: the naive-similarity-join rewrite and the as-of
+    // merge operator, so extension-configured sessions get the same plans
+    // as install()-wired ones
+    e.injectOptimizerRule(_ => thrivespark.plans.SimilarityJoinRewrite)
+    e.injectPlannerStrategy(_ => thrivespark.plans.AsOfJoinStrategy)
   }
 }
