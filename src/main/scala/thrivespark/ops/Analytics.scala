@@ -176,5 +176,70 @@ object Analytics {
                              ORDER BY count(*) DESC, event_type DESC) AS rn
                     FROM events GROUP BY user_id, event_type)
               WHERE rn = 1 ORDER BY user_id""")),
+
+    // Last-touch attribution: each purchase is credited to the user's most
+    // recent view within the preceding 7 days (NULL day = organic/unattributed).
+    // The same as-of shape as join_asof: an equi-join on user_id with a range
+    // predicate, reduced by max() per purchase — partial max runs map-side, so
+    // the join output never collects per-key; then one low-cardinality rollup
+    // by attribution day. Both shuffles key on user_id/event_id — co-partitioned
+    // with the rest of the events pipeline at scale.
+    Op("analytics_attribution",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_uid"), col("ts").as("vts"))
+        p.join(v, col("v_uid") === col("user_id") &&
+            col("vts") <= col("ts") &&
+            col("vts") > col("ts") - expr("INTERVAL 7 DAYS"), "left")
+          .groupBy(col("event_id"), col("value"))
+          .agg(max(col("vts")).as("att_ts"))
+          .groupBy(to_date(col("att_ts")).as("att_day"))
+          .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+          .orderBy(col("att_day").asc_nulls_first)
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                         WHERE event_type = 'purchase'),
+                   v AS (SELECT user_id AS v_uid, ts AS vts FROM events
+                         WHERE event_type = 'view'),
+                   att AS (
+                     SELECT p.event_id, p.value, max(v.vts) AS att_ts
+                     FROM p LEFT JOIN v ON v.v_uid = p.user_id
+                          AND v.vts <= p.ts AND v.vts > p.ts - INTERVAL 7 DAY
+                     GROUP BY 1, 2)
+              SELECT CAST(date_trunc('day', att_ts) AS DATE) AS att_day,
+                     count(*) AS n_purchases,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+              FROM att GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
+    // Stratified sampling with per-stratum rates (oversample the head
+    // language, downsample the rest) — selection is content-addressed
+    // (md5-bucket of doc_id, same primitive as analytics_hash_split), so the
+    // sample is reproducible across engines, re-runs and repartitioning,
+    // unlike rand()-based sampling which is neither engine- nor
+    // partitioning-stable. Map-only until one low-cardinality rollup.
+    Op("analytics_stratified_sample",
+      (s, d) => {
+        val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000).as("b")
+        val rate = when(col("lang") === "en", 500).otherwise(200)
+        T.documents(s, d).select(col("doc_id"), col("lang"), bucket)
+          .withColumn("sampled", (col("b") < rate).cast("int"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"))
+          .withColumn("achieved_rate",
+            round6(col("n_sampled").cast("double") / col("n_total")))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+                     CAST(sum(sampled) AS BIGINT) AS n_sampled,
+                     round(CAST(sum(sampled) AS DOUBLE) / count(*), 6) AS achieved_rate
+              FROM (SELECT lang,
+                      CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+                           < CASE WHEN lang = 'en' THEN 500 ELSE 200 END AS INTEGER) AS sampled
+                    FROM documents)
+              GROUP BY lang ORDER BY lang""")),
   )
 }

@@ -574,5 +574,142 @@ object Extras {
                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM events JOIN customer ON user_id = c_custkey
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Composite, TPC-H Q10 shape: returned-item revenue per customer over one
+    // quarter — lineitem(R-flag)⋈orders(quarter)⋈customer⋈nation, grouped by
+    // customer, global top-20. Both fact sides arrive pre-filtered at the
+    // scan (pushed predicates), nation broadcasts, and the LIMIT plans as
+    // TakeOrderedAndProject (no global sort) — per-key state stays O(1), so
+    // the identical plan serves a 100 TB lineitem.
+    Op("q10_returned_items",
+      (s, d) => {
+        val o = T.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = T.lineitem(s, d).filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-10-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ORC source round-trip (third ingestion format next to JSONL/CSV):
+    // write a column-pruned orders projection as ORC, read it back (schema
+    // rides in the ORC footer — no inference), aggregate per order year.
+    // Oracle checks content invariance against the parquet source.
+    Op("source_orc_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_orc_${new java.io.File(d).getName}"
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(year(col("o_date")).as("o_year"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_year"), col("o_orderpriority"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+                     count(*) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Snapshot reconciliation (table diff): classify every key across two
+    // snapshot versions as insert / delete / update by full-outer-joining on
+    // the key and comparing the non-key payload. The "next" snapshot is
+    // derived deterministically from orders (keys ≡0 mod 97 deleted, ≡0 mod
+    // 89 repriced, ≡0 mod 101 re-keyed as inserts) so the oracle sees the
+    // identical pair of relations. One co-partitioned sort-merge join on the
+    // primary key — the canonical CDC-backfill / audit pattern; at 100 TB
+    // both sides shuffle once on the same key and stream through the merge.
+    Op("etl_snapshot_diff",
+      (s, d) => {
+        val cur = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val next = cur.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(cur.filter(col("o_orderkey") % 101 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+        val a = cur.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st_a"), col("o_totalprice").as("pr_a"))
+        val b = next.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st_b"), col("o_totalprice").as("pr_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("change",
+            when(col("st_a").isNull, "insert")
+              .when(col("st_b").isNull, "delete")
+              .when(col("st_a") =!= col("st_b") || col("pr_a") =!= col("pr_b"),
+                "update"))
+          .filter(col("change").isNotNull)
+          .select(col("k").as("o_orderkey"), col("change"))
+          .orderBy(col("change"), col("o_orderkey"))
+      },
+      Some("""WITH cur AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+              next AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM cur WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+                FROM cur WHERE o_orderkey % 101 = 0)
+              SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                          WHEN b.o_orderkey IS NULL THEN 'delete'
+                          WHEN a.o_orderstatus <> b.o_orderstatus
+                               OR a.o_totalprice <> b.o_totalprice THEN 'update'
+                     END AS change
+              FROM cur a FULL OUTER JOIN next b ON a.o_orderkey = b.o_orderkey
+              WHERE CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                         WHEN b.o_orderkey IS NULL THEN 'delete'
+                         WHEN a.o_orderstatus <> b.o_orderstatus
+                              OR a.o_totalprice <> b.o_totalprice THEN 'update'
+                    END IS NOT NULL
+              ORDER BY change, o_orderkey""")),
+
+    // Runtime-filter join (semi-join reduction): a selective dimension-side
+    // filter (one order quarter) reduces the fact scan via Spark's runtime
+    // bloom filter — the optimizer injects might_contain(bloom(o_orderkey))
+    // into lineitem's scan-side predicate so most fact rows drop before the
+    // shuffle. At test scale the size thresholds keep the filter off (the
+    // feature is deliberately scale-adaptive); PlanSpec lowers the
+    // thresholds and asserts the bloom filter appears. At 100 TB the default
+    // thresholds trigger it natively on exactly this plan.
+    Op("join_runtime_filter",
+      (s, d) => {
+        val o = T.orders(s, d).filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        T.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-04-01'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

@@ -186,6 +186,44 @@ class PlanSpec extends AnyFunSuite {
       s"inverted index must not enumerate N^2 pairs:\n$p")
   }
 
+  test("q10_returned_items: top-20 via TakeOrderedAndProject; nation broadcasts") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+  }
+
+  test("join_runtime_filter: bloom filter injects into the fact scan side " +
+      "once size thresholds allow (the 100 TB defaults)") {
+    val creation = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    val appSide = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val enabled = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = Seq(creation, appSide, enabled, bcast)
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(enabled, "true")
+      spark.conf.set(creation, "1000GB") // any build side qualifies
+      spark.conf.set(appSide, "0")       // any probe side qualifies
+      // at 100 TB neither side broadcasts — the rule only injects where the
+      // application side shuffles, so pin the at-scale (shuffle) plan
+      spark.conf.set(bcast, "-1")
+      val p = plan("join_runtime_filter")
+      assert(p.contains("might_contain"), s"no bloom runtime filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // at bench scale the thresholds keep it off — the plan is a plain join
+    assert(!plan("join_runtime_filter").contains("might_contain"))
+  }
+
+  test("etl_snapshot_diff: one co-partitioned merge join, no broadcast of " +
+      "either snapshot") {
+    val p = plan("etl_snapshot_diff")
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("SortMergeJoin full_outer")
+      || p.contains("SortMergeJoin"), s"expected SMJ for the diff:\n$p")
+  }
+
   test("UDF shingles == native shingles composition") {
     import spark.implicits._
     val docs = thrivespark.Tables.documents(spark, sf0001).limit(50)
