@@ -241,5 +241,43 @@ object Analytics {
                            < CASE WHEN lang = 'en' THEN 500 ELSE 200 END AS INTEGER) AS sampled
                     FROM documents)
               GROUP BY lang ORDER BY lang""")),
+
+    // Rolling 7-day active users (the WAU shape): for each day, the distinct
+    // users active in the trailing 7 days. COUNT(DISTINCT) over a sliding
+    // range frame doesn't distribute, so use the scalable rewrite: each
+    // (user, active day) row is exploded to the ≤7 report days it covers
+    // (sequence+explode — bounded ×7 fan-out), then one exact
+    // count-distinct per report day. Report days are clamped to the
+    // observed span so every output day aggregates a full window's data.
+    // Both engines run the identical formulation — no frame semantics to
+    // reconcile.
+    Op("analytics_rolling_active",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(greatest(col("day"), col("d0")),
+              least(date_add(col("day"), 6), col("d1")))).as("report_day"))
+          .groupBy(col("report_day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy(col("report_day"))
+      },
+      Some("""WITH b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+                                CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+                         FROM events),
+                   act AS (SELECT DISTINCT user_id,
+                                  CAST(date_trunc('day', ts) AS DATE) AS day
+                           FROM events)
+              SELECT CAST(report_day AS DATE) AS report_day,
+                     count(DISTINCT user_id) AS wau
+              FROM (SELECT user_id,
+                           unnest(generate_series(greatest(day, (SELECT d0 FROM b)),
+                                                  least(day + 6, (SELECT d1 FROM b)),
+                                                  INTERVAL 1 DAY)) AS report_day
+                    FROM act)
+              GROUP BY 1 ORDER BY 1""")),
   )
 }

@@ -711,5 +711,85 @@ object Extras {
               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Z-order clustered sink: interleave the bits of two bucketized filter
+    // columns (l_partkey, l_suppkey) into one sort key, repartitionByRange +
+    // sort on it, and write size-capped files. Every file then has a tight
+    // bounding box in BOTH dimensions, so parquet min/max stats skip files
+    // for 2-D predicates — a linear sort localizes only its leading column
+    // (EtlSpec measures the difference). The query view: round-trip the
+    // clustered copy and roll up per coarse z-bucket; the oracle recomputes
+    // the identical bucket arithmetic on the source table, proving the
+    // layout pipeline is content-preserving and the z-code deterministic.
+    Op("sink_zorder_layout",
+      (s, d) => {
+        val dir = s"/tmp/graft_zorder_${new java.io.File(d).getName}"
+        ZOrder.write(s, d, dir)
+        s.read.parquet(dir)
+          .groupBy((col("z") / 256).cast("int").as("z_bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("z_bucket"))
+      },
+      Some(s"""SELECT z_bucket, count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+              FROM (SELECT CAST(FLOOR((${ZOrder.duckZ}) / 256.0) AS INTEGER) AS z_bucket,
+                           l_quantity
+                    FROM lineitem,
+                         (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+                          FROM lineitem) mx)
+              GROUP BY z_bucket ORDER BY z_bucket""")),
   )
+}
+
+/** Z-order (Morton) clustering for 2-D data-skipping layouts. Bucket both
+  * keys to 8-bit codes by range, interleave the bits, write sorted by the
+  * z-value. Used by sink_zorder_layout and EtlSpec's skipping measurement. */
+object ZOrder {
+  import org.apache.spark.sql.Column
+
+  /** 8-bit range bucket code: floor(key * 256 / (max+1)), clamped. */
+  private def code(key: Column, mx: Column): Column =
+    least(floor(key * 256 / (mx + 1)), lit(255)).cast("int")
+
+  /** Bit-interleave two 8-bit codes into a 16-bit Morton value. */
+  def zvalue(px: Column, py: Column): Column =
+    (0 until 8).map { b =>
+      shiftleft(shiftright(px, b).bitwiseAND(lit(1)), 2 * b + 1)
+        .bitwiseOR(shiftleft(shiftright(py, b).bitwiseAND(lit(1)), 2 * b))
+    }.reduce(_ bitwiseOR _)
+
+  /** The identical z-value in DuckDB SQL over px/py expressions. */
+  private def duckZOf(px: String, py: String): String =
+    (0 until 8).map { b =>
+      s"((((($px) >> $b) & 1) << ${2 * b + 1}) | (((($py) >> $b) & 1) << ${2 * b}))"
+    }.mkString(" | ")
+
+  private val duckPx = "CAST(LEAST(FLOOR(l_partkey * 256 / (mp + 1)), 255) AS INTEGER)"
+  private val duckPy = "CAST(LEAST(FLOOR(l_suppkey * 256 / (ms + 1)), 255) AS INTEGER)"
+  /** Full z expression for the oracle (expects mx(mp, ms) in scope). */
+  def duckZ: String = duckZOf(duckPx, duckPy)
+
+  /** Projected lineitem with the z column attached. */
+  def coded(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val mx = li.agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("z", zvalue(code(col("l_partkey"), col("mp")),
+        code(col("l_suppkey"), col("ms"))))
+      .drop("mp", "ms")
+  }
+
+  /** Cluster by z and write ~targetFiles size-capped files. At 100 TB the
+    * same two-step (range-shuffle on z, sorted write) runs one pass over
+    * the table — this is maintenance-job layout work, not a query. */
+  def write(s: org.apache.spark.sql.SparkSession, d: String, dir: String,
+      targetFiles: Int = 32): Unit = {
+    val df = coded(s, d)
+    val n = df.count()
+    df.repartitionByRange(4, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", math.max(1L, n / targetFiles))
+      .parquet(dir)
+  }
 }

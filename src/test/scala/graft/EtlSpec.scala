@@ -87,4 +87,44 @@ class EtlSpec extends AnyFunSuite {
     assert(ok.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
       Map("id" -> "bigint", "amount" -> "decimal(18,2)", "note" -> "string"))
   }
+
+  test("z-order layout localizes a second-dimension box that a linear sort " +
+      "spreads over every file") {
+    import org.apache.spark.sql.functions._
+    import thrivespark.ops.ZOrder
+    val sf = sf001 // enough rows for ~32 distinct files
+    val zDir = s"/tmp/graft_zorder_spec_z"
+    val linDir = s"/tmp/graft_zorder_spec_lin"
+    ZOrder.write(spark, sf, zDir)
+    // linear baseline: same data, same file count, sorted by l_partkey only
+    val coded = ZOrder.coded(spark, sf)
+    val n = coded.count()
+    coded.repartitionByRange(4, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", math.max(1L, n / 32)).parquet(linDir)
+    // a box on the SECOND dimension only: suppkey in a ~10% band. Under the
+    // linear partkey sort those rows spread over ~every file; under z-order
+    // they concentrate in the files whose suppkey bit-ranges intersect the
+    // band (~half at 1 bucket-bit of selectivity, fewer as bands narrow).
+    def filesTouched(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+      val total = df.select(input_file_name()).distinct().count()
+      val ms = df.agg(max(col("l_suppkey"))).collect()(0).getLong(0)
+      val touched = df.filter(col("l_suppkey") <= ms / 10)
+        .select(input_file_name()).distinct().count()
+      (touched, total)
+    }
+    val (zTouched, zTotal) = filesTouched(zDir)
+    val (linTouched, linTotal) = filesTouched(linDir)
+    assert(zTotal >= 16 && linTotal >= 16, s"want many files: z=$zTotal lin=$linTotal")
+    // the linear layout scatters the band over (almost) all files
+    assert(linTouched >= (linTotal * 0.9).toLong,
+      s"baseline unexpectedly clustered: $linTouched/$linTotal")
+    // the z-order layout must confine it to well under all files
+    assert(zTouched <= (zTotal * 0.7).toLong,
+      s"z-order did not localize: $zTouched/$zTotal vs linear $linTouched/$linTotal")
+    // and the layout is content-preserving
+    assert(spark.read.parquet(zDir).count() == n)
+  }
 }
