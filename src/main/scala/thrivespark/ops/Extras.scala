@@ -712,6 +712,85 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Temporal (point-in-time) dimension join — the READ side of SCD2: each
+    // order joins the dimension version valid at its order date. Because a
+    // key's versions partition time, the range predicate selects exactly one
+    // row — an equi-join on the key with a residual date filter, no window
+    // and no as-of search. The dimension stays dim-sized (broadcastable);
+    // the fact side never shuffles more than its one aggregation exchange.
+    Op("join_temporal_scd2",
+      (s, d) => {
+        val cut = lit("1998-01-01").cast("date")
+        val c = T.customer(s, d)
+        val v1 = c.select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          when(pmod(col("c_custkey"), lit(10)) === 0, cut)
+            .otherwise(lit(null).cast("date")).as("valid_to"),
+          lit("v1").as("version"))
+        val v2 = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), (col("c_acctbal") * 2).as("acctbal"),
+            cut.as("valid_from"), lit(null).cast("date").as("valid_to"),
+            lit("v2").as("version"))
+        val dim = v1.unionByName(v2)
+        T.orders(s, d).join(broadcast(dim),
+            col("o_custkey") === col("c_custkey") &&
+            col("o_orderdate").cast("date") >= col("valid_from") &&
+            (col("valid_to").isNull ||
+              col("o_orderdate").cast("date") < col("valid_to")))
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"),
+            dsum(col("acctbal")).as("sum_acctbal"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH dim AS (
+                SELECT c_custkey, c_acctbal AS acctbal,
+                       DATE '1990-01-01' AS valid_from,
+                       CASE WHEN c_custkey % 10 = 0 THEN DATE '1998-01-01' END AS valid_to,
+                       'v1' AS version
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_acctbal * 2, DATE '1998-01-01', NULL, 'v2'
+                FROM customer WHERE c_custkey % 10 = 0)
+              SELECT version, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+                     CAST(sum(CAST(acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+              FROM orders JOIN dim ON o_custkey = c_custkey
+                AND CAST(o_orderdate AS DATE) >= valid_from
+                AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+              GROUP BY version ORDER BY version""")),
+
+    // Schema evolution across ingestion batches: an old batch written before
+    // a column existed (views, no `value`) sits next to a new batch with the
+    // full schema; mergeSchema unions the footers and back-fills NULL — the
+    // standard long-lived-dataset read path. Batches land as batch=N
+    // Hive-style partitions, so at 100 TB each generation stays
+    // partition-prunable and the merged read is still one scan.
+    Op("source_schema_evolution",
+      (s, d) => {
+        val dir = s"/tmp/graft_evo_${new java.io.File(d).getName}"
+        val ev = T.events(s, d)
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$dir/batch=1")
+        ev.filter(col("event_type") =!= "view")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(s"$dir/batch=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(col("batch").cast("int").as("batch"))
+          .agg(count(lit(1)).as("n"),
+            count(col("value")).as("n_with_value"),
+            sum(dec(coalesce(col("value"), lit(0.0)))).cast("double").as("sum_value"))
+          .orderBy(col("batch"))
+      },
+      Some("""SELECT 1 AS batch, count(*) AS n, 0 AS n_with_value, 0.0 AS sum_value
+              FROM events WHERE event_type = 'view'
+              UNION ALL
+              SELECT 2, count(*), count(value),
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              FROM events WHERE event_type <> 'view'
+              ORDER BY batch""")),
+
     // Z-order clustered sink: interleave the bits of two bucketized filter
     // columns (l_partkey, l_suppkey) into one sort key, repartitionByRange +
     // sort on it, and write size-capped files. Every file then has a tight

@@ -109,6 +109,30 @@ object StreamingOps {
                AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
               ORDER BY 1, 2, 3""")),
 
+    // Streaming CDC apply: every event is an upsert keyed by user_id;
+    // foreachBatch MERGEs each micro-batch into a keyed state table with
+    // latest-wins (max by (ts, event_id)) semantics. Latest-wins is
+    // associative, so the final table equals the batch answer regardless of
+    // batch boundaries — which is the oracle.
+    Op("stream_cdc_apply",
+      (s, d) => {
+        val stage = stageDirOrdered(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_cdc").toString
+        val st = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/state"
+        thrivespark.streaming.StreamRunner.cdcApply(s, stage, cp, st)
+          .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+                     event_type AS last_type, value AS last_value
+              FROM (SELECT user_id, ts, event_id, event_type, value,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 ORDER BY user_id""")),
+
     // Arbitrary stateful processing (mapGroupsWithState): per-user running
     // aggregate carried across micro-batches in the state store. The final
     // state equals the batch aggregate — which is the oracle.

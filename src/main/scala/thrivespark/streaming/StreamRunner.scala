@@ -153,6 +153,51 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Streaming CDC apply (foreachBatch upsert sink): treat each event as an
+    * upsert keyed by user_id and MERGE every micro-batch into a keyed state
+    * table with latest-wins semantics (max by (ts, event_id) — associative,
+    * so the final table is independent of batch boundaries and replay
+    * order). Each merge reads the current state, unions the batch, reduces
+    * to one row per key, and commits via write-then-swap — the file-system
+    * stand-in for a transactional MERGE INTO; at scale the state table is
+    * key-partitioned and the swap is a table-format commit. */
+  def cdcApply(spark: SparkSession, srcDir: String, checkpoint: String,
+      stateDir: String): DataFrame = withStatePartitions(spark, 4) {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val q = in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val cur =
+          if (new java.io.File(s"$stateDir/_SUCCESS").exists())
+            s.read.parquet(stateDir)
+          else batch.limit(0)
+        val merged = cur.unionByName(batch)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
+        val tmp = s"${stateDir}_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val root = java.nio.file.Paths.get(stateDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), root)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(stateDir)
+  }
+
   /** #59: stateful streaming dedup on event_id across micro-batches. */
   def dedupWithinWatermark(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =

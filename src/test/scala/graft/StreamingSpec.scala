@@ -136,6 +136,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.exists(_ > 1), "fixture must have a multi-event user")
   }
 
+  test("stream_cdc_apply: latest-wins survives out-of-order batches (state " +
+      "carries across merges)") {
+    import spark.implicits._
+    // batch 1 (file written first => replayed first) holds user 1's LATEST
+    // event; batch 2 carries an older one. Last-write-wins would keep the
+    // batch-2 row; latest-wins must keep batch 1's.
+    val dir = Files.createTempDirectory("graft_cdc_src").toString
+    Seq(Ev(10, ts("2024-01-01 12:00:00"), 1, "late", 5.0),
+        Ev(11, ts("2024-01-01 09:00:00"), 2, "x", 1.0))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/f1")
+    Seq(Ev(12, ts("2024-01-01 10:00:00"), 1, "early", 2.0),
+        Ev(13, ts("2024-01-01 11:00:00"), 2, "y", 3.0))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/f2")
+    val stage = Files.createTempDirectory("graft_cdc_stage").toString
+    // one file per batch, staged in a deterministic order
+    val s1 = spark.read.parquet(s"$dir/f1"); val s2 = spark.read.parquet(s"$dir/f2")
+    s1.coalesce(1).write.mode("append").parquet(stage)
+    Thread.sleep(1100) // FileStreamSource orders by modification time
+    s2.coalesce(1).write.mode("append").parquet(stage)
+    val cp = Files.createTempDirectory("graft_cdc_cp").toString
+    val st = Files.createTempDirectory("graft_cdc_st").toString + "/state"
+    val got = StreamRunner.cdcApply(spark, stage, cp, st)
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(1L -> ((10L, "late")), 2L -> ((13L, "y"))),
+      s"latest-wins violated: $got")
+  }
+
   test("stream_stream_join: MemoryStream pairs match across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
