@@ -712,6 +712,45 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Retention vacuum — the partition-lifecycle maintenance job that pairs
+    // with compaction: drop day-partitions older than the retention window
+    // (keep the newest 7 of 30) and emit the audit every vacuum must leave
+    // behind. The partition list is the ONLY driver-side data (O(days)
+    // metadata, same as the bookmark); deletes are directory drops, so cost
+    // is independent of row count — at 100 TB this is a metastore + object-
+    // store operation, never a data scan.
+    Op("etl_retention_vacuum",
+      (s, d) => {
+        import s.implicits._
+        val keepDays = 7
+        val base = s"/tmp/graft_vacuum_${new java.io.File(d).getName}"
+        T.events(s, d).withColumn("dt", to_date(col("ts")))
+          .repartition(col("dt"))
+          .write.mode("overwrite").partitionBy("dt").parquet(base)
+        val allDays = s.read.parquet(base).select(col("dt")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        val toDelete = allDays.dropRight(keepDays)
+        toDelete.foreach { dt =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$base/dt=$dt"))
+        }
+        val remaining = s.read.parquet(base)
+          .groupBy(col("dt")).agg(count(lit(1)).as("rows_kept"))
+          .withColumn("status", lit("kept"))
+        val deleted = toDelete.toSeq.toDF("dt")
+          .select(col("dt"), lit(0L).as("rows_kept"), lit("deleted").as("status"))
+        remaining.unionByName(deleted).orderBy(col("dt"))
+      },
+      Some("""WITH days AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
+                FROM events GROUP BY 1),
+              r AS (SELECT dt, cnt, row_number() OVER (ORDER BY dt DESC) AS rn
+                    FROM days)
+              SELECT dt,
+                     CASE WHEN rn <= 7 THEN cnt ELSE 0 END AS rows_kept,
+                     CASE WHEN rn <= 7 THEN 'kept' ELSE 'deleted' END AS status
+              FROM r ORDER BY dt""")),
+
     // Temporal (point-in-time) dimension join — the READ side of SCD2: each
     // order joins the dimension version valid at its order date. Because a
     // key's versions partition time, the range predicate selects exactly one

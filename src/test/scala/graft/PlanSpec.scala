@@ -224,6 +224,38 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("SortMergeJoin"), s"expected SMJ for the diff:\n$p")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // The automatic complement of join_salted_skew's explicit salting: plant
+    // a 90%-hot key, shrink the skew thresholds to demo scale, and assert
+    // the ADAPTIVE plan re-split the hot partition. At 100 TB the default
+    // thresholds (256 MB / factor 5) catch exactly this shape natively.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "2")
+      spark.conf.set(keys(1), "64KB")
+      spark.conf.set(keys(2), "32KB")
+      spark.conf.set(keys(3), "-1")
+      val left = spark.range(400000).select(
+        when(col("id") % 100 < 90, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k2"))
+      val j = left.join(right, col("k") === col("k2")).select(col("k"))
+      // execute THIS frame's queryExecution (count() would plan its own
+      // clone and leave j's adaptive plan unfinalized)
+      assert(j.collect().length > 0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("UDF shingles == native shingles composition") {
     import spark.implicits._
     val docs = thrivespark.Tables.documents(spark, sf0001).limit(50)
