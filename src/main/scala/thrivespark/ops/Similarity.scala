@@ -136,6 +136,97 @@ object Similarity {
                 FROM cand)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
+    // Product quantization (PQ) — the compressed-domain scale path that
+    // completes the ANN ladder (brute → IVF → sign-LSH → PQ): vectors are
+    // encoded as M=8 subspace codes against a per-subspace codebook
+    // (centroids = a deterministic seed sample's slices), and queries score
+    // candidates against the RECONSTRUCTED vectors (ADC) — at 100 TB the
+    // scan touches 8 codes + a broadcast codebook per vector (32× less
+    // memory bandwidth than raw floats), composing with IVF cells for
+    // sublinearity. Every step has a total order (argmin tie → lower seed
+    // id; d2 and the ADC dot are the same sequential IEEE folds as the
+    // oracle), so like sim_ann_ivf this "approximate" operator still gets
+    // an exact SQL oracle; recall vs brute force is measured in
+    // DedupSimilaritySpec.
+    Op("sim_ann_pq",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val M = 8; val SUB = 8
+        val emb = T.embeddings(s, d)
+        def subSlices(v: Column): Column = explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(v, m * SUB + 1, SUB).as("sub"))): _*))
+        val subs = emb.select(col("vec_id"), subSlices(col("embedding")).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+        // fixed-size codebook: K = 64 seeds regardless of corpus size (the
+        // codebook must stay a constant-size broadcast at 100 TB)
+        val seedSubs = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 1600)
+          .select(col("vec_id").as("s_id"), subSlices(col("embedding")).as("x"))
+          .select(col("s_id"), col("x.m").as("sm"), col("x.sub").as("s_sub"))
+        // encode: per (vector, subspace) the nearest centroid by squared L2,
+        // expanded via the three-dot identity so every distance is the same
+        // sequential fold both engines run; broadcast codebook ⇒ the argmin
+        // reduces map-side, one (vec_id, m) shuffle total
+        val d2 = dot(col("sub"), col("sub")) + dot(col("s_sub"), col("s_sub")) -
+          lit(2) * dot(col("sub"), col("s_sub"))
+        val codes = subs.join(broadcast(seedSubs), col("m") === col("sm"))
+          .withColumn("d2", d2)
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("s_id"), struct(col("d2"), col("s_id"))).as("code"))
+        // reconstruction: concat the coded centroid slices back to 64 dims
+        val recon = codes.join(broadcast(seedSubs),
+            col("m") === col("sm") && col("code") === col("s_id"))
+          .groupBy(col("vec_id"))
+          .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("s_sub")))),
+            x => x.getField("s_sub"))).as("recon"))
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
+        broadcast(q).join(recon.select(col("vec_id").as("c_id"), col("recon")),
+            col("q_id") =!= col("c_id"))
+          .withColumn("approx", dot(col("q_emb"), col("recon")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), round6(col("approx")).as("approx_cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+              subs AS (
+                SELECT e.vec_id, ms.m, e.embedding[8*ms.m+1 : 8*ms.m+8] AS sub
+                FROM embeddings e CROSS JOIN ms),
+              ssubs AS (
+                SELECT s.vec_id AS s_id, ms.m AS sm,
+                       s.embedding[8*ms.m+1 : 8*ms.m+8] AS s_sub
+                FROM embeddings s CROSS JOIN ms WHERE s.vec_id % 25 = 0 AND s.vec_id < 1600),
+              enc1 AS (
+                SELECT v.vec_id, v.m, ss.s_id,
+                       row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+                         (list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(v.sub[i] AS DOUBLE)))
+                          + list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(ss.s_sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))
+                          - 2 * list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))) ASC,
+                         ss.s_id) AS rn
+                FROM subs v JOIN ssubs ss ON v.m = ss.sm),
+              codes AS (SELECT vec_id, m, s_id FROM enc1 WHERE rn = 1),
+              recon AS (
+                SELECT c.vec_id, flatten(list(ss.s_sub ORDER BY c.m)) AS recon
+                FROM codes c JOIN ssubs ss ON c.m = ss.sm AND c.s_id = ss.s_id
+                GROUP BY c.vec_id),
+              q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 50 = 0),
+              cand AS (
+                SELECT q.q_id, r.vec_id AS c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE))) AS approx
+                FROM q JOIN recon r ON r.vec_id <> q.q_id)
+              SELECT q_id, c_id, round(approx, 6) + 0.0 AS approx_cos, rn
+              FROM (SELECT q_id, c_id, approx,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY approx DESC, c_id) AS INTEGER) AS rn
+                    FROM cand)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
     // The NAIVE all-pairs formulation — no blocking in the user's query.
     // SimilarityJoinRewrite (optimizer rule) injects exact projection-bucket
     // blocking, so this plans as a shuffled equi-join instead of a
