@@ -150,6 +150,52 @@ object Text {
                           AS INTEGER) AS keep
               FROM per ORDER BY doc_id""")),
 
+    // Substring-window dedup (the "long shared substring" method from
+    // dedup-training-data practice, approximated at window granularity):
+    // hash every 8-token window, find windows occurring in ≥2 distinct
+    // docs, report each doc's shared-window fraction — the removal signal
+    // for cross-document boilerplate that whole-doc dedup misses. md5
+    // windows make the oracle exact. Plan: one explode (bounded ×tokens),
+    // two hash-key shuffles, broadcastable shared-hash set — at 100 TB the
+    // shared set is the rare tail, so the semi-join stays map-side.
+    Op("text_substring_dedup",
+      (s, d) => {
+        val K = 8
+        val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
+        val occ = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= K)
+          .select(col("doc_id"), explode(wins).as("h"))
+        val shared = occ.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_shared"))
+        occ.join(broadcast(shared), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("is_shared"), lit(0))).as("n_shared"))
+          .select(col("doc_id"), col("n_windows"), col("n_shared"),
+            round6(col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id,
+                       unnest([md5(array_to_string(ts[i : i+7], ' '))
+                               for i in generate_series(1, len(ts) - 7)]) AS h
+                FROM toks),
+              sh AS (SELECT h FROM (
+                       SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY h)
+                     WHERE nd >= 2)
+              SELECT o.doc_id, count(*) AS n_windows,
+                     CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                     round(CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) AS shared_frac
+              FROM occ o LEFT JOIN sh s ON o.h = s.h
+              GROUP BY o.doc_id ORDER BY o.doc_id""")),
+
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.
