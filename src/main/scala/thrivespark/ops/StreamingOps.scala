@@ -109,6 +109,46 @@ object StreamingOps {
                AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
               ORDER BY 1, 2, 3""")),
 
+    // Stream-stream LEFT OUTER join: unmatched views null-pad — but only
+    // after the watermark proves no match can still arrive, so the staged
+    // source ends with a far-future sentinel that flushes the final
+    // windows' state (filtered here). With that operational detail handled,
+    // the streamed result is exactly the batch left interval join.
+    Op("stream_outer_join",
+      (s, d) => {
+        val stage = stageDirOrderedFlush(s, d)
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_soj").toString
+        thrivespark.streaming.StreamRunner.viewPurchaseLeftJoin(
+          s, stage, cp, s"q_soj_${tag(d)}")
+          .filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("view_us"), col("purchase_us").asc_nulls_first)
+      },
+      Some("""SELECT v.user_id, epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON v.user_id = p.user_id
+               AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+              ORDER BY 1, 2, 3 NULLS FIRST""")),
+
+    // Trigger.AvailableNow — the scheduled-job streaming pattern: process
+    // everything available, self-terminate, resume from the checkpoint next
+    // invocation. Run twice on the same checkpoint: run 1 consumes the full
+    // corpus, run 2 consumes nothing — streaming's answer to the bookmark
+    // contract (#60), with exactly-once bookkeeping in the checkpoint
+    // instead of a metadata table.
+    Op("stream_available_now",
+      (s, d) => {
+        import s.implicits._
+        val stage = stageDirOrdered(s, d)
+        val base = java.nio.file.Files.createTempDirectory("graft_an").toString
+        val qn = s"q_an_${tag(d)}"
+        val r1 = thrivespark.streaming.StreamRunner.availableNowRun(s, stage, s"$base/cp", qn)
+        val r2 = thrivespark.streaming.StreamRunner.availableNowRun(s, stage, s"$base/cp", qn)
+        Seq((1, r1), (2, r2)).toDF("run", "n_input_rows").orderBy(col("run"))
+      },
+      Some("""SELECT 1 AS run, (SELECT count(*) FROM events) AS n_input_rows
+              UNION ALL SELECT 2, 0 ORDER BY run""")),
+
     // Streaming CDC apply: every event is an upsert keyed by user_id;
     // foreachBatch MERGEs each micro-batch into a keyed state table with
     // latest-wins (max by (ts, event_id)) semantics. Latest-wins is
@@ -236,6 +276,40 @@ object StreamingOps {
         .write.mode("overwrite").parquet(dir)
       ev.filter(col("ts") >= lit(cut)).coalesce(1)
         .write.mode("append").parquet(dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
+    }
+    dir
+  }
+
+  /** Ordered staging + a trailing far-future sentinel row (user_id = -1,
+    * ts = max + 30 days) in its own last-replayed file. The sentinel's only
+    * job is to advance the event-time watermark past every real join
+    * window so streaming OUTER joins can emit their null-padded unmatched
+    * rows; its own row stays below its watermark window and never emits,
+    * and callers filter user_id < 0 regardless. */
+  private def stageDirOrderedFlush(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_stage_flush_${tag(d)}"
+    if (!new java.io.File(s"$dir/_ok").exists()) {
+      val ev = thrivespark.Tables.events(s, d)
+      val r = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val cut = new java.sql.Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val far = new java.sql.Timestamp(
+        r.getTimestamp(1).getTime + 30L * 24 * 3600 * 1000)
+      ev.filter(col("ts") < lit(cut)).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      ev.filter(col("ts") >= lit(cut)).coalesce(1)
+        .write.mode("append").parquet(dir)
+      // one sentinel per SIDE: the global watermark is the MIN across the
+      // query's watermark nodes, so advancing only the view side would
+      // leave the purchase watermark at the real max and the last hour's
+      // unmatched views stuck in state (observed: 8 rows short at sf0.01)
+      Seq((-1L, far, -1L, "view", 0.0, "{}"),
+          (-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
     }
     dir

@@ -72,5 +72,42 @@ object UdfSurface {
                               recursive := true)
                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
               ORDER BY doc_id, pos""")),
+
+    // The typed Dataset[T] surface: case-class encoder, typed filter,
+    // groupByKey + mapGroups — per-group imperative logic with compile-time
+    // row types (the API tier between columnar exprs and raw RDDs).
+    // Determinism inside mapGroups: money is folded as exact integer cents
+    // (order-independent long addition), one double division at the end —
+    // so arbitrary iterator order per group can't drift the result. Plan:
+    // pushed scan → one groupByKey exchange → MapGroups; object serdes cost
+    // is the documented price of this tier (the columnar ops above stay in
+    // codegen, which is why only per-group imperative logic should live
+    // here).
+    Op("typed_dataset_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val ds = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .as[TypedOrder]
+        ds.filter(_.o_totalprice > 100000.0)
+          .groupByKey(_.o_orderstatus)
+          .mapGroups { (status, it) =>
+            var n = 0L; var cents = 0L
+            it.foreach { o => n += 1; cents += math.round(o.o_totalprice * 100) }
+            (status, n, cents / 100.0)
+          }
+          .toDF("o_orderstatus", "n", "total")
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+              FROM orders WHERE o_totalprice > 100000.0
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )
 }
+
+/** Typed row for the Dataset[T] surface op (encoders need a stable
+  * top-level case class). */
+case class TypedOrder(o_orderkey: Long, o_custkey: Long,
+    o_totalprice: Double, o_orderstatus: String)

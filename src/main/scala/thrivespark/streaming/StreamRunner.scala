@@ -153,6 +153,66 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER join: views with no purchase inside the
+    * 1-hour window emit null-padded — but only once the watermark passes
+    * the view's join window, which is when the engine can PROVE no match
+    * can still arrive. The staged source therefore ends with a far-future
+    * sentinel row that advances the watermark past every real event
+    * (callers filter it); without it the final windows' unmatched rows sit
+    * in state forever awaiting data that never comes — the defining
+    * operational detail of streaming outer joins. */
+  def viewPurchaseLeftJoin(spark: SparkSession, srcDir: String,
+      checkpoint: String, queryName: String): DataFrame =
+      withStatePartitions(spark, 2) {
+    val schema = spark.read.parquet(srcDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("""user_id = p_user AND
+              purchase_ts > view_ts AND
+              purchase_ts <= view_ts + INTERVAL 1 HOUR"""), "leftOuter")
+      .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Incremental batch-style streaming (Trigger.AvailableNow): process
+    * everything available, then self-terminate — the scheduled-job pattern.
+    * Returns total input rows consumed by this invocation; a second run on
+    * the same checkpoint with no new files must consume 0. */
+  def availableNowRun(spark: SparkSession, srcDir: String, checkpoint: String,
+      queryName: String): Long = withStatePartitions(spark, 4) {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val agg = in.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Streaming CDC apply (foreachBatch upsert sink): treat each event as an
     * upsert keyed by user_id and MERGE every micro-batch into a keyed state
     * table with latest-wins semantics (max by (ts, event_id) — associative,
