@@ -184,5 +184,56 @@ object Aggs {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
              countDistinct(col("user_id")).as("exact_users")),
       None),
+
+    // Bitmap-exact distinct for low-cardinality domains: encode each
+    // event_type as one bit, bit_or the bitmaps, bit_count the result.
+    // Unlike COUNT(DISTINCT), the bitmap is REAGGREGATABLE (bit_or is
+    // associative/commutative) — per-partition partial bitmaps merge
+    // losslessly, the same property the HLL op demonstrates approximately.
+    // The exact countDistinct rides along to prove equality in the oracle.
+    Op("agg_bitmap_distinct",
+      (s, d) => {
+        T.events(s, d)
+          .select(col("user_id"), expr("shiftleft(1L, " +
+              "cast(array_position(array('click','error','purchase','signup','view'), " +
+              "event_type) as int))").as("bit"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(bit_count(bit_or(col("bit"))).as("n_types_bitmap"),
+            countDistinct(col("event_type")).as("n_types_exact"))
+          .withColumn("agree", (col("n_types_bitmap") === col("n_types_exact")).cast("int"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+                     CAST(bit_count(bit_or(1::BIGINT << CAST(list_position(
+                            ['click','error','purchase','signup','view'], event_type) AS INTEGER)))
+                          AS INTEGER) AS n_types_bitmap,
+                     count(DISTINCT event_type) AS n_types_exact,
+                     CAST(bit_count(bit_or(1::BIGINT << CAST(list_position(
+                            ['click','error','purchase','signup','view'], event_type) AS INTEGER)))
+                          = count(DISTINCT event_type) AS INTEGER) AS agree
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // HLL sketch REAGGREGATION — the 100 TB distinct-count pattern: build
+    // one DataSketches HLL per day (partial), merge the day sketches with
+    // hll_union_agg instead of rescanning raw data. Register updates are
+    // max-based ⇒ order-independent and deterministic, but DuckDB has no
+    // matching sketch ⇒ rows-only; AggSpec proves merged-estimate ==
+    // direct-estimate (lossless reaggregation) and ±2% of exact.
+    Op("agg_hll_partial_merge",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact_day"))
+        val perDay = daily.select(col("day").cast("string").as("scope"),
+          hll_sketch_estimate(col("sk")).as("est_users"), col("exact_day").as("exact_users"))
+        val total = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+          .crossJoin(T.events(s, d).agg(countDistinct(col("user_id")).as("exact_users")))
+          .select(lit("TOTAL").as("scope"), col("est_users"), col("exact_users"))
+        perDay.unionByName(total).orderBy(col("scope"))
+      },
+      None),
   )
 }

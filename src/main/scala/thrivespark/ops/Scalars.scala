@@ -233,5 +233,21 @@ object Scalars {
                      count(*) AS cnt,
                      count(json_extract_string(props, '$.missing')) AS n_missing_notnull
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Binary codec surface: base64 / hex / round-trip decode — the
+    // serialization functions every payload-bearing pipeline leans on.
+    // hex case differs between engines (Spark upper, DuckDB upper too but
+    // normalize anyway) — lower() both sides.
+    Op("fn_codec",
+      (s, d) => T.part(s, d).select(
+        col("p_partkey"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        lower(hex(col("p_name").cast("binary"))).as("hex_lc"),
+        octet_length(unbase64(base64(col("p_name").cast("binary")))).as("rt_bytes"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, base64(encode(p_name)) AS b64,
+                     lower(hex(encode(p_name))) AS hex_lc,
+                     CAST(octet_length(from_base64(base64(encode(p_name)))) AS INTEGER) AS rt_bytes
+              FROM part ORDER BY p_partkey""")),
   )
 }

@@ -118,6 +118,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch reaggregation is lossless: union of day sketches == " +
+      "one-shot sketch; both within 2% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = thrivespark.Tables.events(spark, sf001)
+    val merged = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(merged == direct,
+      s"reaggregation lossy: merged=$merged direct=$direct")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.02,
+      s"estimate off: est=$merged exact=$exact")
+  }
+
   test("results are shuffle-partition-count invariant (decimal discipline)") {
     val keys = Seq("agg_pricing_summary", "join_inner_hash", "win_running_sum",
       "dedup_near_minhash", "dedup_clusters", "agg_mode", "analytics_gapfill",
