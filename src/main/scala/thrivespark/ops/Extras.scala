@@ -712,6 +712,78 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Dynamic partition pruning (DPP): the star-schema optimization that
+    // makes partitioned fact scans selective at runtime — the dim side's
+    // filter result is broadcast INTO the fact scan's partition filter, so
+    // only matching dt= directories are read (PlanSpec asserts the
+    // dynamicpruning subquery reaches the scan). Fact = the Hive-style
+    // partitioned events sink; dim = a small day-attribute table filtered
+    // to one week. At 100 TB this is the difference between scanning 7
+    // partitions and scanning 3 years.
+    Op("join_dpp_prune",
+      (s, d) => {
+        val fact = s"/tmp/graft_dpp_fact_${new java.io.File(d).getName}"
+        val dimP = s"/tmp/graft_dpp_dim_${new java.io.File(d).getName}"
+        if (!new java.io.File(s"$fact/_SUCCESS").exists()) {
+          T.events(s, d).withColumn("dt", to_date(col("ts")))
+            .repartition(col("dt"))
+            .write.mode("overwrite").partitionBy("dt").parquet(fact)
+        }
+        if (!new java.io.File(s"$dimP/_SUCCESS").exists()) {
+          T.events(s, d).select(to_date(col("ts")).as("dim_dt")).distinct()
+            .withColumn("week", weekofyear(col("dim_dt")))
+            .coalesce(1).write.mode("overwrite").parquet(dimP)
+        }
+        val dim = s.read.parquet(dimP).filter(col("week") === 3)
+        s.read.parquet(fact)
+          .join(dim.hint("broadcast"), col("dt") === col("dim_dt"))
+          .groupBy(col("dt"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("dt"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM events
+              WHERE weekofyear(date_trunc('day', ts)) = 3
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Data-quality anomaly monitor: per-day event counts scored against the
+    // trailing 7-day window (mean/stddev via RANGE-free ROWS frame, then
+    // z-score, |z| > 2 flags). The standard "did yesterday's load look
+    // wrong" metric — one day-grain aggregation (tiny), one ordered window
+    // over days; at 100 TB the day table is metadata-sized regardless of
+    // corpus size.
+    Op("etl_dq_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = T.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+        daily
+          .withColumn("mu", round(avg(col("n")).over(w), 4))
+          .withColumn("sigma", round(stddev_samp(col("n")).over(w), 4))
+          .filter(col("sigma").isNotNull && col("sigma") > 0)
+          .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+          .withColumn("is_anomaly", (abs(col("z")) > 2).cast("int"))
+          .select(col("day"), col("n"), col("mu"), col("sigma"), col("z"), col("is_anomaly"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1),
+              scored AS (
+                SELECT day, n,
+                       round(avg(n) OVER w, 4) AS mu,
+                       round(stddev_samp(n) OVER w, 4) AS sigma
+                FROM daily
+                WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+              SELECT day, n, mu, sigma,
+                     round((n - mu) / sigma, 4) AS z,
+                     CAST(abs(round((n - mu) / sigma, 4)) > 2 AS INTEGER) AS is_anomaly
+              FROM scored WHERE sigma IS NOT NULL AND sigma > 0
+              ORDER BY day""")),
+
     // Retention vacuum — the partition-lifecycle maintenance job that pairs
     // with compaction: drop day-partitions older than the retention window
     // (keep the newest 7 of 30) and emit the audit every vacuum must leave

@@ -224,6 +224,12 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("SortMergeJoin"), s"expected SMJ for the diff:\n$p")
   }
 
+  test("join_dpp_prune: dynamic partition pruning reaches the fact scan") {
+    val p = plan("join_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
     // The automatic complement of join_salted_skew's explicit salting: plant
     // a 90%-hot key, shrink the skew thresholds to demo scale, and assert
