@@ -712,6 +712,73 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Sequence packing (the LLM-training shard/packing step): assign docs,
+    // in doc_id order, to fixed token-budget sequences via the EXCLUSIVE
+    // running token sum. A bare ORDER BY window would serialize on one
+    // reducer, so the prefix sum runs as the classic two-pass distributed
+    // form: range-partition by the order key, local running sums per
+    // partition, tiny per-partition totals cumulated into offsets
+    // (broadcast back), local + offset = global. Output is independent of
+    // the partition boundaries, so the plan scales without changing results.
+    Op("etl_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 2048
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        val parts = toks.repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        val local = parts.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
+          .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+          .select(col("pid"), col("offset"))
+        local.join(broadcast(offsets), "pid")
+          .withColumn("cum_excl", col("local_cum") + col("offset") - col("n_tokens"))
+          .withColumn("seq_id", floor(col("cum_excl") / B))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("seq_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+                FROM t)
+              SELECT CAST(floor(cum_excl / 2048) AS BIGINT) AS seq_id,
+                     count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                     min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // parse_url surface: Spark's URL accessors checked against ground truth
+    // (the oracle REBUILDS each component from the columns the URL was
+    // synthesized from — an exact answer key, no parsing on the oracle side).
+    Op("fn_url",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"))
+        T.documents(s, d).select(
+          col("doc_id"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url(url, lit("PROTOCOL")).as("proto"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                     source || '.example.org' AS host,
+                     '/d/' || CAST(doc_id AS VARCHAR) AS path,
+                     lang AS q_lang,
+                     'https' AS proto
+              FROM documents ORDER BY doc_id""")),
+
     // Dynamic partition pruning (DPP): the star-schema optimization that
     // makes partitioned fact scans selective at runtime — the dim side's
     // filter result is broadcast INTO the fact scan's partition filter, so

@@ -298,18 +298,23 @@ object StreamingOps {
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val far = new java.sql.Timestamp(
         r.getTimestamp(1).getTime + 30L * 24 * 3600 * 1000)
-      ev.filter(col("ts") < lit(cut)).coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      ev.filter(col("ts") >= lit(cut)).coalesce(1)
-        .write.mode("append").parquet(dir)
       // one sentinel per SIDE: the global watermark is the MIN across the
       // query's watermark nodes, so advancing only the view side would
       // leave the purchase watermark at the real max and the last hour's
-      // unmatched views stuck in state (observed: 8 rows short at sf0.01)
-      Seq((-1L, far, -1L, "view", 0.0, "{}"),
-          (-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "purchase", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      // unmatched views stuck in state (observed: 8 rows short at sf0.01).
+      // Sentinels ride in the SECOND data file (watermark advances at batch
+      // end, eviction runs in the no-data batch after) — a third trigger
+      // would add ~1.2 s of pure micro-batch overhead for nothing.
+      val sentinels = Seq(
+        (-1L, far, -1L, "view", 0.0, "{}"),
+        (-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "purchase", 0.0, "{}"))
+      ev.filter(col("ts") < lit(cut)).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      ev.filter(col("ts") >= lit(cut))
+        .unionByName(s.createDataFrame(sentinels)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
     }
     dir
