@@ -138,7 +138,15 @@ class PropertySpec extends AnyFunSuite {
   test("results are shuffle-partition-count invariant (decimal discipline)") {
     val keys = Seq("agg_pricing_summary", "join_inner_hash", "win_running_sum",
       "dedup_near_minhash", "dedup_clusters", "agg_mode", "analytics_gapfill",
-      "analytics_hash_split")
+      "analytics_hash_split",
+      // r5 session ops whose implementations are explicitly
+      // partition-structured: the two-pass prefix sum (pack_sequences), the
+      // day-explode distinct (rolling_active), the gram/window shuffles
+      // (repetition, substring_dedup), the as-of reduction (attribution),
+      // and the PQ encode/reassembly (sim_ann_pq)
+      "etl_pack_sequences", "analytics_rolling_active", "text_repetition",
+      "text_substring_dedup", "analytics_attribution", "sim_ann_pq",
+      "agg_bitmap_distinct", "etl_snapshot_diff")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
