@@ -164,6 +164,25 @@ class StreamingSpec extends AnyFunSuite {
       s"latest-wins violated: $got")
   }
 
+  test("stream_available_now: resumes from the checkpoint and consumes " +
+      "ONLY newly arrived files") {
+    val src = Files.createTempDirectory("graft_an_src").toString
+    val ev = Tables.events(spark, sf0001)
+    val half = ev.count() / 2
+    ev.limit(half.toInt).coalesce(1).write.mode("append").parquet(src)
+    val base = Files.createTempDirectory("graft_an_cp").toString
+    val r1 = StreamRunner.availableNowRun(spark, src, s"$base/cp", "t_an")
+    assert(r1 == half, s"run 1 must consume the staged half: $r1 != $half")
+    // nothing new → nothing consumed
+    val r2 = StreamRunner.availableNowRun(spark, src, s"$base/cp", "t_an")
+    assert(r2 == 0, s"run 2 consumed $r2 rows from an unchanged source")
+    // a new file lands → ONLY its rows are consumed
+    Thread.sleep(1100)
+    ev.limit(100).coalesce(1).write.mode("append").parquet(src)
+    val r3 = StreamRunner.availableNowRun(spark, src, s"$base/cp", "t_an")
+    assert(r3 == 100, s"run 3 must consume exactly the new file: $r3")
+  }
+
   test("stream_stream_join: MemoryStream pairs match across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
