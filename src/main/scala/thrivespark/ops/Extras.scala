@@ -712,6 +712,49 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Malformed-record ingestion surface: a CSV batch with planted garbage
+    // lines read under the three parser modes — PERMISSIVE keeps bad rows
+    // as all-NULL + _corrupt_record (counted), DROPMALFORMED silently
+    // drops them. The deterministic plant (one garbage line per orderkey
+    // ≡0 mod 50 in the staged subset) makes every count oracle-exact —
+    // the ingestion-robustness contract dirty real-world feeds need.
+    Op("source_csv_malformed",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"/tmp/graft_badcsv_${new java.io.File(d).getName}"
+        val sub = T.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        val lines = sub.select(concat_ws(",",
+            col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus")).as("value"))
+          .unionByName(sub.filter(col("o_orderkey") % 50 === 0)
+            .select(lit("garbage;;not,a").as("value")))
+        lines.coalesce(1).write.mode("overwrite").text(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType),
+          StructField("_corrupt_record", StringType)))
+        def readAs(mode: String) =
+          s.read.schema(schema).option("mode", mode).csv(dir)
+        val permissive = readAs("PERMISSIVE").cache()
+        val rows = Seq(
+          ("permissive_total", permissive.count()),
+          ("permissive_corrupt", permissive.filter(col("_corrupt_record").isNotNull).count()),
+          ("dropmalformed_total",
+            readAs("DROPMALFORMED").select("o_orderkey").filter(col("o_orderkey").isNotNull).count()))
+        permissive.unpersist()
+        import s.implicits._
+        rows.toDF("mode", "n").orderBy(col("mode"))
+      },
+      Some("""WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+                   bad AS (SELECT count(*) AS nb FROM sub WHERE o_orderkey % 50 = 0),
+                   good AS (SELECT count(*) AS ng FROM sub)
+              SELECT 'dropmalformed_total' AS mode, (SELECT ng FROM good) AS n
+              UNION ALL
+              SELECT 'permissive_corrupt', (SELECT nb FROM bad)
+              UNION ALL
+              SELECT 'permissive_total', (SELECT ng FROM good) + (SELECT nb FROM bad)
+              ORDER BY mode""")),
+
     // Sequence packing (the LLM-training shard/packing step): assign docs,
     // in doc_id order, to fixed token-budget sequences via the EXCLUSIVE
     // running token sum. A bare ORDER BY window would serialize on one
