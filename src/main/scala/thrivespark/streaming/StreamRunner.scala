@@ -234,6 +234,14 @@ object StreamRunner {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // crash recovery: the swap below is delete-then-move, so a crash in
+        // between leaves only the complete _next dir — adopt it before
+        // reading, otherwise the state table would silently reset
+        val rootP = java.nio.file.Paths.get(stateDir)
+        val tmpP = java.nio.file.Paths.get(s"${stateDir}_next")
+        if (!java.nio.file.Files.exists(rootP) &&
+            java.nio.file.Files.exists(tmpP.resolve("_SUCCESS")))
+          java.nio.file.Files.move(tmpP, rootP)
         val cur =
           if (new java.io.File(s"$stateDir/_SUCCESS").exists())
             s.read.parquet(stateDir)

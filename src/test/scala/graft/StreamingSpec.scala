@@ -162,6 +162,20 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got == Map(1L -> ((10L, "late")), 2L -> ((13L, "y"))),
       s"latest-wins violated: $got")
+    // crash recovery: simulate dying between the swap's delete and move
+    // (only the complete _next dir remains) — the next run must adopt it,
+    // not silently reset the state table
+    java.nio.file.Files.move(java.nio.file.Paths.get(st),
+      java.nio.file.Paths.get(s"${st}_next"))
+    val stage2 = Files.createTempDirectory("graft_cdc_stage2").toString
+    Seq(Ev(20, ts("2024-01-02 09:00:00"), 3, "z", 9.0))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(stage2)
+    val got2 = StreamRunner.cdcApply(spark,
+        stage2, Files.createTempDirectory("graft_cdc_cp2").toString, st)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 13L, 3L -> 20L),
+      s"crashed swap not recovered: $got2")
   }
 
   test("stream_available_now: resumes from the checkpoint and consumes " +
