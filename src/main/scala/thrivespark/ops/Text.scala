@@ -196,6 +196,60 @@ object Text {
               FROM occ o LEFT JOIN sh s ON o.h = s.h
               GROUP BY o.doc_id ORDER BY o.doc_id""")),
 
+    // Unigram-LM quality score (the statistical tier above the heuristic
+    // filters): train token frequencies over the corpus, score each doc by
+    // its mean token log-probability — low scores flag gibberish /
+    // out-of-distribution text. Determinism: per-token log-probs are fixed
+    // to integer MICROS (BigDecimal HALF_UP == both engines' round), so the
+    // per-doc fold sums exact longs (any order) and pays one double
+    // division at the end. The vocab here is the 31-word synthetic
+    // vocabulary — the driver-side map is metadata-sized; at real scale cap
+    // to a top-K vocab (same shape, same map).
+    Op("text_lm_score",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val freqs = toks.select(explode(col("ts")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val total = freqs.map(_._2).sum.toDouble
+        // mirror DuckDB's round(x * 1e6) exactly: same IEEE product, then
+        // half-away-from-zero on the double (NOT BigDecimal string
+        // rounding, which can disagree with the product by one micro)
+        def micros(v: Double): Long = {
+          val x = v * 1e6
+          if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+        }
+        val logpMicros = freqs.map { case (t, c) =>
+          t -> micros(math.log(c / total)) }.toMap
+        val m = typedlit(logpMicros)
+        toks.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+            round6(aggregate(transform(col("ts"), t => element_at(m, t)),
+              lit(0L), (acc, x) => acc + x).cast("double")
+              / (size(col("ts")) * lit(1000000.0))).as("avg_logp"))
+          .withColumn("keep", (col("avg_logp") > -3.6).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              f AS (SELECT t, count(*) AS c
+                    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+              tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+              lp AS (SELECT t,
+                       CAST(round(ln(c / (SELECT total FROM tot)) * 1000000)
+                            AS BIGINT) AS lm
+                     FROM f),
+              m AS (SELECT map(list(t ORDER BY t), list(lm ORDER BY t)) AS mm
+                    FROM lp)
+              SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+                     round(CAST(list_sum(list_transform(ts,
+                             t -> map_extract(mm, t)[1])) AS DOUBLE)
+                           / (len(ts) * 1000000.0), 6) AS avg_logp,
+                     CAST(round(CAST(list_sum(list_transform(ts,
+                             t -> map_extract(mm, t)[1])) AS DOUBLE)
+                           / (len(ts) * 1000000.0), 6) > -3.6 AS INTEGER) AS keep
+              FROM toks, m ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.
