@@ -251,6 +251,30 @@ object Analytics {
     // observed span so every output day aggregates a full window's data.
     // Both engines run the identical formulation — no frame semantics to
     // reconcile.
+    // Ordered sequence-pattern match (the MATCH_RECOGNIZE shape): does a
+    // user's event-type sequence, in (ts, event_id) order, contain
+    // view → … → click → … → purchase? One groupBy(user) collecting the
+    // ordered type string (deterministic: array_sort on the unique
+    // (ts, event_id) prefix), then a regex — per-user state is one string,
+    // so the shuffle carries nothing beyond the events themselves.
+    Op("analytics_sequence_match",
+      (s, d) => {
+        val seq = array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",")
+        T.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), seq.as("type_seq"))
+          .select(col("user_id"), col("n_events"),
+            col("type_seq").rlike("view.*click.*purchase").cast("int").as("matched"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+                     CAST(regexp_matches(string_agg(event_type, ','
+                            ORDER BY ts, event_id), 'view.*click.*purchase')
+                          AS INTEGER) AS matched
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     Op("analytics_rolling_active",
       (s, d) => {
         val ev = T.events(s, d)
