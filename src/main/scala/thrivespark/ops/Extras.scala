@@ -712,6 +712,24 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // k-anonymity audit (privacy/governance gate for data release): group
+    // by the quasi-identifier tuple, flag groups smaller than k = 5 —
+    // the rows a release would have to suppress or generalize because the
+    // QI combination re-identifies. One hash aggregation on the QI key;
+    // the audit output is group-grain (bounded by QI cardinality, not rows).
+    Op("dq_k_anonymity",
+      (s, d) => {
+        T.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("at_risk", (col("n") < 5).cast("int"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+                     CAST(count(*) < 5 AS INTEGER) AS at_risk
+              FROM documents GROUP BY lang, source
+              ORDER BY lang, source""")),
+
     // Malformed-record ingestion surface: a CSV batch with planted garbage
     // lines read under the three parser modes — PERMISSIVE keeps bad rows
     // as all-NULL + _corrupt_record (counted), DROPMALFORMED silently
