@@ -224,6 +224,18 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("SortMergeJoin"), s"expected SMJ for the diff:\n$p")
   }
 
+  test("etl_pack_sequences: the doc-level running sum is partition-local; " +
+      "only the 8-row offsets pass through a single partition") {
+    val p = plan("etl_pack_sequences")
+    // bulk window keyed by the range-partition id, not a global ORDER BY
+    assert(p.contains("windowspecdefinition(pid"),
+      s"local running sum must partition by pid:\n$p")
+    // exactly one SinglePartition exchange — the per-partition totals
+    // (8 rows), never the doc-level data
+    val singles = "SinglePartition".r.findAllIn(p).size
+    assert(singles == 1, s"expected 1 tiny SinglePartition exchange, got $singles:\n$p")
+  }
+
   test("join_dpp_prune: dynamic partition pruning reaches the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.contains("dynamicpruning"),
