@@ -712,6 +712,34 @@ object Extras {
                 AND o_orderdate < TIMESTAMP '1997-04-01'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Fixed-width histogram (the distribution-profiling op every DQ /
+    // drift-monitoring pipeline runs): o_totalprice binned at a declared
+    // width with clamped edge bins; emits per-bin count + share. Bin
+    // boundaries are declared constants (not data-dependent), so profiles
+    // are comparable across runs/partitions — one integer-keyed hash
+    // aggregation.
+    Op("agg_histogram",
+      (s, d) => {
+        val width = 30000.0
+        val bin = least(greatest(floor(col("o_totalprice") / width), lit(0.0)), lit(19.0))
+          .cast("int")
+        T.orders(s, d)
+          .select(bin.as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+          .withColumn("share", round6(col("n").cast("double")
+            / sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy())))
+          .select(col("bin"), (col("bin") * 30000).cast("long").as("lo"),
+            col("n"), col("share"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH b AS (
+                SELECT CAST(least(greatest(floor(o_totalprice / 30000), 0), 19) AS INTEGER) AS bin
+                FROM orders),
+              g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+              SELECT bin, CAST(bin * 30000 AS BIGINT) AS lo, n,
+                     round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM g), 6) AS share
+              FROM g ORDER BY bin""")),
+
     // k-anonymity audit (privacy/governance gate for data release): group
     // by the quasi-identifier tuple, flag groups smaller than k = 5 —
     // the rows a release would have to suppress or generalize because the
