@@ -303,5 +303,47 @@ object Analytics {
                                                   INTERVAL 1 DAY)) AS report_day
                     FROM act)
               GROUP BY 1 ORDER BY 1""")),
+
+    // Importance resampling: the acceptance rate comes from the DATA (a
+    // per-doc quality weight — here token-uniqueness, the text_quality
+    // signal), not from a per-stratum constant like stratified_sample.
+    // Selection stays content-addressed (md5 bucket of doc_id), so the
+    // sample is reproducible across engines, re-runs and repartitioning;
+    // floor() is declared on the rate because double→int CAST truncates in
+    // Spark but rounds in DuckDB. Map-only scoring + one low-cardinality
+    // rollup — nothing here changes at 100 TB.
+    Op("analytics_importance_sample",
+      (s, d) => {
+        val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000).as("b")
+        val weight = least(lit(1.0),
+          size(array_distinct(split(col("text"), " "))).cast("double") / 30.0)
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"), bucket,
+            floor(weight * 1000).cast("long").as("rate"))
+          .withColumn("sampled", (col("b") < col("rate")).cast("int"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"),
+            round6(avg(col("rate").cast("double") / 1000.0)).as("mean_weight"))
+          .withColumn("achieved_rate",
+            round6(col("n_sampled").cast("double") / col("n_total")))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+                     CAST(sum(sampled) AS BIGINT) AS n_sampled,
+                     round(avg(rate / 1000.0), 6) AS mean_weight,
+                     round(CAST(sum(sampled) AS DOUBLE) / count(*), 6) AS achieved_rate
+              FROM (SELECT lang,
+                      CAST(floor(least(1.0,
+                             len(list_distinct(string_split(text, ' '))) / 30.0)
+                           * 1000) AS BIGINT) AS rate,
+                      CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+                           AS BIGINT) AS b,
+                      CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 1000
+                           < floor(least(1.0,
+                               len(list_distinct(string_split(text, ' '))) / 30.0)
+                             * 1000) AS INTEGER) AS sampled
+                    FROM documents)
+              GROUP BY lang ORDER BY lang""")),
   )
 }

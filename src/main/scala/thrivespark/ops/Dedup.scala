@@ -459,5 +459,86 @@ object Dedup {
           .orderBy(col("lang"))
       },
       None),
+
+    // Benchmark decontamination (the GPT-3/PaLM-style eval-overlap filter):
+    // a training doc is contaminated if it shares ANY K-token window with
+    // the held-out eval set (here the deterministic doc_id % 97 == 0 slice;
+    // K = 4 on this 31-word synthetic vocabulary — real pipelines use
+    // K ≈ 13 on open vocabularies, same plan). Scale shape: the eval set is
+    // tiny relative to the corpus by construction, so its distinct window
+    // set BROADCASTS and the containment check is a map-side left join —
+    // the 100 TB corpus is touched once, never shuffled on the window key.
+    Op("dedup_decontaminate",
+      (s, d) => {
+        val K = 4
+        val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+          i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
+        val occ = T.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_eval"),
+            split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= K)
+          .select(col("doc_id"), col("is_eval"), explode(wins).as("h"))
+        val evalWins = occ.filter(col("is_eval"))
+          .select(col("h")).distinct().withColumn("hit", lit(1))
+        occ.filter(!col("is_eval"))
+          .join(broadcast(evalWins), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .withColumn("keep", (col("n_hits") === 0).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+                       string_split(text, ' ') AS ts
+                FROM documents WHERE len(string_split(text, ' ')) >= 4),
+              occ AS (
+                SELECT doc_id, is_eval,
+                       unnest([md5(array_to_string(ts[i : i+3], ' '))
+                               for i in generate_series(1, len(ts) - 3)]) AS h
+                FROM toks),
+              ev AS (SELECT DISTINCT h FROM occ WHERE is_eval)
+              SELECT o.doc_id, count(*) AS n_windows,
+                     CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits,
+                     CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) = 0
+                          AS INTEGER) AS keep
+              FROM occ o LEFT JOIN ev e ON o.h = e.h
+              WHERE NOT o.is_eval
+              GROUP BY o.doc_id ORDER BY o.doc_id""")),
+
+    // Incremental dedup — the 100 TB operational pattern: a new DELTA batch
+    // (doc_id % 5 == 0 here) is deduped against the standing CORPUS
+    // fingerprint index WITHOUT re-deduping the corpus. Fingerprint =
+    // md5 of the sorted distinct token set (bag-of-words), a deliberately
+    // coarser key than whole-text md5 so permuted/repeated re-crawls of the
+    // same content collide. Two prunings: anti-join vs the corpus index
+    // (shuffle on the fingerprint only — the index is fingerprints, not
+    // text), then first-wins (min doc_id) within the delta. At scale the
+    // index is a bucketed table on fp; the delta-side shuffle is the only
+    // per-batch cost.
+    Op("dedup_incremental",
+      (s, d) => {
+        val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), fp.as("fp"),
+            (col("doc_id") % 5 === 0).as("is_delta"))
+        val corpusIdx = docs.filter(!col("is_delta")).select(col("fp")).distinct()
+        docs.filter(col("is_delta"))
+          .join(corpusIdx, Seq("fp"), "left_anti")
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_delta"))
+          .select(col("doc_id"), col("n_in_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+                SELECT doc_id, doc_id % 5 = 0 AS is_delta,
+                       md5(array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' ')) AS fp
+                FROM documents)
+              SELECT min(doc_id) AS doc_id, count(*) AS n_in_delta
+              FROM f
+              WHERE is_delta AND fp NOT IN (SELECT fp FROM f WHERE NOT is_delta)
+              GROUP BY fp ORDER BY doc_id""")),
   )
 }

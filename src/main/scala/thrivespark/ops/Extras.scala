@@ -758,6 +758,33 @@ object Extras {
               FROM documents GROUP BY lang, source
               ORDER BY lang, source""")),
 
+    // PII masking / generalization (the release-side companion to the
+    // k-anonymity audit): direct identifiers are masked in place (name →
+    // all-but-last-3 starred), quasi-identifiers are generalized (nation →
+    // region via the broadcast dim join; account balance → 1000-wide band).
+    // Pure map-side rewrite plus one broadcast join — the governance pass
+    // adds no shuffle to a 100 TB release pipeline.
+    Op("dq_pii_mask",
+      (s, d) => {
+        val masked = expr(
+          "concat(repeat('*', length(c_name) - 3), substr(c_name, length(c_name) - 2, 3))")
+        T.customer(s, d)
+          .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), masked.as("name_masked"),
+            col("n_regionkey").as("region_band"),
+            (floor(col("c_acctbal") / 1000.0) * 1000).cast("long").as("acct_band"),
+            col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+                     repeat('*', length(c_name) - 3)
+                       || substring(c_name, length(c_name) - 2, 3) AS name_masked,
+                     n_regionkey AS region_band,
+                     CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acct_band,
+                     c_mktsegment
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              ORDER BY c_custkey""")),
+
     // Malformed-record ingestion surface: a CSV batch with planted garbage
     // lines read under the three parser modes — PERMISSIVE keeps bad rows
     // as all-NULL + _corrupt_record (counted), DROPMALFORMED silently

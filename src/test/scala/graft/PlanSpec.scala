@@ -274,6 +274,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_decontaminate: eval window set broadcasts (map-side containment, " +
+       "no corpus shuffle on the window key)") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-window containment must be a broadcast join:\n$p")
+    // the only shuffle allowed is the final doc_id aggregation
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle on the window key:\n$p")
+  }
+
+  test("dq_pii_mask: dim generalization broadcasts; masking adds no shuffle") {
+    val p = plan("dq_pii_mask")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"masking pass must not shuffle:\n$p")
+  }
+
   test("UDF shingles == native shingles composition") {
     import spark.implicits._
     val docs = thrivespark.Tables.documents(spark, sf0001).limit(50)
