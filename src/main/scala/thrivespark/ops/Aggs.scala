@@ -235,5 +235,31 @@ object Aggs {
         perDay.unionByName(total).orderBy(col("scope"))
       },
       None),
+
+    // Count-min sketch frequency estimation — the third classic sketch next
+    // to HLL (distinct) and the exact bitmap: sub-linear memory, mergeable
+    // across partitions (Spark's count_min_sketch aggregate unions partial
+    // sketches internally — the same distributive shape as the other two).
+    // The fixed seed makes the sketch deterministic across runs and
+    // partitionings. Guarantee: est ≥ exact, and est ≤ exact + ε·N with
+    // prob ≥ 0.99 (ε = 0.001) — PropertySpec asserts both sides; the exact
+    // counts ride along as the verification surface. Engine-specific
+    // hashing ⇒ rows-only driver check.
+    Op("agg_cms_freq",
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val skBytes = ev.agg(count_min_sketch(col("event_type"),
+            lit(0.001), lit(0.99), lit(42)).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+        val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
+          .toDF("event_type", "exact_n", "est_n")
+          .withColumn("overcount", col("est_n") - col("exact_n"))
+          .orderBy(col("event_type"))
+      },
+      None),
   )
 }

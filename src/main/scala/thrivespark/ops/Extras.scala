@@ -785,6 +785,41 @@ object Extras {
               FROM customer JOIN nation ON c_nationkey = n_nationkey
               ORDER BY c_custkey""")),
 
+    // Late-arriving dimension lifecycle: facts loaded before their dimension
+    // row exists key to the declared UNKNOWN member instead of being dropped
+    // or stalling the load ('initial' phase: the dim feed is missing every
+    // 10th customer); when the dim catches up, the same aggregation re-keys
+    // them ('backfilled' phase). Emitting both phases side by side is the
+    // reconciliation audit a warehouse runs after a dim backfill. Plan: two
+    // left joins sharing one shuffle shape + a union — the dim is the small
+    // side and broadcasts at any scale where it fits.
+    Op("etl_late_arriving_dim",
+      (s, d) => {
+        val o = T.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        def phase(dim: org.apache.spark.sql.DataFrame, name: String) =
+          o.join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"), "left")
+            .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("seg"))
+            .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+            .withColumn("phase", lit(name))
+        val full = T.customer(s, d)
+        phase(full.filter(col("c_custkey") % 10 =!= 0), "initial")
+          .unionByName(phase(full, "backfilled"))
+          .select(col("phase"), col("seg"), col("n_orders"), col("revenue"))
+          .orderBy(col("phase"), col("seg"))
+      },
+      Some("""WITH p AS (
+                SELECT 'initial' AS phase, coalesce(c.c_mktsegment, 'UNKNOWN') AS seg,
+                       o.o_totalprice
+                FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey AND c.c_custkey % 10 <> 0
+                UNION ALL
+                SELECT 'backfilled', coalesce(c.c_mktsegment, 'UNKNOWN'), o.o_totalprice
+                FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+              SELECT phase, seg, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM p GROUP BY phase, seg ORDER BY phase, seg""")),
+
     // Malformed-record ingestion surface: a CSV batch with planted garbage
     // lines read under the three parser modes — PERMISSIVE keeps bad rows
     // as all-NULL + _corrupt_record (counted), DROPMALFORMED silently

@@ -189,6 +189,44 @@ object Joins {
                   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
               WHERE rn = 1 ORDER BY event_id""")),
 
+    // As-of with a staleness TOLERANCE (the feature-store point-in-time
+    // lookup contract): the matched order must be within 30 days BEFORE the
+    // event — older state is considered expired and the row null-pads
+    // instead of silently joining stale data. Same max_by reduction as
+    // join_asof (map-side combinable, no per-key window sort); the left
+    // join back preserves unmatched events. The band predicate rides the
+    // equi-join on user, so no extra shuffle vs the unbounded as-of.
+    Op("join_asof_tolerance",
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val o = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val matched = e.join(o,
+            col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts") &&
+            col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAYS"))
+          .groupBy(col("event_id"))
+          .agg(max_by(struct(col("o_orderkey"), col("o_orderdate")),
+                      struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+          .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+            col("m.o_orderdate").as("od"))
+        e.join(matched, Seq("event_id"), "left")
+          .select(col("event_id"), col("o_orderkey"),
+            datediff(to_date(col("ts")), to_date(col("od"))).as("staleness_days"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, m.o_orderkey,
+                     CAST(date_diff('day', CAST(m.od AS DATE), CAST(e.ts AS DATE))
+                          AS INTEGER) AS staleness_days
+              FROM events e LEFT JOIN (
+                SELECT event_id, o_orderkey, od FROM (
+                  SELECT e.event_id, o.o_orderkey, o.o_orderdate AS od,
+                         row_number() OVER (PARTITION BY e.event_id
+                                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                  FROM events e JOIN orders o
+                    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+                       AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+                WHERE rn = 1) m ON e.event_id = m.event_id
+              ORDER BY e.event_id""")),
+
     // Same semantics through the custom whole-operator path (LogicalPlan +
     // Strategy + SparkPlan, thrivespark.plans.AsOfJoin): sorted two-pointer
     // merge, no candidate-pair materialization. LEFT OUTER flavor.

@@ -146,7 +146,13 @@ class PropertySpec extends AnyFunSuite {
       // and the PQ encode/reassembly (sim_ann_pq)
       "etl_pack_sequences", "analytics_rolling_active", "text_repetition",
       "text_substring_dedup", "analytics_attribution", "sim_ann_pq",
-      "agg_bitmap_distinct", "etl_snapshot_diff")
+      "agg_bitmap_distinct", "etl_snapshot_diff",
+      // governance/pipeline ops added late in r5: broadcast containment
+      // (decontaminate), fp anti-join + first-wins (incremental), the
+      // content-addressed sampler, the two-phase dim backfill, and the
+      // tolerance-banded as-of reduction
+      "dedup_decontaminate", "dedup_incremental", "analytics_importance_sample",
+      "etl_late_arriving_dim", "join_asof_tolerance")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
@@ -173,6 +179,17 @@ class PropertySpec extends AnyFunSuite {
         assert(math.abs(approx - exact) / math.abs(exact) < 0.01,
           s"${r.getString(0)}: approx=$approx exact=$exact")
       }
+  }
+
+  test("count-min sketch: est >= exact and overcount <= eps*N") {
+    val rows = thrivespark.Registry.queries("agg_cms_freq")(spark, sf001).collect()
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (t, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"$t: CMS must never undercount (est=$est exact=$exact)")
+      assert(est <= exact + (0.001 * total).ceil.toLong,
+        s"$t: overcount ${est - exact} exceeds eps*N bound")
+    }
   }
 
   test("approx_count_distinct within 2% of exact (#28)") {
