@@ -345,5 +345,69 @@ object Analytics {
                              * 1000) AS INTEGER) AS sampled
                     FROM documents)
               GROUP BY lang ORDER BY lang""")),
+
+    // Experiment readout over the content-addressed split: users hash into
+    // A/B arms (md5 % 2 — same reproducibility argument as hash_split),
+    // conversion = the user ever purchased, and the two-proportion z-score
+    // decides significance. All math after the one user-grain aggregation
+    // is scalar double arithmetic on a 2-row frame — sqrt and division are
+    // IEEE-identical in both engines, round6 kills formatting drift. At
+    // 100 TB the plan is one user-grain aggregation + a 2-row reduction.
+    Op("analytics_ab_test",
+      (s, d) => {
+        // conversion = a HEAVY purchaser (≥ 8): on this synthetic feed every
+        // user purchases at least once, which would make the pooled rate
+        // exactly 1 and the z denominator zero
+        val users = T.events(s, d)
+          .groupBy(col("user_id"))
+          .agg((sum((col("event_type") === "purchase").cast("int")) >= 8)
+            .cast("int").as("converted"))
+          .withColumn("arm",
+            (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 2).cast("int"))
+        val arms = users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+        val a = arms.filter(col("arm") === 0)
+          .select(col("n_users").as("n_a"), col("n_conv").as("c_a"))
+        val b = arms.filter(col("arm") === 1)
+          .select(col("n_users").as("n_b"), col("n_conv").as("c_b"))
+        a.crossJoin(b).select(
+          col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round6(col("c_a").cast("double") / col("n_a")).as("rate_a"),
+          round6(col("c_b").cast("double") / col("n_b")).as("rate_b"),
+          round6(
+            (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b"))
+            / sqrt((col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+                   * (lit(1.0) - (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+                   * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z_score"))
+          .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
+      },
+      Some("""WITH u AS (
+                SELECT user_id,
+                       CAST(sum(CAST(event_type = 'purchase' AS INTEGER)) >= 8
+                            AS INTEGER) AS converted,
+                       CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 2
+                            AS INTEGER) AS arm
+                FROM events GROUP BY user_id),
+              g AS (SELECT arm, count(*) AS n_users,
+                           CAST(sum(converted) AS BIGINT) AS n_conv
+                    FROM u GROUP BY arm),
+              w AS (SELECT
+                      (SELECT n_users FROM g WHERE arm = 0) AS n_a,
+                      (SELECT n_conv  FROM g WHERE arm = 0) AS c_a,
+                      (SELECT n_users FROM g WHERE arm = 1) AS n_b,
+                      (SELECT n_conv  FROM g WHERE arm = 1) AS c_b)
+              SELECT n_a, c_a, n_b, c_b,
+                     round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+                     round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+                     round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                           / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+                     CAST(abs(round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                           / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS INTEGER) AS significant
+              FROM w""")),
   )
 }

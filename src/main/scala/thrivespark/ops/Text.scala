@@ -250,6 +250,40 @@ object Text {
                            / (len(ts) * 1000000.0), 6) > -3.6 AS INTEGER) AS keep
               FROM toks, m ORDER BY doc_id""")),
 
+    // Normalization pass (the first stage of every text pipeline): lowercase,
+    // collapse runs of whitespace, trim. Demonstrated as a ROUNDTRIP
+    // contract on deliberately dirtied input (planted leading/trailing pad,
+    // uppercasing, doubled separators — the corpus itself is already clean,
+    // so normalizing it directly would be an identity no-op): normalize(
+    // dirty(text)) must equal the original byte-for-byte, asserted per row
+    // in both engines. Map-only; DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default.
+    Op("text_normalize",
+      (s, d) => {
+        val dirty = concat(lit("  \t"), upper(col("text")), lit("   "))
+          .as("dirty_pre")
+        val normalized = trim(regexp_replace(lower(col("dirty")), "[ \\t]+", " "))
+        T.documents(s, d)
+          .select(col("doc_id"), col("text"), dirty)
+          .select(col("doc_id"), col("text"),
+            regexp_replace(col("dirty_pre"), " ", "  ").as("dirty"))
+          .select(col("doc_id"), length(col("dirty")).as("n_dirty"),
+            normalized.as("norm"), col("text"))
+          .select(col("doc_id"), col("n_dirty"),
+            length(col("norm")).as("n_norm"),
+            (col("norm") === col("text")).cast("int").as("roundtrip"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, length(dirty) AS n_dirty,
+                     length(trim(regexp_replace(lower(dirty), '[ \t]+', ' ', 'g'))) AS n_norm,
+                     CAST(trim(regexp_replace(lower(dirty), '[ \t]+', ' ', 'g')) = text
+                          AS INTEGER) AS roundtrip
+              FROM (SELECT doc_id, text,
+                           regexp_replace('  ' || chr(9) || upper(text) || '   ',
+                                          ' ', '  ', 'g') AS dirty
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.
