@@ -820,6 +820,37 @@ object Extras {
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
               FROM p GROUP BY phase, seg ORDER BY phase, seg""")),
 
+    // Partition-backfill via DYNAMIC partition overwrite: the initial load
+    // writes every dt= partition (gen 1); the backfill rewrites ONE day
+    // (gen 2) with partitionOverwriteMode=dynamic, which replaces only the
+    // partitions present in the incoming frame — under the default STATIC
+    // mode the same overwrite would wipe the whole table. The read-back
+    // audit proves both halves: the backfilled day carries gen 2 and every
+    // other day's rows survived intact. This is the idempotent-backfill
+    // primitive behind every dt-partitioned warehouse at 100 TB.
+    Op("etl_backfill_overwrite",
+      (s, d) => {
+        val sink = s"/tmp/graft_backfill_${new java.io.File(d).getName}"
+        val ev = T.events(s, d).withColumn("dt", to_date(col("ts")))
+        ev.withColumn("gen", lit(1))
+          .repartition(col("dt"))
+          .write.mode("overwrite").partitionBy("dt").parquet(sink)
+        val day0 = ev.agg(min(col("dt"))).head().getDate(0)
+        ev.filter(col("dt") === lit(day0)).withColumn("gen", lit(2))
+          .repartition(col("dt"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dt").parquet(sink)
+        s.read.parquet(sink)
+          .groupBy(col("dt"))
+          .agg(count(lit(1)).as("cnt"), max(col("gen")).as("gen"))
+          .orderBy(col("dt"))
+      },
+      Some("""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS dt FROM events)
+              SELECT dt, count(*) AS cnt,
+                     CAST(CASE WHEN dt = (SELECT min(dt) FROM e) THEN 2 ELSE 1 END
+                          AS INTEGER) AS gen
+              FROM e GROUP BY dt ORDER BY dt""")),
+
     // Malformed-record ingestion surface: a CSV batch with planted garbage
     // lines read under the three parser modes — PERMISSIVE keeps bad rows
     // as all-NULL + _corrupt_record (counted), DROPMALFORMED silently

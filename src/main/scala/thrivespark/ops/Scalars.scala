@@ -215,6 +215,37 @@ object Scalars {
                               'k': CAST(json_extract_string(props, '$.k') AS INTEGER)}) AS as_json
               FROM events ORDER BY event_id""")),
 
+    // XML ingestion surface (Spark 4 native from_xml): the op builds the
+    // XML from known columns, parses it back with the declared schema, and
+    // emits the extracted fields — the oracle re-derives the same values by
+    // regex-parsing the identical XML string, so the check exercises real
+    // parsing on both sides rather than comparing constants. Map-only.
+    Op("fn_xml",
+      (s, d) => {
+        val xml = concat(lit("<r><k>"), col("o_orderkey"),
+          lit("</k><s>"), col("o_orderstatus"), lit("</s></r>"))
+        val schema = StructType(Seq(
+          StructField("k", org.apache.spark.sql.types.LongType),
+          StructField("s", org.apache.spark.sql.types.StringType)))
+        T.orders(s, d)
+          .select(col("o_orderkey"), xml.as("x"))
+          .select(col("o_orderkey"), col("x"),
+            from_xml(col("x"), schema).as("p"))
+          .select(col("o_orderkey"), col("p.k").as("k"), col("p.s").as("s"),
+            (col("p.k") === col("o_orderkey")).cast("int").as("parity"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+                     CAST(regexp_extract(x, '<k>([0-9]+)</k>', 1) AS BIGINT) AS k,
+                     regexp_extract(x, '<s>([A-Z]+)</s>', 1) AS s,
+                     CAST(CAST(regexp_extract(x, '<k>([0-9]+)</k>', 1) AS BIGINT)
+                          = o_orderkey AS INTEGER) AS parity
+              FROM (SELECT o_orderkey,
+                           '<r><k>' || o_orderkey || '</k><s>' || o_orderstatus
+                             || '</s></r>' AS x
+                    FROM orders)
+              ORDER BY o_orderkey""")),
+
     Op("fn_json",
       (s, d) => {
         // One parse per row: both extracted fields live in the same
