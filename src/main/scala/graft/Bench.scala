@@ -2,9 +2,48 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on
+    * the same disk the benchmark writes to and inflate filesystem listing +
+    * overwrite costs. The /tmp/graft_* namespace is exclusively ours and a
+    * bench run owns the box, so reclaim it before timing anything. */
+  private def cleanScratch(): Int = {
+    val tmp = new java.io.File("/tmp")
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    stale.foreach(rm)
+    stale.length
+  }
+
+  /** Pinned calibration probe: a fixed CPU-bound aggregation whose cost is
+    * independent of the benchmark data. On an idle box it runs well under
+    * CalibrationBudgetSec; when a concurrent load steals the cores (the
+    * adjudicated cause of the invalid 1311 s r5 record — same binary
+    * measured 109.7 s on the idle box) the probe slows with everything
+    * else, so the record becomes self-labeling instead of silently wrong. */
+  private val CalibrationBudgetSec = 2.0
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    // best of two probes: a single probe can absorb a one-off JIT/GC pause
+    // (measured 0.94 s first vs 0.30 s steady); sustained contention slows
+    // BOTH, which is the signal we're after
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(8L * 1000 * 1000)
+        .select((col("id") % 9973).as("k"), (col("id") * 2654435761L).as("v"))
+        .groupBy(col("k")).agg(sum(col("v")), avg(col("v")))
+        .count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cleaned = cleanScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,21 +88,31 @@ object Bench {
         .option("checkpointLocation", cp).start()
       q.processAllAvailable(); q.stop()
     }
+    // Calibrate AFTER warmup (so the probe measures the box, not JIT) and
+    // again after the suite: contamination arriving mid-run is caught too.
+    val calPre = calibrate(spark)
+    if (calPre > CalibrationBudgetSec)
+      println(f"WARNING: calibration ${calPre}%.2f s exceeds the ${CalibrationBudgetSec}%.1f s budget — host appears contaminated by concurrent load; timings below are NOT trustworthy")
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calPost = calibrate(spark)
+    if (calPost > CalibrationBudgetSec)
+      println(f"WARNING: post-run calibration ${calPost}%.2f s exceeds the ${CalibrationBudgetSec}%.1f s budget — concurrent load arrived during the run; timings above are NOT trustworthy")
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"contaminated":${
+      calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec},"cleaned_tmp":$cleaned"""
     val total = results.map(_._2).sum
     def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + f"${kv._2}%.3f"
     // Full per-query detail, for humans reading the raw log.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${
-      results.map(ent).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      results.map(ent).mkString("{", ",", "}")},$calib,"sf":"$sfDir"}""")
     // The driver captures only the last ~2000 chars of stdout; the FINAL line
     // must fit inside that window or BENCH_r{N}.json records parsed:null
     // (which is what happened in rounds 1-3). Keep the slowest queries up to
     // a fixed char budget and summarize the omitted fast tail.
-    val budget = 1400
+    val budget = 1300
     val byCost = results.sortBy { case (k, v) => (-v, k) }
     var used = 0
     val keep = scala.collection.mutable.HashSet.empty[String]
@@ -75,7 +124,7 @@ object Bench {
     val omitted = results.filterNot(kv => keep(kv._1))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       kept.map(ent).mkString("{", ",", "}")},"queries_omitted":${omitted.size},"omitted_sec":${
-      f"${omitted.map(_._2).sum}%.3f"},"sf":"$sfDir"}""")
+      f"${omitted.map(_._2).sum}%.3f"},$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
