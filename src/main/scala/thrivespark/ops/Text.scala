@@ -200,33 +200,41 @@ object Text {
     // filters): train token frequencies over the corpus, score each doc by
     // its mean token log-probability — low scores flag gibberish /
     // out-of-distribution text. Determinism: per-token log-probs are fixed
-    // to integer MICROS (BigDecimal HALF_UP == both engines' round), so the
-    // per-doc fold sums exact longs (any order) and pays one double
-    // division at the end. The vocab here is the 31-word synthetic
-    // vocabulary — the driver-side map is metadata-sized; at real scale cap
-    // to a top-K vocab (same shape, same map).
+    // to integer MICROS with explicit half-away-from-zero floor/ceil (the
+    // same IEEE ops DuckDB's round performs on the identical double), so
+    // the per-doc sum is exact longs (any order) and pays one double
+    // division at the end.
+    // Scale shape (r6, closing the r5 scale flag): the vocabulary never
+    // touches the driver. Token frequencies are a distributed aggregation,
+    // the corpus total is a broadcast 1-row crossJoin, the vocab is capped
+    // to the top-K most frequent tokens via TakeOrdered (K = 2^18 ≫ the
+    // 31-word synthetic vocab, so the cap is semantically inert here while
+    // bounding the broadcast at real corpus sizes), and docs are scored by
+    // explode → broadcast join → re-aggregate. Zero collect() anywhere.
     Op("text_lm_score",
       (s, d) => {
+        val K = 1 << 18
         val toks = T.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        val freqs = toks.select(explode(col("ts")).as("t"))
-          .groupBy(col("t")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
-        val total = freqs.map(_._2).sum.toDouble
+        val tf = toks.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+          explode(col("ts")).as("t"))
+        val freqs = tf.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val total = freqs.agg(sum(col("c")).cast("double").as("total"))
         // mirror DuckDB's round(x * 1e6) exactly: same IEEE product, then
-        // half-away-from-zero on the double (NOT BigDecimal string
-        // rounding, which can disagree with the product by one micro)
-        def micros(v: Double): Long = {
-          val x = v * 1e6
-          if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
-        }
-        val logpMicros = freqs.map { case (t, c) =>
-          t -> micros(math.log(c / total)) }.toMap
-        val m = typedlit(logpMicros)
-        toks.select(col("doc_id"), size(col("ts")).as("n_tokens"),
-            round6(aggregate(transform(col("ts"), t => element_at(m, t)),
-              lit(0L), (acc, x) => acc + x).cast("double")
-              / (size(col("ts")) * lit(1000000.0))).as("avg_logp"))
+        // half-away-from-zero on the double
+        val x = log(col("c").cast("double") / col("total")) * lit(1e6)
+        val lp = freqs.crossJoin(broadcast(total))
+          .select(col("t"), col("c"),
+            when(x >= 0, floor(x + lit(0.5))).otherwise(ceil(x - lit(0.5)))
+              .cast("long").as("lm"))
+          .orderBy(col("c").desc, col("t")).limit(K)
+          .select(col("t"), col("lm"))
+        tf.join(broadcast(lp), Seq("t"), "left")
+          .groupBy(col("doc_id"), col("n_tokens"))
+          .agg(sum(col("lm")).as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            round6(col("s").cast("double")
+              / (col("n_tokens") * lit(1000000.0))).as("avg_logp"))
           .withColumn("keep", (col("avg_logp") > -3.6).cast("int"))
           .orderBy(col("doc_id"))
       },
