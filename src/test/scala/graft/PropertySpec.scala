@@ -76,6 +76,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: diameter-39 chain labels correctly (beyond the old 20-round cap)") {
+    import spark.implicits._
+    // a 40-node path graph (diameter 39) would silently emit wrong labels
+    // under the pre-r6 `iter < 20` per-hop propagation; pointer jumping
+    // must converge it — and the post-loop guard must never fire silently
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    // plus a disjoint 3-node component to prove labels don't bleed across
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("a_id", "b_id")
+    val lbl = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 39L).foreach(i => assert(lbl(i) == 0L, s"node $i got label ${lbl(i)}"))
+    Seq(100L, 101L, 102L).foreach(i =>
+      assert(lbl(i) == 100L, s"node $i got label ${lbl(i)}"))
+    assert(lbl.size == 43)
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = thrivespark.Registry.queries("dedup_exact")(spark, sf001)
     val ids = once.select(col("keep_id")).collect().map(_.getLong(0)).toSet
