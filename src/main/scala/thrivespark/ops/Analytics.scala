@@ -350,9 +350,9 @@ object Analytics {
     // A/B arms (md5 % 2 — same reproducibility argument as hash_split),
     // conversion = the user ever purchased, and the two-proportion z-score
     // decides significance. All math after the one user-grain aggregation
-    // is scalar double arithmetic on a 2-row frame — sqrt and division are
+    // is scalar double arithmetic on a 1-row frame — sqrt and division are
     // IEEE-identical in both engines, round6 kills formatting drift. At
-    // 100 TB the plan is one user-grain aggregation + a 2-row reduction.
+    // 100 TB the plan is one user-grain aggregation + a 1-row reduction.
     Op("analytics_ab_test",
       (s, d) => {
         // conversion = a HEAVY purchaser (≥ 8): on this synthetic feed every
@@ -365,21 +365,27 @@ object Analytics {
           .withColumn("arm",
             (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
               .cast("long") % 2).cast("int"))
-        val arms = users.groupBy(col("arm"))
-          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-        val a = arms.filter(col("arm") === 0)
-          .select(col("n_users").as("n_a"), col("n_conv").as("c_a"))
-        val b = arms.filter(col("arm") === 1)
-          .select(col("n_users").as("n_b"), col("n_conv").as("c_b"))
-        a.crossJoin(b).select(
+        // Conditional aggregation (r6, per ADVICE): one global aggregate
+        // always emits exactly one row even when a hash arm is empty —
+        // filter+crossJoin of two 1-row frames would emit zero rows there
+        // while the oracle's scalar subqueries emit one row of NULLs. The
+        // pooled-variance denominator is nullif-guarded so a degenerate
+        // pooled rate (0 or 1) yields z = NULL identically in both engines.
+        val w = users.agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
+          sum(when(col("arm") === 0, col("converted")).otherwise(0)).as("c_a"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"),
+          sum(when(col("arm") === 1, col("converted")).otherwise(0)).as("c_b"))
+        val pooled = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+        val denom = sqrt(pooled * (lit(1.0) - pooled)
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        w.select(
           col("n_a"), col("c_a"), col("n_b"), col("c_b"),
           round6(col("c_a").cast("double") / col("n_a")).as("rate_a"),
           round6(col("c_b").cast("double") / col("n_b")).as("rate_b"),
           round6(
             (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b"))
-            / sqrt((col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
-                   * (lit(1.0) - (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
-                   * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z_score"))
+            / nullif(denom, lit(0.0))).as("z_score"))
           .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
       },
       Some("""WITH u AS (
@@ -389,25 +395,23 @@ object Analytics {
                        CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 2
                             AS INTEGER) AS arm
                 FROM events GROUP BY user_id),
-              g AS (SELECT arm, count(*) AS n_users,
-                           CAST(sum(converted) AS BIGINT) AS n_conv
-                    FROM u GROUP BY arm),
               w AS (SELECT
-                      (SELECT n_users FROM g WHERE arm = 0) AS n_a,
-                      (SELECT n_conv  FROM g WHERE arm = 0) AS c_a,
-                      (SELECT n_users FROM g WHERE arm = 1) AS n_b,
-                      (SELECT n_conv  FROM g WHERE arm = 1) AS c_b)
+                      CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+                      CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                      CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+                    FROM u)
               SELECT n_a, c_a, n_b, c_b,
                      round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
                      round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
                      round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-                           / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                           / nullif(sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
                                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                                  * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+                                  * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_score,
                      CAST(abs(round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-                           / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+                           / nullif(sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
                                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                                  * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS INTEGER) AS significant
+                                  * (1.0 / n_a + 1.0 / n_b)), 0), 6)) > 1.96 AS INTEGER) AS significant
               FROM w""")),
   )
 }

@@ -490,39 +490,55 @@ object Dedup {
         val K = 4
         val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
           i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
-        val occ = T.documents(s, d)
+        val docs = T.documents(s, d)
           .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_eval"),
             split(col("text"), " ").as("ts"))
+        val occ = docs
           .filter(size(col("ts")) >= K)
           .select(col("doc_id"), col("is_eval"), explode(wins).as("h"))
         val evalWins = occ.filter(col("is_eval"))
           .select(col("h")).distinct().withColumn("hit", lit(1))
-        occ.filter(!col("is_eval"))
+        val verdict = occ.filter(!col("is_eval"))
           .join(broadcast(evalWins), Seq("h"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),
             sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        // Left-join the verdict back to the FULL non-eval doc set (r6, per
+        // ADVICE): a training doc with fewer than K tokens has no windows
+        // to test, hence cannot be contaminated — it must surface as
+        // keep=1 / n_windows=0, not silently vanish from both verdicts
+        // (a keep=1 semi-join downstream would have discarded it).
+        docs.filter(!col("is_eval")).select(col("doc_id"))
+          .join(verdict, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
           .withColumn("keep", (col("n_hits") === 0).cast("int"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH toks AS (
                 SELECT doc_id, doc_id % 97 = 0 AS is_eval,
                        string_split(text, ' ') AS ts
-                FROM documents WHERE len(string_split(text, ' ')) >= 4),
+                FROM documents),
               occ AS (
                 SELECT doc_id, is_eval,
                        unnest([md5(array_to_string(ts[i : i+3], ' '))
                                for i in generate_series(1, len(ts) - 3)]) AS h
-                FROM toks),
-              ev AS (SELECT DISTINCT h FROM occ WHERE is_eval)
-              SELECT o.doc_id, count(*) AS n_windows,
-                     CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_hits,
-                     CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) = 0
-                          AS INTEGER) AS keep
-              FROM occ o LEFT JOIN ev e ON o.h = e.h
-              WHERE NOT o.is_eval
-              GROUP BY o.doc_id ORDER BY o.doc_id""")),
+                FROM toks WHERE len(ts) >= 4),
+              ev AS (SELECT DISTINCT h FROM occ WHERE is_eval),
+              v AS (SELECT o.doc_id, count(*) AS n_windows,
+                           CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hits
+                    FROM occ o LEFT JOIN ev e ON o.h = e.h
+                    WHERE NOT o.is_eval
+                    GROUP BY o.doc_id)
+              SELECT t.doc_id,
+                     coalesce(v.n_windows, 0) AS n_windows,
+                     coalesce(v.n_hits, 0) AS n_hits,
+                     CAST(coalesce(v.n_hits, 0) = 0 AS INTEGER) AS keep
+              FROM toks t LEFT JOIN v ON t.doc_id = v.doc_id
+              WHERE NOT t.is_eval
+              ORDER BY t.doc_id""")),
 
     // Incremental dedup — the 100 TB operational pattern: a new DELTA batch
     // (doc_id % 5 == 0 here) is deduped against the standing CORPUS

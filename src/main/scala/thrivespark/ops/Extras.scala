@@ -759,31 +759,36 @@ object Extras {
               ORDER BY lang, source""")),
 
     // PII masking / generalization (the release-side companion to the
-    // k-anonymity audit): direct identifiers are masked in place (name →
-    // all-but-last-3 starred), quasi-identifiers are generalized (nation →
-    // region via the broadcast dim join; account balance → 1000-wide band).
-    // Pure map-side rewrite plus one broadcast join — the governance pass
-    // adds no shuffle to a 100 TB release pipeline.
+    // k-anonymity audit): the direct key is TOKENIZED (md5 — emitting the
+    // raw c_custkey next to a length-preserving name mask was trivially
+    // invertible, since TPC-H names embed the zero-padded key; r6 per
+    // ADVICE), names are masked (all-but-last-3 starred), and
+    // quasi-identifiers are generalized (nation → region via the broadcast
+    // dim join; account balance → 1000-wide band). Pure map-side rewrite
+    // plus one broadcast join — the governance pass adds no shuffle to a
+    // 100 TB release pipeline. (A production tokenizer would use a keyed
+    // HMAC, not a bare hash; the plan shape is identical.)
     Op("dq_pii_mask",
       (s, d) => {
         val masked = expr(
           "concat(repeat('*', length(c_name) - 3), substr(c_name, length(c_name) - 2, 3))")
         T.customer(s, d)
           .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), masked.as("name_masked"),
+          .select(md5(col("c_custkey").cast("string")).as("cust_token"),
+            masked.as("name_masked"),
             col("n_regionkey").as("region_band"),
             (floor(col("c_acctbal") / 1000.0) * 1000).cast("long").as("acct_band"),
             col("c_mktsegment"))
-          .orderBy(col("c_custkey"))
+          .orderBy(col("cust_token"))
       },
-      Some("""SELECT c_custkey,
+      Some("""SELECT md5(CAST(c_custkey AS VARCHAR)) AS cust_token,
                      repeat('*', length(c_name) - 3)
                        || substring(c_name, length(c_name) - 2, 3) AS name_masked,
                      n_regionkey AS region_band,
                      CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acct_band,
                      c_mktsegment
               FROM customer JOIN nation ON c_nationkey = n_nationkey
-              ORDER BY c_custkey""")),
+              ORDER BY cust_token""")),
 
     // Late-arriving dimension lifecycle: facts loaded before their dimension
     // row exists key to the declared UNKNOWN member instead of being dropped
@@ -830,20 +835,38 @@ object Extras {
     // primitive behind every dt-partitioned warehouse at 100 TB.
     Op("etl_backfill_overwrite",
       (s, d) => {
-        val sink = s"/tmp/graft_backfill_${new java.io.File(d).getName}"
-        val ev = T.events(s, d).withColumn("dt", to_date(col("ts")))
-        ev.withColumn("gen", lit(1))
-          .repartition(col("dt"))
-          .write.mode("overwrite").partitionBy("dt").parquet(sink)
-        val day0 = ev.agg(min(col("dt"))).head().getDate(0)
-        ev.filter(col("dt") === lit(day0)).withColumn("gen", lit(2))
-          .repartition(col("dt"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("dt").parquet(sink)
-        s.read.parquet(sink)
-          .groupBy(col("dt"))
-          .agg(count(lit(1)).as("cnt"), max(col("gen")).as("gen"))
-          .orderBy(col("dt"))
+        // Run-scoped scratch sink (r6, per ADVICE): a fixed path raced with
+        // concurrent suites (the second dynamic overwrite is partial, so a
+        // concurrent reader could see mixed generations) and accumulated
+        // /tmp litter that BASELINE.md documents as a bench contaminant.
+        // The partition-grain audit (O(days) rows) is materialized before
+        // the scratch dir is deleted — same documented driver-side pattern
+        // as etl_retention_vacuum's partition list.
+        val sinkPath = java.nio.file.Files.createTempDirectory("graft_backfill_")
+        val sink = sinkPath.toString
+        try {
+          val ev = T.events(s, d).withColumn("dt", to_date(col("ts")))
+          ev.withColumn("gen", lit(1))
+            .repartition(col("dt"))
+            .write.mode("overwrite").partitionBy("dt").parquet(sink)
+          val day0 = ev.agg(min(col("dt"))).head().getDate(0)
+          ev.filter(col("dt") === lit(day0)).withColumn("gen", lit(2))
+            .repartition(col("dt"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dt").parquet(sink)
+          val audit = s.read.parquet(sink)
+            .groupBy(col("dt"))
+            .agg(count(lit(1)).as("cnt"), max(col("gen")).as("gen"))
+          val rows = audit.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
+            .orderBy(col("dt"))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(sinkPath.toFile)
+        }
       },
       Some("""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS dt FROM events)
               SELECT dt, count(*) AS cnt,
