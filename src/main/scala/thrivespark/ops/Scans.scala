@@ -59,6 +59,34 @@ object Scans {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Catalog-backed table sink (r6): the reference's actual load contract
+    // is a partitioned CATALOG table (SURVEY §1.1 maps Thrive's Hive load
+    // to saveAsTable), not a bare path. saveAsTable registers the table +
+    // its partition metadata in the session catalog; the read-back goes
+    // through spark.table (catalog resolution, partition-aware scan —
+    // partition pruning on dt is asserted in PlanSpec), and the audit
+    // aggregation is oracle-checked against the source. The table is
+    // external at a /tmp location so the repo tree stays clean; the name
+    // and path are dataset-scoped and the write is an idempotent
+    // overwrite. At scale this is exactly the Hive-metastore pattern —
+    // same API, the catalog just points at HMS instead.
+    Op("sink_hive_table",
+      (s, d) => {
+        val ds = new java.io.File(d).getName.replace('.', '_')
+        val table = s"graft_events_$ds"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        T.events(s, d).withColumn("dt", to_date($c("ts")))
+          .repartition($c("dt"))
+          .write.mode("overwrite").partitionBy("dt")
+          .option("path", s"/tmp/graft_hivetbl_$ds")
+          .saveAsTable(table)
+        s.table(table)
+          .groupBy($c("dt")).agg(count(lit(1)).as("cnt"))
+          .orderBy($c("dt"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
   )
 
   private def $c(n: String) = col(n)

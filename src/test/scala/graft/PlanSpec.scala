@@ -180,6 +180,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no partition pruning:\n$p")
   }
 
+  test("sink_hive_table: catalog round-trip, partition listing, pruned read-back") {
+    Registry.queries("sink_hive_table")(spark, sf0001).count() // materialize table
+    val table = s"graft_events_${new java.io.File(sf0001).getName.replace('.', '_')}"
+    // the catalog knows the table AND its partitions (the Hive load contract)
+    assert(spark.catalog.tableExists(table))
+    val nParts = spark.sql(s"SHOW PARTITIONS $table").count()
+    assert(nParts >= 2, s"expected multiple dt partitions, got $nParts")
+    // a dt filter on the catalog read-back must prune partitions, not scan all
+    val p = spark.table(table)
+      .filter(col("dt") === "2024-01-15")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no partition pruning:\n$p")
+  }
+
   test("dedup_ngram_jaccard: no cartesian/BNLJ pair enumeration in the plan") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
