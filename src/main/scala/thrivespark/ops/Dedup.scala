@@ -308,6 +308,11 @@ object Dedup {
         val docs = shingleDocs(s, d)
         val posts = docs.select(col("doc_id"), explode(col("shl")).as("h"))
         val freqs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        // Index prefix (|A| − ⌈τ|A|⌉ + 1 rarest tokens), built ONCE and
+        // localCheckpoint'ed: the self-join below consumes it on both
+        // sides with different filters, which defeats exchange reuse —
+        // without the checkpoint the whole posts⋈freqs⋈groupBy subtree
+        // runs twice (r6; measured 2.25 s → 1.6 s warm at sf0.1).
         val pref = posts.join(freqs, "h")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
@@ -316,17 +321,29 @@ object Dedup {
             .as(Seq("pos0", "p")))
           .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
             col("p.h").as("h"))
-        val cands = pref.as("x")
+          .localCheckpoint(true)
+        // Asymmetric (probe) prefix — All-Pairs/PPJoin: order each pair by
+        // (size, doc_id) so x is the SMALLER set; its overlap with any
+        // qualifying partner is ≥ ⌈2τ/(1+τ)·|x|⌉, so probing needs only
+        // its |x| − ⌈2τ/(1+τ)·|x|⌉ + 1 rarest tokens (0.25·|x| at τ=0.6
+        // vs the 0.4·|x| index prefix) — the postings join shrinks at
+        // generation time with recall 1 preserved (brute-force equality
+        // stays asserted in PropertySpec).
+        val alpha = 2 * tau / (1 + tau)
+        val probe = pref.filter(
+          col("pos") <= col("sz") - ceil(lit(alpha) * col("sz")) + 1)
+        val cands = probe.as("x")
           .join(pref.as("y"), col("x.h") === col("y.h") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            // length filter: min size ≥ τ · max size
-            least(col("x.sz"), col("y.sz")).cast("double") >=
-              lit(tau) * greatest(col("x.sz"), col("y.sz")) &&
+            (col("x.sz") < col("y.sz") ||
+              (col("x.sz") === col("y.sz") && col("x.doc_id") < col("y.doc_id"))) &&
+            // length filter (x is the smaller side): |x| ≥ τ · |y|
+            col("x.sz").cast("double") >= lit(tau) * col("y.sz") &&
             // positional filter: 1 + min(remaining) ≥ τ/(1+τ) · (|A|+|B|)
             (lit(1) + least(col("x.sz") - col("x.pos"),
               col("y.sz") - col("y.pos"))).cast("double") >=
               lit(tau / (1 + tau)) * (col("x.sz") + col("y.sz")))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
           .distinct()
         val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
         val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
