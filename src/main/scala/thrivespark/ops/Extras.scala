@@ -608,6 +608,67 @@ object Extras {
               GROUP BY c_custkey, c_name, c_acctbal, n_name
               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem joined
+    // to the part dim, conditional revenue in the numerator, total in the
+    // denominator — the canonical "share of business" scalar. Part
+    // broadcasts (dim); both sums accumulate in exact decimal and convert
+    // to double once, then a single IEEE division (R2). The shipdate
+    // window is pushed into the parquet scan.
+    Op("q14_promo_revenue",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        T.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(round6(lit(100.0)
+            * sum(dec(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))).cast("double")
+            / sum(dec(rev)).cast("double")).as("promo_revenue_pct"))
+      },
+      Some("""SELECT round(100.0
+                     * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1.0 - l_discount)
+                           ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+                AND l_shipdate < TIMESTAMP '1997-07-01'""")),
+
+    // TPC-H Q18 shape (large-volume orders): aggregate the fact to order
+    // grain, HAVING-filter to the heavy tail, then enrich the tiny
+    // survivor set with orders + customer. The group-then-filter runs on
+    // the fact's natural key (one shuffle); the survivor set is orders of
+    // magnitude smaller than either dim side, so AQE broadcasts it into
+    // both enrichment joins — at 100 TB the heavy-hitter list is the
+    // small side, never the fact.
+    Op("q18_large_orders",
+      (s, d) => {
+        val big = T.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        // the heavy-hitter list is the explicit broadcast side — at test
+        // scale AQE would happily broadcast the dims instead, which is
+        // exactly the plan that dies at 100 TB
+        broadcast(big).join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250)
+              SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+              FROM big
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
     // ORC source round-trip (third ingestion format next to JSONL/CSV):
     // write a column-pruned orders projection as ORC, read it back (schema
     // rides in the ORC footer — no inference), aggregate per order year.

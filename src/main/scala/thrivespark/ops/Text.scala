@@ -292,6 +292,51 @@ object Text {
                     FROM documents)
               ORDER BY doc_id""")),
 
+    // PII scrubbing (the redaction stage of a training-data pipeline):
+    // regex-redact emails and phone numbers to typed placeholder tokens.
+    // The corpus itself is clean, so — as with text_normalize — the op is
+    // demonstrated as a ROUNDTRIP contract on deterministically planted
+    // PII (one email + one phone derived from doc_id): after scrubbing,
+    // the text must equal the original plus the two placeholders, asserted
+    // per row in both engines. Map-only (no shuffle beyond the output
+    // sort); regex character-class semantics are identical in Java regex
+    // and DuckDB's RE2 for these patterns; DuckDB needs the explicit 'g'
+    // flag where Spark's regexp_replace is global by default.
+    Op("text_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val planted = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val scrubbed = regexp_replace(
+          regexp_replace(col("planted"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")
+        T.documents(s, d)
+          .select(col("doc_id"), col("text"), planted.as("planted"))
+          .select(col("doc_id"),
+            (regexp_count(col("planted"), lit(emailRe))
+              + regexp_count(col("planted"), lit(phoneRe))).cast("long").as("n_pii"),
+            (scrubbed === concat(col("text"),
+              lit(" contact <EMAIL> or <PHONE>"))).cast("int").as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+                        + len(regexp_extract_all(planted, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                          AS BIGINT) AS n_pii,
+                     CAST(regexp_replace(
+                            regexp_replace(planted,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                          = text || ' contact <EMAIL> or <PHONE>' AS INTEGER) AS clean
+              FROM (SELECT doc_id, text,
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or 415-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.

@@ -200,5 +200,25 @@ object Windows {
               FROM part
               QUALIFY rn <= 3
               ORDER BY p_brand, rn""")),
+
+    // ntile quantile sharding (r6): assign each row to one of N
+    // equal-count buckets within its group — the window primitive behind
+    // quantile-stratified train/val splits and per-segment score bands.
+    // SQL-standard semantics (earlier buckets take the remainder), so the
+    // oracle is exact; one window shuffle on the group key, and the
+    // orderBy carries the unique key tiebreak for total order (R1).
+    Op("win_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                     CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+              FROM customer ORDER BY c_custkey""")),
   )
 }
