@@ -12,6 +12,34 @@ import thrivespark.Det._
   * aggregation map-side, one exchange per distinct grouping key.
   */
 object Analytics {
+  /** A/B-test readout over a user-grain frame with `arm` (0/1) and
+    * `converted` (0/1) columns. Extracted so AnalyticsSpec can prove the
+    * degenerate cases the oracle can't reach on real data: an empty arm
+    * still emits exactly one row (rates/z NULL, never zero rows), and a
+    * zero-variance pooled rate yields z = NULL rather than engine-dependent
+    * 0/0 behavior. */
+  def abReadout(users: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = users.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0)).as("c_a"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0)).as("c_b"))
+    // every divisor is nullif-guarded: Spark 4 runs ANSI (x/0 THROWS) while
+    // DuckDB yields NULL — nullif makes both engines produce NULL
+    def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0))
+    val rateA = col("c_a").cast("double") / nz(col("n_a"))
+    val rateB = col("c_b").cast("double") / nz(col("n_b"))
+    val pooled = (col("c_a") + col("c_b")).cast("double") / nz(col("n_a") + col("n_b"))
+    val denom = sqrt(pooled * (lit(1.0) - pooled)
+      * (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b"))))
+    w.select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round6(rateA).as("rate_a"),
+      round6(rateB).as("rate_b"),
+      round6((rateA - rateB) / nullif(denom, lit(0.0))).as("z_score"))
+      .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
+  }
+
   val ops: Seq[Op] = Seq(
     // Staged conversion funnel view → click → purchase, each step within
     // 1 hour of the previous step's FIRST completion (the strict
@@ -371,22 +399,9 @@ object Analytics {
         // while the oracle's scalar subqueries emit one row of NULLs. The
         // pooled-variance denominator is nullif-guarded so a degenerate
         // pooled rate (0 or 1) yields z = NULL identically in both engines.
-        val w = users.agg(
-          sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
-          sum(when(col("arm") === 0, col("converted")).otherwise(0)).as("c_a"),
-          sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"),
-          sum(when(col("arm") === 1, col("converted")).otherwise(0)).as("c_b"))
-        val pooled = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
-        val denom = sqrt(pooled * (lit(1.0) - pooled)
-          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
-        w.select(
-          col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-          round6(col("c_a").cast("double") / col("n_a")).as("rate_a"),
-          round6(col("c_b").cast("double") / col("n_b")).as("rate_b"),
-          round6(
-            (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b"))
-            / nullif(denom, lit(0.0))).as("z_score"))
-          .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
+        // (Readout extracted as abReadout; degenerate cases pinned in
+        // AnalyticsSpec.)
+        abReadout(users)
       },
       Some("""WITH u AS (
                 SELECT user_id,
