@@ -183,6 +183,39 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination over a (doc_id, is_eval, ts) frame: a
+    * training doc is contaminated if it shares ANY K-token window with the
+    * eval slice. The eval set's distinct window hashes BROADCAST and the
+    * containment check is a map-side left join — the corpus is touched
+    * once, never shuffled on the window key. The verdict left-joins back
+    * to the FULL non-eval doc set (r6, per ADVICE): a doc with fewer than
+    * K tokens has no windows to test, hence cannot be contaminated — it
+    * must surface as keep=1 / n_windows=0, not silently vanish from both
+    * verdicts (a keep=1 semi-join downstream would have discarded it).
+    * Extracted so DedupSimilaritySpec can plant a short doc (the corpus
+    * has none). */
+  def decontaminate(docs: DataFrame, K: Int): DataFrame = {
+    val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+      i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
+    val occ = docs
+      .filter(size(col("ts")) >= K)
+      .select(col("doc_id"), col("is_eval"), explode(wins).as("h"))
+    val evalWins = occ.filter(col("is_eval"))
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    val verdict = occ.filter(!col("is_eval"))
+      .join(broadcast(evalWins), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+    docs.filter(!col("is_eval")).select(col("doc_id"))
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("keep", (col("n_hits") === 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERS: connected components of the verified pair graph,
     * so every dup cluster — not just each pairwise edge — gets one
     * canonical representative (its smallest doc_id). Pair-at-a-time
@@ -503,36 +536,11 @@ object Dedup {
     // set BROADCASTS and the containment check is a map-side left join —
     // the 100 TB corpus is touched once, never shuffled on the window key.
     Op("dedup_decontaminate",
-      (s, d) => {
-        val K = 4
-        val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
-          i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
-        val docs = T.documents(s, d)
+      (s, d) => decontaminate(
+        T.documents(s, d)
           .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_eval"),
-            split(col("text"), " ").as("ts"))
-        val occ = docs
-          .filter(size(col("ts")) >= K)
-          .select(col("doc_id"), col("is_eval"), explode(wins).as("h"))
-        val evalWins = occ.filter(col("is_eval"))
-          .select(col("h")).distinct().withColumn("hit", lit(1))
-        val verdict = occ.filter(!col("is_eval"))
-          .join(broadcast(evalWins), Seq("h"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_windows"),
-            sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-        // Left-join the verdict back to the FULL non-eval doc set (r6, per
-        // ADVICE): a training doc with fewer than K tokens has no windows
-        // to test, hence cannot be contaminated — it must surface as
-        // keep=1 / n_windows=0, not silently vanish from both verdicts
-        // (a keep=1 semi-join downstream would have discarded it).
-        docs.filter(!col("is_eval")).select(col("doc_id"))
-          .join(verdict, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .withColumn("keep", (col("n_hits") === 0).cast("int"))
-          .orderBy(col("doc_id"))
-      },
+            split(col("text"), " ").as("ts")),
+        K = 4),
       Some("""WITH toks AS (
                 SELECT doc_id, doc_id % 97 = 0 AS is_eval,
                        string_split(text, ' ') AS ts

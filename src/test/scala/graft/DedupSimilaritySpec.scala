@@ -109,4 +109,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mm.decodeStub(null) == null, "null payload passes through decode")
     assert(mm.frameSampleStub(null, 4, 2) == null)
   }
+
+  test("decontaminate: docs shorter than K surface as keep=1/n_windows=0") {
+    import spark.implicits._
+    // doc 1 shares a 4-token window with the eval doc (contaminated);
+    // doc 2 is clean; doc 3 has only 2 tokens — fewer than K, so it has
+    // no windows to test and must still appear, kept (the r6 ADVICE fix:
+    // pre-fix it vanished from both verdicts)
+    val docs = Seq(
+      (0L, true, "the quick brown fox jumps over"),
+      (1L, false, "start pad the quick brown fox tail"),
+      (2L, false, "completely different words in this document"),
+      (3L, false, "too short")
+    ).toDF("doc_id", "is_eval", "text")
+      .select(col("doc_id"), col("is_eval"), split(col("text"), " ").as("ts"))
+    val out = Dedup.decontaminate(docs, K = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"every non-eval doc must appear: $out")
+    assert(out(1L)._2 > 0 && out(1L)._3 == 0, s"doc 1 must be flagged: ${out(1L)}")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 1, s"doc 2 must be kept: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1)), s"short doc: keep=1, zero windows: ${out(3L)}")
+  }
 }
