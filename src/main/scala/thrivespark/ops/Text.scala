@@ -1,6 +1,6 @@
 package thrivespark.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import thrivespark.{Op, Tables => T}
 import thrivespark.Det._
@@ -14,6 +14,33 @@ import thrivespark.Det._
   * engines; rounding is half-away-from-zero in both. */
 object Text {
   private def toks: Column = split(col("text"), " ")
+
+  /** Unigram-LM scores over a (doc_id, ts) frame → (doc_id, n_tokens,
+    * avg_logp). Fully distributed (see text_lm_score's op comment for the
+    * determinism and top-K-vocab design); shared by text_lm_score and
+    * text_filter_pipeline. */
+  private[ops] def lmScores(docs: DataFrame): DataFrame = {
+    val K = 1 << 18
+    val tf = docs.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+      explode(col("ts")).as("t"))
+    val freqs = tf.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).cast("double").as("total"))
+    // mirror DuckDB's round(x * 1e6) exactly: same IEEE product, then
+    // half-away-from-zero on the double
+    val x = log(col("c").cast("double") / col("total")) * lit(1e6)
+    val lp = freqs.crossJoin(broadcast(total))
+      .select(col("t"), col("c"),
+        when(x >= 0, floor(x + lit(0.5))).otherwise(ceil(x - lit(0.5)))
+          .cast("long").as("lm"))
+      .orderBy(col("c").desc, col("t")).limit(K)
+      .select(col("t"), col("lm"))
+    tf.join(broadcast(lp), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("lm")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round6(col("s").cast("double")
+          / (col("n_tokens") * lit(1000000.0))).as("avg_logp"))
+  }
 
   val ops: Seq[Op] = Seq(
     Op("text_stats",
@@ -212,32 +239,11 @@ object Text {
     // bounding the broadcast at real corpus sizes), and docs are scored by
     // explode → broadcast join → re-aggregate. Zero collect() anywhere.
     Op("text_lm_score",
-      (s, d) => {
-        val K = 1 << 18
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        val tf = toks.select(col("doc_id"), size(col("ts")).as("n_tokens"),
-          explode(col("ts")).as("t"))
-        val freqs = tf.groupBy(col("t")).agg(count(lit(1)).as("c"))
-        val total = freqs.agg(sum(col("c")).cast("double").as("total"))
-        // mirror DuckDB's round(x * 1e6) exactly: same IEEE product, then
-        // half-away-from-zero on the double
-        val x = log(col("c").cast("double") / col("total")) * lit(1e6)
-        val lp = freqs.crossJoin(broadcast(total))
-          .select(col("t"), col("c"),
-            when(x >= 0, floor(x + lit(0.5))).otherwise(ceil(x - lit(0.5)))
-              .cast("long").as("lm"))
-          .orderBy(col("c").desc, col("t")).limit(K)
-          .select(col("t"), col("lm"))
-        tf.join(broadcast(lp), Seq("t"), "left")
-          .groupBy(col("doc_id"), col("n_tokens"))
-          .agg(sum(col("lm")).as("s"))
-          .select(col("doc_id"), col("n_tokens"),
-            round6(col("s").cast("double")
-              / (col("n_tokens") * lit(1000000.0))).as("avg_logp"))
-          .withColumn("keep", (col("avg_logp") > -3.6).cast("int"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => lmScores(
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts")))
+        .withColumn("keep", (col("avg_logp") > -3.6).cast("int"))
+        .orderBy(col("doc_id")),
       Some("""WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
               f AS (SELECT t, count(*) AS c
@@ -291,6 +297,84 @@ object Text {
                                           ' ', '  ', 'g') AS dirty
                     FROM documents)
               ORDER BY doc_id""")),
+
+    // The composed quality gate (r6) — what a corpus pipeline actually
+    // runs: language-ID, length, repetition, and unigram-LM filters
+    // evaluated together, emitting every doc with its per-filter flags and
+    // the final keep verdict (flags, not just survivors, so the rejection
+    // REASON is auditable — the operational requirement behind every
+    // filtering ablation). Plan: the map-only flags ride the doc scan;
+    // repetition and LM are the same doc_id-keyed aggregations as their
+    // standalone ops; everything re-joins on doc_id (co-keyed shuffles).
+    Op("text_filter_pipeline",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val base = docs.select(col("doc_id"),
+          (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
+            / size(col("ts")) > 0.05).cast("int").as("lang_ok"),
+          (size(col("ts")) >= 20).cast("int").as("len_ok"))
+        val grams = transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))
+        val rep = docs.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+          .select(col("doc_id"),
+            (round6((col("n_grams") - col("n_distinct")).cast("double")
+              / col("n_grams")) <= 0.2).cast("int").as("rep_ok"))
+        val lmOk = col("avg_logp") > -3.6
+        base.join(rep, Seq("doc_id"), "left")
+          .join(lmScores(docs).select(col("doc_id"), col("avg_logp")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang_ok"), col("len_ok"),
+            coalesce(col("rep_ok"), lit(1)).as("rep_ok"),
+            lmOk.cast("int").as("lm_ok"),
+            (col("lang_ok") === 1 && col("len_ok") === 1 &&
+              coalesce(col("rep_ok"), lit(1)) === 1 && lmOk).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              base AS (
+                SELECT doc_id,
+                       CAST(CAST(len(list_filter(ts, t -> t = 'the' OR t = 'a'))
+                                 AS DOUBLE) / len(ts) > 0.05 AS INTEGER) AS lang_ok,
+                       CAST(len(ts) >= 20 AS INTEGER) AS len_ok
+                FROM toks),
+              grams AS (
+                SELECT doc_id,
+                       unnest([ts[i] || ' ' || ts[i+1]
+                               for i in generate_series(1, len(ts) - 1)]) AS gram
+                FROM toks WHERE len(ts) >= 2),
+              g AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+              rep AS (
+                SELECT doc_id,
+                       CAST(round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
+                            <= 0.2 AS INTEGER) AS rep_ok
+                FROM g GROUP BY doc_id),
+              f AS (SELECT t, count(*) AS c
+                    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+              tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+              lp AS (SELECT t,
+                       CAST(round(ln(c / (SELECT total FROM tot)) * 1000000)
+                            AS BIGINT) AS lm
+                     FROM f),
+              tokd AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS t FROM toks),
+              lmdoc AS (
+                SELECT doc_id,
+                       round(CAST(sum(lm) AS DOUBLE) / (n * 1000000.0), 6) AS avg_logp
+                FROM tokd JOIN lp USING (t) GROUP BY doc_id, n)
+              SELECT b.doc_id, b.lang_ok, b.len_ok,
+                     coalesce(r.rep_ok, 1) AS rep_ok,
+                     CAST(l.avg_logp > -3.6 AS INTEGER) AS lm_ok,
+                     CAST(b.lang_ok = 1 AND b.len_ok = 1
+                          AND coalesce(r.rep_ok, 1) = 1
+                          AND l.avg_logp > -3.6 AS INTEGER) AS keep
+              FROM base b
+              LEFT JOIN rep r ON b.doc_id = r.doc_id
+              JOIN lmdoc l ON b.doc_id = l.doc_id
+              ORDER BY b.doc_id""")),
 
     // PII scrubbing (the redaction stage of a training-data pipeline):
     // regex-redact emails and phone numbers to typed placeholder tokens.
