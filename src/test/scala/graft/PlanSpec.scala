@@ -180,6 +180,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no partition pruning:\n$p")
   }
 
+  test("text_lm_score: top-K vocab via TakeOrdered, scored via broadcast join " +
+       "(no driver-side vocabulary)") {
+    val p = plan("text_lm_score")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-K vocab cap:\n$p")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined,
+      s"vocab not broadcast-joined:\n$p")
+  }
+
+  test("q18_large_orders: the heavy-hitter list is the broadcast side") {
+    val p = plan("q18_large_orders")
+    // the survivor set (aggregated + filtered lineitem) must be the build
+    // side of the first enrichment join — broadcasting the dims instead is
+    // the plan that dies at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    val buildLeft = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("BuildLeft"))
+    assert(buildLeft, s"survivor set not the build side:\n$p")
+  }
+
   test("sink_hive_table: catalog round-trip, partition listing, pruned read-back") {
     Registry.queries("sink_hive_table")(spark, sf0001).count() // materialize table
     val table = s"graft_events_${new java.io.File(sf0001).getName.replace('.', '_')}"
