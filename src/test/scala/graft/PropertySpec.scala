@@ -169,7 +169,13 @@ class PropertySpec extends AnyFunSuite {
       // content-addressed sampler, the two-phase dim backfill, and the
       // tolerance-banded as-of reduction
       "dedup_decontaminate", "dedup_incremental", "analytics_importance_sample",
-      "etl_late_arriving_dim", "join_asof_tolerance")
+      "etl_late_arriving_dim", "join_asof_tolerance",
+      // r6 ops that are explicitly partition-structured: the distributed
+      // top-K vocab + broadcast rescore (lm_score), the composed quality
+      // gate's three re-joined aggregations (filter_pipeline), the
+      // heavy-hitter broadcast join (q18), and ntile's group-windowed
+      // bucket assignment
+      "text_lm_score", "text_filter_pipeline", "q18_large_orders", "win_ntile")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
