@@ -2,14 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Content-addressed staging the ops re-create only when absent
+    * (deterministic data, keyed by sf): deleting these forces every run to
+    * re-stage, paying avoidable write I/O — preserve them. Everything else
+    * under /tmp/graft_* is per-run ephemera (checkpoints, sinks, scratch). */
+  private val DurableStagePrefixes = Seq(
+    "graft_stream_stage", "graft_bucketed", "graft_badcsv_", "graft_dpp_")
+
   /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on
     * the same disk the benchmark writes to and inflate filesystem listing +
-    * overwrite costs. The /tmp/graft_* namespace is exclusively ours and a
-    * bench run owns the box, so reclaim it before timing anything. */
+    * overwrite costs. Reclaim them before timing — but only entries that are
+    * demonstrably stale (no write activity for 10 minutes, checked at the
+    * root AND its direct children so a live streaming checkpoint's recent
+    * offset commits count): a bench started while another JVM is mid-run
+    * (tests, a second bench) must not destroy that process's live state. */
+  private val StaleAfterMs = 10L * 60 * 1000
   private def cleanScratch(): Int = {
-    val tmp = new java.io.File("/tmp")
-    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_"))
+    val now = System.currentTimeMillis()
+    def lastActivity(f: java.io.File): Long = {
+      val kids = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+                 else Array.empty[java.io.File]
+      (f.lastModified() +: kids.map(_.lastModified())).max
+    }
+    def staleUnder(dir: java.io.File, nameFilter: String => Boolean) =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => nameFilter(f.getName))
+        .filterNot(f => DurableStagePrefixes.exists(f.getName.startsWith))
+        .filter(f => now - lastActivity(f) > StaleAfterMs)
+    // legacy root-level entries + the single ephemeral parent's children
+    // (Scratch.dir puts all per-run checkpoints/sinks under graft_eph so
+    // the /tmp root listing stays small; sweep INSIDE it entry-by-entry —
+    // one live child must not shield its stale siblings)
+    val stale =
+      staleUnder(new java.io.File("/tmp"),
+        n => n.startsWith("graft_") && n != "graft_eph") ++
+      staleUnder(new java.io.File("/tmp/graft_eph"), _ => true)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
@@ -38,6 +65,32 @@ object Bench {
         .count(): Unit
       (System.nanoTime() - t0) / 1e9
     }.min
+  }
+
+  /** Disk-bound calibration probe. The CPU probe alone produced a FALSE
+    * NEGATIVE in the r6 record: write-heavy queries ran 50–95× slow under
+    * disk contention while the CPU probe read a clean 0.62 s, so the record
+    * carried contaminated:false and defeated its own purpose. This probe
+    * brackets the suite with a pinned ~20 MB parquet write + full read-back
+    * on the SAME filesystem the benchmark's sinks, checkpoints and shuffle
+    * spill use, so I/O-side contention labels the record too. */
+  private val IoBudgetSec = 4.0
+  private def calibrateIo(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_bench_ioprobe"
+    val sec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000L * 1000)
+        .select(col("id"), (col("id") * 2654435761L).as("v"),
+          md5(col("id").cast("string")).as("s")) // incompressible payload
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .agg(sum(hash(col("s"), col("v")))).count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // the probe dir is ephemera; leave no litter for the next run's listing
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    sec
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,7 +133,7 @@ object Bench {
       // structured-streaming machinery (micro-batch planner, state store,
       // checkpoint IO) class-loads on first use — ~5 s that belongs to JVM
       // startup, not to whichever stream_* query happens to run first
-      val cp = java.nio.file.Files.createTempDirectory("graft_warm_cp").toString
+      val cp = thrivespark.Scratch.dir("warm_cp")
       val q = spark.readStream.schema(w.schema).parquet(tmp)
         .groupBy(col("k")).agg(count(lit(1)))
         .writeStream.outputMode("update").format("memory")
@@ -88,21 +141,40 @@ object Bench {
         .option("checkpointLocation", cp).start()
       q.processAllAvailable(); q.stop()
     }
-    // Calibrate AFTER warmup (so the probe measures the box, not JIT) and
+    // Calibrate AFTER warmup (so the probes measure the box, not JIT) and
     // again after the suite: contamination arriving mid-run is caught too.
+    // CPU and I/O are probed independently — r5's contention was CPU, r6's
+    // was disk; EITHER budget breach labels the record.
     val calPre = calibrate(spark)
-    if (calPre > CalibrationBudgetSec)
-      println(f"WARNING: calibration ${calPre}%.2f s exceeds the ${CalibrationBudgetSec}%.1f s budget — host appears contaminated by concurrent load; timings below are NOT trustworthy")
+    val ioPre = calibrateIo(spark)
+    if (calPre > CalibrationBudgetSec || ioPre > IoBudgetSec)
+      println(f"WARNING: calibration cpu=${calPre}%.2f s (budget ${CalibrationBudgetSec}%.1f) io=${ioPre}%.2f s (budget ${IoBudgetSec}%.1f) — host appears contaminated by concurrent load; timings below are NOT trustworthy")
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val calPost = calibrate(spark)
-    if (calPost > CalibrationBudgetSec)
-      println(f"WARNING: post-run calibration ${calPost}%.2f s exceeds the ${CalibrationBudgetSec}%.1f s budget — concurrent load arrived during the run; timings above are NOT trustworthy")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"contaminated":${
-      calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec},"cleaned_tmp":$cleaned"""
+    val ioPost = calibrateIo(spark)
+    if (calPost > CalibrationBudgetSec || ioPost > IoBudgetSec)
+      println(f"WARNING: post-run calibration cpu=${calPost}%.2f s io=${ioPost}%.2f s exceeds budget — concurrent load arrived during the run; timings above are NOT trustworthy")
+    val contaminated = calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec ||
+      ioPre > IoBudgetSec || ioPost > IoBudgetSec
+    // Per-query ratio to the last recorded clean run (BenchPriors): a
+    // contaminated record localizes itself — a uniform ~1.5× spread is host
+    // speed, concentrated 10×+ spikes are contention on those queries.
+    val ratios = results.flatMap { case (n, sec) =>
+      BenchPriors.prior.get(n).map(p => n -> sec / p) }
+    val ratioSorted = ratios.map(_._2).sorted
+    val ratioMedian =
+      if (ratioSorted.isEmpty) 0.0 else ratioSorted(ratioSorted.length / 2)
+    val over5x = ratios.count(_._2 > 5.0)
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"contaminated":$contaminated,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"cleaned_tmp":$cleaned"""
+    if (ratios.nonEmpty) {
+      val worst = ratios.sortBy(-_._2).take(8)
+        .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"prior_ratio_worst","ratios":$worst}""")
+    }
     val total = results.map(_._2).sum
     def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + f"${kv._2}%.3f"
     // Full per-query detail, for humans reading the raw log.

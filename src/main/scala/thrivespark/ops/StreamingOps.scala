@@ -69,7 +69,7 @@ object StreamingOps {
     Op("stream_watermark_late",
       (s, d) => {
         val stage = stageDir(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_wm").toString
+        val cp = thrivespark.Scratch.dir("cp_wm")
         thrivespark.streaming.StreamRunner.tumblingWithWatermark(
           s, stage, cp, s"q_wm_late_${tag(d)}")
       },
@@ -77,10 +77,11 @@ object StreamingOps {
 
     Op("stream_dedup_state",
       (s, d) => {
-        val stage = stageDirOrdered(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_dd").toString
+        val stage = stageDirOrderedFlush(s, d)
+        val cp = thrivespark.Scratch.dir("cp_dd")
         thrivespark.streaming.StreamRunner.dedupWithinWatermark(
           s, stage, cp, s"q_dedup_state_${tag(d)}")
+          .filter(col("event_id") >= 0) // drop the shared stage's sentinels
           .orderBy(col("event_id"))
       },
       // event_id is unique in this corpus (FIXTURES), so the streaming dedup
@@ -96,10 +97,13 @@ object StreamingOps {
     // exactly the batch interval join — the oracle.
     Op("stream_stream_join",
       (s, d) => {
-        val stage = stageDirOrdered(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_ssj").toString
+        val stage = stageDirOrderedFlush(s, d)
+        val cp = thrivespark.Scratch.dir("cp_ssj")
         thrivespark.streaming.StreamRunner.viewPurchaseJoin(
           s, stage, cp, s"q_ssj_${tag(d)}")
+          // the shared stage's two sentinels (view@far, purchase@far+1s,
+          // both user -1) join each other — filter the pair out
+          .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("view_us"), col("purchase_us"))
       },
       Some("""SELECT v.user_id, epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
@@ -117,7 +121,7 @@ object StreamingOps {
     Op("stream_outer_join",
       (s, d) => {
         val stage = stageDirOrderedFlush(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_soj").toString
+        val cp = thrivespark.Scratch.dir("cp_soj")
         thrivespark.streaming.StreamRunner.viewPurchaseLeftJoin(
           s, stage, cp, s"q_soj_${tag(d)}")
           .filter(col("user_id") >= 0)
@@ -139,8 +143,11 @@ object StreamingOps {
     Op("stream_available_now",
       (s, d) => {
         import s.implicits._
-        val stage = stageDirOrdered(s, d)
-        val base = java.nio.file.Files.createTempDirectory("graft_an").toString
+        // the hash-split stage: this op counts rows consumed per run
+        // (complete-mode count, no watermark), so arrival order is
+        // irrelevant — share the cheapest staged source
+        val stage = stageDir(s, d)
+        val base = thrivespark.Scratch.dir("an")
         val qn = s"q_an_${tag(d)}"
         val r1 = thrivespark.streaming.StreamRunner.availableNowRun(s, stage, s"$base/cp", qn)
         val r2 = thrivespark.streaming.StreamRunner.availableNowRun(s, stage, s"$base/cp", qn)
@@ -156,10 +163,11 @@ object StreamingOps {
     // batch boundaries — which is the oracle.
     Op("stream_cdc_apply",
       (s, d) => {
-        val stage = stageDirOrdered(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_cdc").toString
-        val st = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/state"
+        val stage = stageDirOrderedFlush(s, d)
+        val cp = thrivespark.Scratch.dir("cp_cdc")
+        val st = thrivespark.Scratch.dir("cdc") + "/state"
         thrivespark.streaming.StreamRunner.cdcApply(s, stage, cp, st)
+          .filter(col("user_id") >= 0) // drop the shared stage's sentinels
           .select(col("user_id"), unix_micros(col("ts")).as("last_us"),
             col("event_id").as("last_event_id"),
             col("event_type").as("last_type"), col("value").as("last_value"))
@@ -179,7 +187,7 @@ object StreamingOps {
     Op("stream_custom_state",
       (s, d) => {
         val stage = stageDir(s, d)
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_st").toString
+        val cp = thrivespark.Scratch.dir("cp_st")
         thrivespark.streaming.StreamRunner.userStateCounts(
           s, stage, cp, s"q_user_state_${tag(d)}")
           .orderBy(col("user_id"))
@@ -193,7 +201,7 @@ object StreamingOps {
     Op("incremental_bookmark",
       (s, d) => {
         import s.implicits._
-        val base = java.nio.file.Files.createTempDirectory("graft_bm_q").toString
+        val base = thrivespark.Scratch.dir("bm_q")
         val ev = thrivespark.Tables.events(s, d)
         val r1 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
         val r2 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
@@ -218,7 +226,7 @@ object StreamingOps {
     Op("incremental_rollback",
       (s, d) => {
         import s.implicits._
-        val base = java.nio.file.Files.createTempDirectory("graft_rb_q").toString
+        val base = thrivespark.Scratch.dir("rb_q")
         val ev = thrivespark.Tables.events(s, d)
         val r1 = thrivespark.ops.Bookmark.incrementalLoad(s, ev, s"$base/out", s"$base/bm")
         val parts = r1.processedPartitions
@@ -259,34 +267,20 @@ object StreamingOps {
     dir
   }
 
-  /** Time-ordered staging: file 1 = older half, file 2 = newer half, written
-    * sequentially so the source replays them in order. This makes the
-    * stream_dedup_state identity oracle robust BY CONSTRUCTION: no batch-2
-    * event can arrive below batch 1's watermark, so
-    * dropDuplicatesWithinWatermark can never filter an input row even if a
-    * future Spark tightens below-watermark handling. */
-  private def stageDirOrdered(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_stream_stage_ord_${tag(d)}"
-    if (!new java.io.File(s"$dir/_ok").exists()) {
-      val ev = thrivespark.Tables.events(s, d)
-      val r = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
-      val cut = new java.sql.Timestamp(
-        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
-      ev.filter(col("ts") < lit(cut)).coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      ev.filter(col("ts") >= lit(cut)).coalesce(1)
-        .write.mode("append").parquet(dir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
-    }
-    dir
-  }
-
-  /** Ordered staging + a trailing far-future sentinel row (user_id = -1,
-    * ts = max + 30 days) in its own last-replayed file. The sentinel's only
-    * job is to advance the event-time watermark past every real join
-    * window so streaming OUTER joins can emit their null-padded unmatched
-    * rows; its own row stays below its watermark window and never emits,
-    * and callers filter user_id < 0 regardless. */
+  /** Time-ordered staging (file 1 = older half, file 2 = newer half, written
+    * sequentially so the source replays them in order) + two trailing
+    * far-future sentinel rows (user_id = -1, event_id = -1/-2, ts = max +
+    * 30 days, one per join side) riding in the second file. The ordering
+    * makes the identity/batch-equivalence oracles robust BY CONSTRUCTION —
+    * no batch-2 event can arrive below batch 1's watermark — and the
+    * sentinels advance the event-time watermark past every real window so
+    * streaming OUTER joins can flush their null-padded unmatched rows.
+    * ONE stage serves every ordered replay op (dedup_state, stream-stream
+    * inner/outer join, CDC apply): consumers that don't need the flush
+    * just filter user_id/event_id < 0 from their output — cheaper than a
+    * second staged copy of the corpus on disk (the sentinels' watermark
+    * advance is otherwise inert: eviction runs after emission, so no real
+    * row is affected). */
   private def stageDirOrderedFlush(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     import s.implicits._
