@@ -73,13 +73,12 @@ object Scans {
     // same API, the catalog just points at HMS instead.
     Op("sink_hive_table",
       (s, d) => {
-        val ds = new java.io.File(d).getName.replace('.', '_')
-        val table = s"graft_events_$ds"
+        val table = hiveSinkTable(d)
         s.sql(s"DROP TABLE IF EXISTS $table")
         T.events(s, d).withColumn("dt", to_date($c("ts")))
           .repartition($c("dt"))
           .write.mode("overwrite").partitionBy("dt")
-          .option("path", s"/tmp/graft_hivetbl_$ds")
+          .option("path", s"/tmp/$table")
           .saveAsTable(table)
         s.table(table)
           .groupBy($c("dt")).agg(count(lit(1)).as("cnt"))
@@ -88,6 +87,21 @@ object Scans {
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY 1""")),
   )
+
+  /** Catalog name (and /tmp leaf) for the sink_hive_table external table.
+    * The tag makes it unique PER JVM: two concurrent runs over the same
+    * dataset (a test suite alongside a bench) get disjoint directories and
+    * catalog entries, so neither can clobber the other's live table —
+    * DROP TABLE on an external table does not remove files, so a shared
+    * fixed path would otherwise race on saveAsTable's Overwrite clearing.
+    * Within one JVM reruns reuse the table (sequential, Overwrite-safe);
+    * cleanup is deliberately NOT here — the returned plan reads the table
+    * lazily after this function exits — the stale dirs are reaped by
+    * Bench's age-guarded scratch cleanup. */
+  private lazy val runTag =
+    java.lang.Long.toHexString(ProcessHandle.current.pid ^ System.nanoTime())
+  def hiveSinkTable(d: String): String =
+    s"graft_hivetbl_${new java.io.File(d).getName.replace('.', '_')}_$runTag"
 
   private def $c(n: String) = col(n)
 }

@@ -18,7 +18,11 @@ object Text {
   /** Unigram-LM scores over a (doc_id, ts) frame → (doc_id, n_tokens,
     * avg_logp). Fully distributed (see text_lm_score's op comment for the
     * determinism and top-K-vocab design); shared by text_lm_score and
-    * text_filter_pipeline. */
+    * text_filter_pipeline. The top-K vocab cap is MIRRORED in both ops'
+    * oracle SQL (`ORDER BY c DESC, t LIMIT 262144` — the identical total
+    * order), so oracle equivalence holds at any corpus size, not just while
+    * the vocabulary stays under K; OOV tokens contribute NULL→skipped to
+    * the sum while still counting in n_tokens, on both sides. */
   private[ops] def lmScores(docs: DataFrame): DataFrame = {
     val K = 1 << 18
     val tf = docs.select(col("doc_id"), size(col("ts")).as("n_tokens"),
@@ -252,7 +256,7 @@ object Text {
               lp AS (SELECT t,
                        CAST(round(ln(c / (SELECT total FROM tot)) * 1000000)
                             AS BIGINT) AS lm
-                     FROM f),
+                     FROM f ORDER BY c DESC, t LIMIT 262144),
               m AS (SELECT map(list(t ORDER BY t), list(lm ORDER BY t)) AS mm
                     FROM lp)
               SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
@@ -359,7 +363,7 @@ object Text {
               lp AS (SELECT t,
                        CAST(round(ln(c / (SELECT total FROM tot)) * 1000000)
                             AS BIGINT) AS lm
-                     FROM f),
+                     FROM f ORDER BY c DESC, t LIMIT 262144),
               tokd AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS t FROM toks),
               lmdoc AS (
                 SELECT doc_id,

@@ -199,9 +199,37 @@ class PlanSpec extends AnyFunSuite {
     assert(buildLeft, s"survivor set not the build side:\n$p")
   }
 
+  test("q3/q5/q14/q18: the explicit broadcast() hints carry the plan under " +
+      "autoBroadcastJoinThreshold=-1 (the 100 TB planner's view)") {
+    // At test scale every table fits under the default 10 MB threshold, so a
+    // BroadcastHashJoin in the plan could be the SIZE ESTIMATE talking, not
+    // the hint. Disable size-based broadcasting entirely: whatever still
+    // broadcasts is hint-carried — the shape a 100 TB planner (where no dim
+    // fits the estimate) would still produce.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(bcast)
+    try {
+      spark.conf.set(bcast, "-1")
+      for (q <- Seq("q3_order_priority", "q5_regional_volume",
+                    "q14_promo_revenue", "q18_large_orders")) {
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q: explicit broadcast hint did not survive threshold=-1:\n$p")
+      }
+      // and q18's survivor set must STILL be the build side
+      val p18 = plan("q18_large_orders")
+      assert(p18.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("BuildLeft")),
+        s"q18 survivor set not the build side under threshold=-1:\n$p18")
+    } finally saved match {
+      case Some(v) => spark.conf.set(bcast, v)
+      case None    => spark.conf.unset(bcast)
+    }
+  }
+
   test("sink_hive_table: catalog round-trip, partition listing, pruned read-back") {
     Registry.queries("sink_hive_table")(spark, sf0001).count() // materialize table
-    val table = s"graft_events_${new java.io.File(sf0001).getName.replace('.', '_')}"
+    val table = thrivespark.ops.Scans.hiveSinkTable(sf0001)
     // the catalog knows the table AND its partitions (the Hive load contract)
     assert(spark.catalog.tableExists(table))
     val nParts = spark.sql(s"SHOW PARTITIONS $table").count()
