@@ -81,22 +81,27 @@ object Dedup {
 
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     pairCache.filterInPlace { case ((ss, _, _), _) => !ss.sparkContext.isStopped }
-    pairCache.getOrElseUpdate((s, d, threshold), {
-      val docs = shingleDocs(s, d)
-      val cands = candidatePairs(bandBuckets(docs))
-      // exact Jaccard over the distinct shingle-hash sets (set identity is
-      // preserved by the 64-bit hashes up to ~2^-64 collisions)
-      val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
-      cands.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jac") > threshold)
-        .select(col("a_id"), col("b_id"))
+    pairCache.getOrElseUpdate((s, d, threshold),
+      nearDupPairsOf(shingleDocs(s, d), threshold)
         .orderBy(col("a_id"), col("b_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The LSH→verify pipeline over any (doc_id, shl) frame — the un-cached
+    * core of nearDupPairs; also driven by ScaleStressSpec over a 50×
+    * synthesized corpus. */
+  def nearDupPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = candidatePairs(bandBuckets(docs))
+    // exact Jaccard over the distinct shingle-hash sets (set identity is
+    // preserved by the 64-bit hashes up to ~2^-64 collisions)
+    val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") > threshold)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** doc_id + 64-bit simhash fingerprint over shingle hashes. */
@@ -147,7 +152,13 @@ object Dedup {
     * lineage so plan size stays constant; on a cluster this would be a
     * reliable checkpoint. The driver holds only the convergence COUNT,
     * never the labels. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** Same, also returning the number of label-propagation rounds taken —
+    * the O(log diameter) convergence claim ScaleStressSpec measures. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -180,7 +191,7 @@ object Dedup {
       s"connectedComponents did not reach a fixpoint within $maxRounds " +
       s"rounds ($changed labels still moving) — refusing to emit " +
       "under-merged cluster labels")
-    labels
+    (labels, round)
   }
 
   /** Benchmark decontamination over a (doc_id, is_eval, ts) frame: a

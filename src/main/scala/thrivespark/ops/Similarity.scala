@@ -36,19 +36,33 @@ object Similarity {
     * Approximate ⇒ no SQL oracle (rule R5); SimilaritySpec measures recall
     * against the brute-force sim_topk_cosine. */
   def annTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int = 5, nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
-    thrivespark.functions.Register(s)
-    val emb = T.embeddings(s, d)
+      k: Int = 5, nprobe: Int = 2): org.apache.spark.sql.DataFrame =
+    annTopKFrom(T.embeddings(s, d), k, nprobe)
+
+  /** IVF coarse assignment over any (vec_id, embedding) frame: one (c_id,
+    * cell, c_emb) row per vector, cell = nearest centroid (centroids =
+    * vec_id % 100 == 0, tie → lowest cent_id). Exposed so ScaleStressSpec
+    * can measure cell-occupancy balance on a synthesized corpus. */
+  def ivfAssign(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(emb.sparkSession)
     val cent = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // assign every vector to its nearest centroid (max_by keeps the shuffle
     // at one row per vector; broadcast keeps assignment map-side)
-    val assigned = emb.join(broadcast(cent))
+    emb.join(broadcast(cent))
       .withColumn("sim", dot(col("embedding"), col("cent_emb")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
       .join(emb, "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("c_emb"))
+  }
+
+  def annTopKFrom(emb: org.apache.spark.sql.DataFrame,
+      k: Int = 5, nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(emb.sparkSession)
+    val cent = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = ivfAssign(emb)
     // queries probe their nprobe nearest cells
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
