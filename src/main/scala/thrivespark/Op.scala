@@ -19,7 +19,7 @@ object Registry {
     ops.Windows.ops ++ ops.SortsSets.ops ++ ops.Scalars.ops ++
     ops.Text.ops ++ ops.Dedup.ops ++ ops.Similarity.ops ++
     ops.StreamingOps.ops ++ ops.UdfSurface.ops ++ ops.Extras.ops ++
-    ops.Analytics.ops
+    ops.Analytics.ops ++ ops.Pipeline.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(o => o.key -> o.fn): _*)

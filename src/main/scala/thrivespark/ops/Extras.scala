@@ -50,6 +50,32 @@ object Extras {
       "o_orderkey")
   }
 
+  /** Sequence packing's exclusive running token sum as the scalable
+    * two-pass distributed prefix sum (a bare global ORDER BY window would
+    * serialize on one reducer): range-partition by the order key, local
+    * running sums per partition, the tiny per-partition totals cumulated
+    * into offsets (broadcast back), local + offset = global. Adds
+    * (pid, local_cum, cum_excl, seq_id) to the input (doc_id, n_tokens)
+    * frame; result independent of the partition boundaries
+    * (PlanSpec-asserted). Shared by etl_pack_sequences and the
+    * pipeline_corpus_e2e composite. */
+  def packSeqIds(toks: org.apache.spark.sql.DataFrame,
+      budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = toks.repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = parts.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum_excl", col("local_cum") + col("offset") - col("n_tokens"))
+      .withColumn("seq_id", floor(col("cum_excl") / budget))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_pivot",
       (s, d) => {
@@ -993,22 +1019,9 @@ object Extras {
     // the partition boundaries, so the plan scales without changing results.
     Op("etl_pack_sequences",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val B = 2048
         val toks = T.documents(s, d)
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
-        val parts = toks.repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        val local = parts.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-        val wOff = Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
-          .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
-          .select(col("pid"), col("offset"))
-        local.join(broadcast(offsets), "pid")
-          .withColumn("cum_excl", col("local_cum") + col("offset") - col("n_tokens"))
-          .withColumn("seq_id", floor(col("cum_excl") / B))
+        packSeqIds(toks, 2048)
           .groupBy(col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
