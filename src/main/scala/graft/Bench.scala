@@ -7,7 +7,12 @@ object Bench {
     * re-stage, paying avoidable write I/O — preserve them. Everything else
     * under /tmp/graft_* is per-run ephemera (checkpoints, sinks, scratch). */
   private val DurableStagePrefixes = Seq(
-    "graft_stream_stage", "graft_bucketed", "graft_badcsv_", "graft_dpp_")
+    // exact current stage-dir families (graft_stream_stage_<sfTag> and
+    // graft_stream_stage_flush_<sfTag>), NOT the bare graft_stream_stage
+    // prefix: r7's broad prefix permanently shielded orphaned dirs of
+    // removed stagings (e.g. the old _ord_ variant) from the sweep
+    "graft_stream_stage_sf", "graft_stream_stage_flush_sf",
+    "graft_bucketed", "graft_badcsv_", "graft_dpp_")
 
   /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on
     * the same disk the benchmark writes to and inflate filesystem listing +
@@ -19,10 +24,13 @@ object Bench {
   private val StaleAfterMs = 10L * 60 * 1000
   private def cleanScratch(): Int = {
     val now = System.currentTimeMillis()
-    def lastActivity(f: java.io.File): Long = {
-      val kids = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-                 else Array.empty[java.io.File]
-      (f.lastModified() +: kids.map(_.lastModified())).max
+    // recursive max-mtime, bounded depth: a live state store appends deltas
+    // two+ levels deep (cp_*/state/0/...), which root+children mtimes miss —
+    // a concurrent run paused >10 min would otherwise be reaped mid-run
+    def lastActivity(f: java.io.File, depth: Int = 4): Long = {
+      val kids = if (depth > 0 && f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]) else Array.empty[java.io.File]
+      (f.lastModified() +: kids.map(lastActivity(_, depth - 1))).max
     }
     def staleUnder(dir: java.io.File, nameFilter: String => Boolean) =
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -75,22 +83,41 @@ object Bench {
     * on the SAME filesystem the benchmark's sinks, checkpoints and shuffle
     * spill use, so I/O-side contention labels the record too. */
   private val IoBudgetSec = 4.0
-  private def calibrateIo(spark: SparkSession): Double = {
+  private def ioProbeOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft_bench_ioprobe"
-    val sec = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(1000L * 1000)
-        .select(col("id"), (col("id") * 2654435761L).as("v"),
-          md5(col("id").cast("string")).as("s")) // incompressible payload
-        .write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
-        .agg(sum(hash(col("s"), col("v")))).count(): Unit
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    val t0 = System.nanoTime()
+    spark.range(1000L * 1000)
+      .select(col("id"), (col("id") * 2654435761L).as("v"),
+        md5(col("id").cast("string")).as("s")) // incompressible payload
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .agg(sum(hash(col("s"), col("v")))).count(): Unit
+    val sec = (System.nanoTime() - t0) / 1e9
     // the probe dir is ephemera; leave no litter for the next run's listing
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
     sec
+  }
+  // best-of-two for the bracketing measurements (a single probe can absorb a
+  // one-off GC pause); the interleaved mid-run probes are single-shot but
+  // judged against the same generous 4 s budget
+  private def calibrateIo(spark: SparkSession): Double =
+    (1 to 2).map(_ => ioProbeOnce(spark)).min
+
+  /** Ratio-dispersion heuristic over per-query ratios to the last clean
+    * priors, WIRED INTO the contaminated verdict (r8 — r7 emitted this
+    * telemetry but left it out of the flag, so BENCH_r07 read
+    * contaminated:false with prior_ratio_median 3.42 and 58/150 queries
+    * over 5×): a clean host re-measure sits near ratio 1 with isolated
+    * spikes at most; a median drift >2.5× with a quarter of the suite over
+    * 5× is sustained contention even when every bracketing probe got
+    * lucky. Returns (median, countOver5x, breached); BenchSpec replays the
+    * r7 record's telemetry through it. */
+  private[graft] def ratioVerdict(ratios: Seq[Double]): (Double, Int, Boolean) = {
+    val sorted = ratios.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+    val over5x = ratios.count(_ > 5.0)
+    (median, over5x, ratios.nonEmpty && median > 2.5 && over5x > ratios.size / 4)
   }
 
   def main(args: Array[String]): Unit = {
@@ -149,27 +176,36 @@ object Bench {
     val ioPre = calibrateIo(spark)
     if (calPre > CalibrationBudgetSec || ioPre > IoBudgetSec)
       println(f"WARNING: calibration cpu=${calPre}%.2f s (budget ${CalibrationBudgetSec}%.1f) io=${ioPre}%.2f s (budget ${IoBudgetSec}%.1f) — host appears contaminated by concurrent load; timings below are NOT trustworthy")
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Interleave the ~1 s I/O probe every 25 queries: r5–r7 all produced
+    // officially contaminated records that self-labeled clean because the
+    // bracketing probes only observe the endpoints — contention that arrives
+    // after the pre-probe and subsides before the post-probe is invisible to
+    // them (BENCH_r07: brackets clean, yet 58 queries ran >5× their clean
+    // priors). A mid-run breach labels the record directly.
+    val midIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % 25 == 0) midIo += ioProbeOnce(spark)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val calPost = calibrate(spark)
     val ioPost = calibrateIo(spark)
     if (calPost > CalibrationBudgetSec || ioPost > IoBudgetSec)
       println(f"WARNING: post-run calibration cpu=${calPost}%.2f s io=${ioPost}%.2f s exceeds budget — concurrent load arrived during the run; timings above are NOT trustworthy")
-    val contaminated = calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec ||
-      ioPre > IoBudgetSec || ioPost > IoBudgetSec
+    val probesBreached = calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec ||
+      ioPre > IoBudgetSec || ioPost > IoBudgetSec ||
+      midIo.exists(_ > IoBudgetSec)
     // Per-query ratio to the last recorded clean run (BenchPriors): a
     // contaminated record localizes itself — a uniform ~1.5× spread is host
     // speed, concentrated 10×+ spikes are contention on those queries.
     val ratios = results.flatMap { case (n, sec) =>
       BenchPriors.prior.get(n).map(p => n -> sec / p) }
-    val ratioSorted = ratios.map(_._2).sorted
-    val ratioMedian =
-      if (ratioSorted.isEmpty) 0.0 else ratioSorted(ratioSorted.length / 2)
-    val over5x = ratios.count(_._2 > 5.0)
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"contaminated":$contaminated,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"cleaned_tmp":$cleaned"""
+    val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
+    val contaminated = probesBreached || ratioBreached
+    val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")

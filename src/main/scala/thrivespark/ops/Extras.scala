@@ -52,18 +52,47 @@ object Extras {
 
   /** Sequence packing's exclusive running token sum as the scalable
     * two-pass distributed prefix sum (a bare global ORDER BY window would
-    * serialize on one reducer): range-partition by the order key, local
-    * running sums per partition, the tiny per-partition totals cumulated
-    * into offsets (broadcast back), local + offset = global. Adds
-    * (pid, local_cum, cum_excl, seq_id) to the input (doc_id, n_tokens)
-    * frame; result independent of the partition boundaries
-    * (PlanSpec-asserted). Shared by etl_pack_sequences and the
-    * pipeline_corpus_e2e composite. */
-  def packSeqIds(toks: org.apache.spark.sql.DataFrame,
-      budget: Int): org.apache.spark.sql.DataFrame = {
+    * serialize on one reducer): bucket the order key into contiguous
+    * ranges, local running sums per bucket, the tiny per-bucket totals
+    * cumulated into offsets (broadcast back), local + offset = global.
+    * Adds (pid, local_cum, cum_excl, seq_id) to the input (doc_id,
+    * n_tokens) frame; result independent of the bucket count
+    * (PlanSpec-asserted; PropertySpec sweeps it). Shared by
+    * etl_pack_sequences and the pipeline_corpus_e2e composite.
+    *
+    * The bucket id is a PURE FUNCTION of doc_id — boundaries come from one
+    * driver-side approxQuantile pass over the key column, baked in as
+    * literals. r7 used repartitionByRange + spark_partition_id() instead,
+    * and that was a real nondeterminism bug, caught at sf0.1 in r8: the
+    * frame feeds TWO plan branches (local sums; offset totals), each branch
+    * plans its own range exchange, and the two exchanges can sample
+    * DIFFERENT boundaries (AQE sizes the pruned branches differently), so a
+    * boundary doc counted in bucket p's total in one branch and bucket p+1's
+    * local sums in the other — every downstream cum_excl off by that doc's
+    * tokens. A pid literal-derived from doc_id is identical in every branch
+    * no matter how often the lineage re-evaluates.
+    *
+    * Parallelism tracks `spark.sql.shuffle.partitions` (r8 — was a
+    * hardcoded 8): on a 1000-executor cluster the local-sum stage fans out
+    * with the session's configured shuffle width, while the offset
+    * cumulation stays O(#buckets) rows on one reducer — still trivial at
+    * any realistic width. The quantile pass is one extra scan of the two
+    * pack columns at 100 TB (sub-second at bench scale). An explicit
+    * `numParts` override exists for the invariance property test. */
+  def packSeqIds(toks: org.apache.spark.sql.DataFrame, budget: Int,
+      numParts: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = toks.repartitionByRange(8, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val n = if (numParts > 0) numParts
+      else toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+        .toIntOption.getOrElse(8)
+    val bounds =
+      if (n <= 1) Array.empty[Double]
+      else toks.stat.approxQuantile("doc_id",
+        (1 until n).map(_.toDouble / n).toArray, 0.001).distinct
+    val pidCol = bounds.map(b =>
+        when(col("doc_id") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0).cast("int"))(_ + _)
+    val parts = toks.withColumn("pid", pidCol)
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
     val local = parts.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
     val wOff = Window.orderBy(col("pid"))

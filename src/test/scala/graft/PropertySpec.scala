@@ -188,6 +188,33 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("packSeqIds: seq assignment invariant over the bucket width, and " +
+      "exactly the doc_id-ordered global prefix sum") {
+    // r8 parameterized the pack stage's bucket count (was hardcoded 8) and
+    // made the bucket id a pure function of doc_id (quantile literals):
+    // the global prefix sum must yield identical seq_ids at ANY width —
+    // 1 (degenerate single bucket), the default, a width near the row
+    // count — and must equal the single-pass global cumulative sum.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val kept = thrivespark.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    def packed(n: Int) =
+      thrivespark.ops.Extras.packSeqIds(kept, 1024, n)
+        .select(col("doc_id"), col("seq_id")).orderBy(col("doc_id")).collect()
+    val base = packed(8)
+    for (n <- Seq(1, 3, 32, 63))
+      assert(base.sameElements(packed(n)), s"seq_ids differ at numParts=$n")
+    // ground truth: the serialized one-reducer formulation
+    val globalW = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val truth = kept
+      .withColumn("seq_id",
+        floor(coalesce(sum(col("n_tokens")).over(globalW), lit(0L)) / 1024))
+      .select(col("doc_id"), col("seq_id")).orderBy(col("doc_id")).collect()
+    assert(base.sameElements(truth), "two-pass prefix sum != global window")
+  }
+
   test("bounded top-k aggregator == window top-k formulation") {
     val a = thrivespark.Registry.queries("topk_per_group_agg")(spark, sf001)
     val w = thrivespark.Registry.queries("topk_per_group")(spark, sf001)
