@@ -51,12 +51,20 @@ import thrivespark.Det._
 object Pipeline {
   private val Budget = 1024
 
-  /** Stage 1: near-dup survivors, tokenized — (doc_id, ts). */
+  /** Stage 1: near-dup survivors, tokenized — (doc_id, ts). Persisted: the
+    * 4-filter gate consumes this frame in four plan branches (map-only
+    * flags, the gram aggregation, and the LM's train + score passes), so
+    * without a cache the scan + anti-join runs four times. On a cluster
+    * this is the checkpointed intermediate between the dedup and filter
+    * stages — the same design as Dedup's shingle/pair tables. Spark's
+    * CacheManager keys on the plan, so repeated op invocations in one
+    * session reuse a single materialization. */
   def survivors(s: SparkSession, d: String): DataFrame = {
     val drop = Dedup.nearDupPairs(s, d, 0.6).select(col("b_id")).distinct()
     T.documents(s, d)
       .join(drop, col("doc_id") === col("b_id"), "left_anti")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Stage 2: the full 4-filter gate over the survivor set — (doc_id,

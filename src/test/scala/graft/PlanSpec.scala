@@ -314,13 +314,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("etl_pack_sequences: the doc-level running sum is partition-local; " +
-      "only the 8-row offsets pass through a single partition") {
+      "only the per-bucket offsets pass through a single partition") {
     val p = plan("etl_pack_sequences")
-    // bulk window keyed by the range-partition id, not a global ORDER BY
+    // bulk window keyed by the quantile-bucket id, not a global ORDER BY
     assert(p.contains("windowspecdefinition(pid"),
       s"local running sum must partition by pid:\n$p")
-    // exactly one SinglePartition exchange — the per-partition totals
-    // (8 rows), never the doc-level data
+    // exactly one SinglePartition exchange — the per-bucket totals
+    // (one row per shuffle partition), never the doc-level data
     val singles = "SinglePartition".r.findAllIn(p).size
     assert(singles == 1, s"expected 1 tiny SinglePartition exchange, got $singles:\n$p")
   }

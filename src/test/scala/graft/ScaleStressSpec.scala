@@ -151,6 +151,32 @@ class ScaleStressSpec extends AnyFunSuite {
     pairs.unpersist(); basePairs.unpersist(); big.unpersist(); base.unpersist()
   }
 
+  test("200k-row pack: two-pass prefix sum == global window at a scale " +
+      "where AQE branch planning actually diverges", ScaleStress) {
+    // Re-tests the r8 packSeqIds determinism bug AT THE SCALE IT FIRED:
+    // the r7 formulation (spark_partition_id over repartitionByRange) was
+    // consistent on the 500-doc property fixture and only split branches
+    // at sf0.1, where AQE sized the two range exchanges differently. A
+    // 200k-row frame with skewed doc_id gaps and varied token counts keeps
+    // the quantile-literal formulation honest under the same conditions.
+    import org.apache.spark.sql.expressions.Window
+    val toks = spark.range(200000)
+      .select((col("id") * 7 + (col("id") % 13) * 1000).as("doc_id"),
+        ((col("id") * 2654435761L) % 400 + 1).cast("int").as("n_tokens"))
+      .persist()
+    toks.count()
+    val packed = thrivespark.ops.Extras.packSeqIds(toks, 2048, 32)
+      .select(col("doc_id"), col("cum_excl"))
+    val truth = toks.withColumn("cum_excl",
+      coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("cum_excl"))
+    val diff = packed.exceptAll(truth).count() + truth.exceptAll(packed).count()
+    assert(diff == 0L, s"$diff rows diverge from the global prefix sum")
+    toks.unpersist()
+  }
+
   test("10x embeddings: IVF cells stay balanced so a probe scans a bounded " +
       "corpus fraction; the ANN query completes end-to-end", ScaleStress) {
     val emb = T.embeddings(spark, sf01)
