@@ -127,6 +127,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 167 fast queries flood the shared listener queue (task + AQE + SQL
+      // events); at the default 10k capacity the bus can drop the
+      // SQLExecutionEnd events that observation metrics and QueryExecution
+      // listeners ride on (a dropped one hung incremental_bookmark's
+      // Observation.get for 15+ min mid-bench). Bookmark now bounds that
+      // wait library-side; this keeps the events from dropping at all.
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "50000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

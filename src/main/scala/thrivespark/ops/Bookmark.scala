@@ -54,14 +54,51 @@ object Bookmark {
     val obs = Observation()
     fresh.observe(obs, count(lit(1)).as("rows"), max(col("dt")).as("max_dt"))
       .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(outDir)
-    val n = obs.get("rows").asInstanceOf[Long]
+    // The observed metrics arrive via an async listener-bus event, and the
+    // bus DROPS events when its queue overflows (busy sessions: many fast
+    // queries, streaming, AQE all share it). `obs.get` waits on that event
+    // unconditionally — a dropped event turns a committed write into a HUNG
+    // job (observed live in a 167-query bench session, main parked in
+    // Observation.get for 15+ min after the write finished). The write
+    // itself is already durable at this point, so liveness must not depend
+    // on event delivery: bound the wait, and on timeout recover the same
+    // two metrics from the sink (one extra job, degraded path only).
+    val (n, maxDt) = try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(MetricsWaitSec, "s"))
+      (row.getAs[Long]("rows"), Option(row.getAs[Any]("max_dt")))
+    } catch {
+      case _: java.util.concurrent.TimeoutException => recountFromSink(spark, outDir, bookmark)
+    }
     // an empty increment writes no partition directories (dynamic overwrite
     // touches only partitions present in the data) — genuine no-op
     if (n == 0L) return RunResult(Seq.empty, 0L)
     val parts = listDtPartitions(outDir)
       .filter(p => bookmark.forall(p > _)).sorted
-    writeBookmark(bookmarkPath, obs.get("max_dt").toString)
+    writeBookmark(bookmarkPath, maxDt.get.toString)
     RunResult(parts, n)
+  }
+
+  private val MetricsWaitSec = 60L
+
+  /** Degraded-path recovery for a lost observation event: the increment's
+    * row count and max partition are exactly the sink rows in partitions
+    * newer than the bookmark (dynamic overwrite wrote only those), so one
+    * aggregation over the committed output reproduces both metrics. */
+  def recountFromSink(spark: SparkSession, outDir: String,
+      bookmark: Option[String]): (Long, Option[Any]) = {
+    // a zero-row first run leaves no readable parquet under outDir at all —
+    // that's the empty increment, not an error
+    scala.util.Try(spark.read.parquet(outDir)).toOption match {
+      case None => (0L, None)
+      case Some(sunk) =>
+        val inc = bookmark match {
+          case Some(b) => sunk.filter(col("dt") > lit(b).cast("date"))
+          case None => sunk
+        }
+        val r = inc.agg(count(lit(1)).as("rows"), max(col("dt")).as("max_dt")).head()
+        (r.getLong(0), Option(r.get(1)))
+    }
   }
 
   /** Hive-style dt= partition values present in the sink. */

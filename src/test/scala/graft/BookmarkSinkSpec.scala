@@ -41,6 +41,34 @@ class BookmarkSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == events.count(), "idempotent overwrite")
   }
 
+  test("bookmark metrics recovery: sink recount equals the observed metrics") {
+    // The observation's rows/max_dt ride an async listener event that the bus
+    // can drop under load; incrementalLoad then falls back to recounting the
+    // committed sink. The fallback must reproduce EXACTLY what the observe
+    // metrics would have said, for both a fresh load and an incremental one.
+    val out = Files.createTempDirectory("graft_bm_rc").toString
+    val bm = Files.createTempDirectory("graft_bm_rc_b").toString + "/bookmark"
+    val events = Tables.events(spark, sf0001)
+    val r1 = Bookmark.incrementalLoad(spark, events, out, bm)
+    val (nAll, maxAll) = Bookmark.recountFromSink(spark, out, None)
+    assert(nAll == r1.rowsWritten, s"fresh-load recount $nAll != ${r1.rowsWritten}")
+    assert(maxAll.get.toString == r1.processedPartitions.max)
+
+    // incremental view: pretend the bookmark sat two partitions back — the
+    // recount must count only the newer partitions' rows
+    val parts = r1.processedPartitions
+    val cut = parts(parts.length - 3)
+    val (nInc, maxInc) = Bookmark.recountFromSink(spark, out, Some(cut))
+    val expected = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("dt") > cut).count()
+    assert(nInc == expected && nInc < nAll)
+    assert(maxInc.get.toString == parts.max)
+
+    // empty/unreadable sink is the empty increment, not an error
+    val emptyDir = Files.createTempDirectory("graft_bm_rc_e").toString
+    assert(Bookmark.recountFromSink(spark, emptyDir, None) == (0L, None))
+  }
+
   test("compaction rewrites many small files into few, preserving rows") {
     import thrivespark.ops.Compaction
     val dir = Files.createTempDirectory("graft_compact").toString + "/data"
