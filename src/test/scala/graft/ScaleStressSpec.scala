@@ -203,4 +203,103 @@ class ScaleStressSpec extends AnyFunSuite {
     info(s"nBig=$nBig cells=$nCells maxCell=$maxCell")
     big.unpersist()
   }
+
+  /** The streaming ops' 100 TB story is "watermark bounds state: size is
+    * O(events within the horizon), not O(history)" — until now asserted
+    * from construction, here MEASURED. A 48-hour time-ordered stream (400
+    * events/hour, unique event_ids, 50 users) replays one hour per
+    * micro-batch through the three stateful shapes the suite ships
+    * (dedup-within-watermark, watermarked tumbling agg, stream-stream
+    * interval join), and each query's per-batch state-store row count
+    * (StreamingQueryProgress.stateOperators) must (a) peak at a small
+    * multiple of the horizon, far below total history, and (b) PLATEAU —
+    * late-replay state no bigger than mid-replay state, the direct
+    * refutation of O(history) growth. */
+  test("48h replay: watermarked streaming state plateaus at the horizon, " +
+      "not at history", ScaleStress) {
+    import org.apache.spark.sql.DataFrame
+    val hours = 48
+    val perHour = 400
+    val totalRows = hours.toLong * perHour
+    val root = java.nio.file.Files.createTempDirectory("graft_state_stress").toString
+    val src = s"$root/src"
+    val baseUs = 1700000000L * 1000000L
+    // one parquet file per hour, written in event-time order so the file
+    // source replays them as 48 ordered micro-batches (mtime order)
+    (0 until hours).foreach { h =>
+      spark.range(perHour).select(
+          (lit(h.toLong * perHour) + col("id")).as("event_id"),
+          (col("id") % 50).as("user_id"),
+          timestamp_micros(lit(baseUs + h.toLong * 3600L * 1000000L)
+            + col("id") * 9000000L).as("ts"),
+          when(col("id") % 2 === 0, "view").otherwise("purchase").as("event_type"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    def src1() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    // run a streaming frame to completion, returning per-batch total state
+    // rows in arrival order (batches with no state update are skipped)
+    def stateTrajectory(df: DataFrame, name: String): Seq[Long] = {
+      val cp = s"$root/cp_$name"
+      val q = df.writeStream.outputMode("append").format("memory")
+        .queryName(s"stress_$name").option("checkpointLocation", cp).start()
+      q.processAllAvailable()
+      val traj = q.recentProgress.toSeq
+        .filter(p => p.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      q.stop()
+      traj
+    }
+
+    def assertBounded(name: String, traj: Seq[Long], horizonBound: Long): Unit = {
+      assert(traj.length >= hours / 2, s"$name: too few batches (${traj.length})")
+      val peak = traj.max
+      // (a) peak is horizon-sized, an order below history
+      assert(peak <= horizonBound,
+        s"$name: peak state $peak exceeds horizon bound $horizonBound")
+      assert(peak < totalRows / 5,
+        s"$name: peak state $peak is not far below history $totalRows")
+      // (b) plateau: the last quarter of the replay holds no more state than
+      // the (post-warmup) middle did — O(history) growth would show here
+      val mid = traj.slice(traj.length / 4, traj.length / 2).max
+      val late = traj.drop(traj.length * 3 / 4).max
+      assert(late <= mid * 3 / 2,
+        s"$name: state still growing late in the replay (mid=$mid late=$late)")
+      info(f"$name%-12s peak=$peak%6d (history=$totalRows) mid=$mid late=$late")
+    }
+
+    // dedup: state holds event_ids younger than watermark-1h; horizon ≈
+    // 2–3 hours of arrivals (watermark lags one batch) — bound at 6 hours
+    assertBounded("dedup",
+      stateTrajectory(src1().withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"), "dedup"),
+      horizonBound = 6L * perHour)
+
+    // tumbling agg: state is open (window × type) groups, horizon ≈ 2–3
+    // windows × 2 types regardless of perHour — bound at 8 windows' worth
+    assertBounded("tumbling",
+      stateTrajectory(src1().withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+        "tumbling"),
+      horizonBound = 8L * 2)
+
+    // stream-stream interval join: both sides retained until the opposite
+    // watermark clears their join window; horizon ≈ 2–4 hours of BOTH sides
+    // across 4 state stores — bound at 12 hours' worth of rows
+    val views = src1().filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src1().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    assertBounded("join",
+      stateTrajectory(views.join(purchases,
+        expr("""user_id = p_user AND purchase_ts > view_ts AND
+                purchase_ts <= view_ts + INTERVAL 1 HOUR""")), "join"),
+      horizonBound = 12L * perHour)
+  }
 }
