@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same defense as Bench: 167 fast queries can overflow the shared
+      // listener queue and drop the events observation metrics ride on
+      // (Bookmark bounds the wait library-side; this avoids the drop)
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "50000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,6 +143,15 @@ object Prof {
         val sizes = banded.groupBy(col("band"), col("bkey")).count()
         sizes.groupBy(col("count").as("bucket_size")).count()
           .orderBy(col("bucket_size").desc).show(20, false)
+      case "pipeline" =>
+        import thrivespark.ops.Pipeline
+        val surv = Pipeline.survivors(spark, sfDir)
+        time("survivors (dedup+persist)")(surv.count())
+        time("gatedSurvivors")(Pipeline.gatedSurvivors(spark, sfDir).count())
+        time("full op COLD")(
+          thrivespark.Registry.queries("pipeline_corpus_e2e")(spark, sfDir).count())
+        time("full op warm")(
+          thrivespark.Registry.queries("pipeline_corpus_e2e")(spark, sfDir).count())
       case "benchlike" =>
         // mimic graft.Bench's conditions for dedup_ngram_jaccard: run the
         // registry-order predecessors first (shingle persist + similar
