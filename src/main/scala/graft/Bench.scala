@@ -190,11 +190,22 @@ object Bench {
     // them (BENCH_r07: brackets clean, yet 58 queries ran >5× their clean
     // priors). A mid-run breach labels the record directly.
     val midIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Per-query liveness cap (QueryGuard): a single hung query (r8 saw one —
+    // an Observation.get parked on a dropped listener event) must cost the
+    // record one marked-failed entry, not the whole official run. 300 s is
+    // two orders above any clean per-query time and above the historical
+    // 11× contamination inflation, so it fires only on true liveness loss.
+    var nTimeout = 0
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.zipWithIndex
       .map { case ((name, fn), i) =>
         if (i > 0 && i % 25 == 0) midIo += ioProbeOnce(spark)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        QueryGuard.timed(spark, name, 300L) { fn(spark, sfDir).count() } match {
+          case Left(reason) =>
+            if (reason.startsWith("timed out")) nTimeout += 1
+            System.err.println(s"[bench] $name failed: $reason")
+          case Right(_) => ()
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val calPost = calibrate(spark)
@@ -210,9 +221,11 @@ object Bench {
     val ratios = results.flatMap { case (n, sec) =>
       BenchPriors.prior.get(n).map(p => n -> sec / p) }
     val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
-    val contaminated = probesBreached || ratioBreached
+    // a timed-out query means part of the suite went unmeasured — the
+    // record is not a valid total, label it
+    val contaminated = probesBreached || ratioBreached || nTimeout > 0
     val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"cleaned_tmp":$cleaned"""
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")

@@ -25,10 +25,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // QueryGuard: one hung query must not stall the driver's whole
+        // correctness gate — cap it, cancel its jobs, record the failure
+        QueryGuard.timed(spark, name, 300L) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } match {
+          case Left(reason) => System.err.println(s"[verify] $name failed: $reason")
+          case Right(_) => ()
         }
       }
     }

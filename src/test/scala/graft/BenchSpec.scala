@@ -51,4 +51,26 @@ class BenchSpec extends AnyFunSuite {
     val tail = Seq.fill(100)(1.0) ++ Seq.fill(50)(8.0)
     assert(!Bench.ratioVerdict(tail)._3)
   }
+
+  test("QueryGuard: success passes through, a hung query is cancelled and " +
+      "the session survives") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    assert(QueryGuard.timed(spark, "ok", 60L) {
+      spark.range(10).count()
+    } == Right(10L))
+    assert(QueryGuard.timed(spark, "boom", 60L) {
+      throw new IllegalStateException("no")
+    }.swap.exists(_.contains("IllegalStateException")))
+    // a task parked far past the cap: the guard must return within the cap
+    // (plus cancellation slack), cancel the job, and leave the session usable
+    val t0 = System.nanoTime()
+    val r = QueryGuard.timed(spark, "hang", 3L) {
+      spark.range(1).as[Long].map { _ => Thread.sleep(600000); 1L }.count()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(r.swap.exists(_.startsWith("timed out")), s"got $r")
+    assert(waited < 30, s"guard took $waited s to give up")
+    assert(spark.range(5).count() == 5, "session unusable after cancellation")
+  }
 }
