@@ -177,6 +177,67 @@ class ScaleStressSpec extends AnyFunSuite {
     toks.unpersist()
   }
 
+  test("100k-row band join: bucket decomposition keeps candidate pairs " +
+      "orders below O(n^2) and agrees with the band predicate", ScaleStress) {
+    // The r8 join_theta_band rewrite (floor(bal/w) buckets + probe-side
+    // ±1 explode riding an equi-join) claims per-task work O(Σ bucket²)
+    // instead of the BNLJ's O(n²). Measured here at 100× the supplier
+    // table: a 100k-row frame with TPC-H-shaped balances (uniform
+    // -999.99..9999.99). The equi-join's candidate set must stay orders
+    // below all-pairs, buckets must stay near-uniform (the explode factor
+    // is exactly 3), and the surviving pairs must be precisely the band
+    // pairs — checked against an independent windowed formulation (sort by
+    // balance; a band pair is a neighbor pair within a bounded rank
+    // distance), which is itself O(n log n), not O(n²).
+    val w = 10.0
+    val n = 100000L
+    val rows = spark.range(n)
+      .select(col("id").as("key"),
+        (((col("id") * 2654435761L) % 1099999L) / 100.0 - 999.99).as("bal"))
+      .persist()
+    rows.count()
+    val probe = rows.select(col("key").as("a_key"), col("bal").as("a_bal"))
+      .withColumn("pb", explode(array(floor(col("a_bal") / w) - 1,
+        floor(col("a_bal") / w), floor(col("a_bal") / w) + 1)))
+    val build = rows.select(col("key").as("b_key"), col("bal").as("b_bal"))
+      .withColumn("fb", floor(col("b_bal") / w))
+    // bucket occupancy: uniform balances over ~1100 buckets ⇒ ~90/bucket;
+    // a hot bucket would re-create the quadratic task this rewrite removes
+    val occ = build.groupBy(col("fb")).count()
+    val maxBucket = occ.agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket < 8 * n / 1000, s"hot bucket: $maxBucket rows")
+    // candidate pairs = equi-join on the bucket key alone (before the
+    // residual band/key predicates): ~3 buckets' worth per row, 2.5+
+    // orders below the 10^10 all-pairs space
+    val cands = probe.join(build, col("pb") === col("fb")).count()
+    assert(cands < n * n / 300,
+      s"candidates $cands not orders below ${n * n}")
+    val got = probe.join(build, col("pb") === col("fb") &&
+        col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < w)
+      .count()
+    // independent truth, also sub-quadratic but on a DIFFERENT key: rank
+    // every row by (bal, key); a band pair's members have at most
+    // 2·maxBucket rows between them (a <10-wide bal interval overlaps ≤2
+    // value buckets), so comparing each row to its next K=2·maxBucket+2
+    // ranked neighbors — rank-block equi-join, not all-pairs — enumerates
+    // every band pair exactly once
+    import org.apache.spark.sql.expressions.Window
+    val K = 2 * maxBucket + 2
+    val ranked = rows.withColumn("r",
+      row_number().over(Window.orderBy(col("bal"), col("key"))))
+    val xr = ranked.select(col("key").as("xk"), col("bal").as("xb"), col("r").as("xr"))
+      .withColumn("blk", explode(array(floor(col("xr") / K), floor(col("xr") / K) + 1)))
+    val yr = ranked.select(col("key").as("yk"), col("bal").as("yb"), col("r").as("yr"))
+      .withColumn("yblk", floor(col("yr") / K))
+    val truth = xr.join(yr, col("blk") === col("yblk") &&
+        col("yr") > col("xr") && col("yr") <= col("xr") + K)
+      .filter(abs(col("xb") - col("yb")) < w)
+      .count()
+    assert(got == truth, s"band join returned $got pairs, truth $truth")
+    info(f"n=$n maxBucket=$maxBucket candidates=$cands (${cands * 100.0 / (n * n)}%.4f%% of all-pairs) pairs=$got")
+    rows.unpersist()
+  }
+
   test("10x embeddings: IVF cells stay balanced so a probe scans a bounded " +
       "corpus fraction; the ANN query completes end-to-end", ScaleStress) {
     val emb = T.embeddings(spark, sf01)
