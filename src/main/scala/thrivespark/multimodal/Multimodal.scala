@@ -8,12 +8,19 @@ import org.apache.spark.sql.types._
   * BINARY columns + typed metadata, with decode/feature-extract implemented
   * as a distributed mapPartitions stage.
   *
-  * The actual codec is STUBBED (no image/audio libraries ship in this
-  * container — see the task brief): `decodeStub` produces a deterministic
-  * fake feature vector from the bytes. Everything Spark-side — schema,
-  * batch shape, partition-parallel execution, null passthrough — is real
-  * and tested in MultimodalSpec. Swap `decodeStub` for a real codec on a
-  * cluster with the native libs installed. */
+  * The IMAGE path is REAL (r9): fixtures are genuine binary P6 PPM images
+  * (deterministically generated — no image library needed to WRITE an
+  * uncompressed format), and `decodePpm` is a real parser: it validates the
+  * magic, skips whitespace/comments per the PPM grammar, reads the
+  * width/height/maxval header and aggregates the interleaved RGB raster
+  * into exact integer features. Because the planted pixel function is
+  * closed-form in (media_id, x, y, channel), the features are exactly
+  * recomputable by the DuckDB oracle — the decode is differentially tested
+  * end-to-end, not just shape-checked.
+  *
+  * Audio/video resample stubs remain documented stubs (those codecs truly
+  * aren't in this container); their Spark-side contract (binary→binary,
+  * null-safe, partition-parallel) is tested in MultimodalSpec. */
 object Multimodal {
 
   /** Canonical multimodal record schema: opaque payload + typed metadata. */
@@ -25,36 +32,137 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** Deterministic fake decode: 8 features derived from payload bytes.
-    * STUB — replace with a real image/audio decode on a real cluster. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    if (payload == null) return null
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  // ---------------------------------------------------------------- PPM ---
+
+  /** Planted pixel function: value of channel c at (x, y) for image `id`.
+    * Closed-form so the DuckDB oracle can recompute every feature exactly
+    * (SURVEY §2 oracle discipline — differential, not shape-only). */
+  @inline def ppmPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((3 * id + x + 2L * y + 37L * c) % 256).toInt
+
+  def ppmWidth(id: Long): Int  = 8 + (id % 9).toInt
+  def ppmHeight(id: Long): Int = 8 + (id % 7).toInt
+
+  /** Deterministic P6 PPM encoder: ASCII header ("P6\nW H\n255\n") followed
+    * by the binary interleaved-RGB raster, row-major. This is a REAL image
+    * file — `file` calls it "Netpbm image data"; any PPM reader decodes it. */
+  def ppmBytes(id: Long): Array[Byte] = {
+    val w = ppmWidth(id); val h = ppmHeight(id)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { out(p) = ppmPixel(id, x, y, c).toByte; p += 1; c += 1 }
+        x += 1
+      }
+      y += 1
     }
     out
   }
 
-  /** Distributed feature extraction: partition-parallel decode of the binary
-    * payload column into a feature vector column. mapPartitions keeps any
-    * per-partition codec initialization amortized (the pattern a real decoder
-    * needs); rows with null payloads pass through with null features. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val outSchema = StructType(media.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = true))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+  /** Exact decoded features: dims, raster size, per-channel mean in integer
+    * micros (floor(sum * 1e6 / n_pixels) — integer math end-to-end, so no
+    * float-rounding hazard between engines). */
+  final case class PpmFeatures(
+      width: Int, height: Int, nPixelBytes: Int,
+      rMeanMicros: Long, gMeanMicros: Long, bMeanMicros: Long)
+
+  /** REAL P6 parser: magic check, whitespace/`#`-comment skipping per the
+    * Netpbm grammar, three ASCII header ints, single whitespace, then the
+    * raw raster. Throws on malformed input (wrong magic, short raster,
+    * maxval > 255) — decode errors must surface, not silently zero. */
+  def decodePpm(payload: Array[Byte]): PpmFeatures = {
+    if (payload == null) return null
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PPM decode: $msg at byte $pos")
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') fail("bad magic")
+    pos = 2
+    def skipWs(): Unit = {
+      var more = true
+      while (more && pos < payload.length) {
+        val b = payload(pos)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+        else if (b == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      if (pos >= payload.length || payload(pos) < '0' || payload(pos) > '9') fail("expected int")
+      var v = 0
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    // exactly one whitespace byte separates the header from the raster
+    if (pos >= payload.length) fail("missing raster")
+    pos += 1
+    val n = w * h * 3
+    if (payload.length - pos < n) fail(s"short raster: need $n, have ${payload.length - pos}")
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var i = 0
+    while (i < n) {
+      rSum += payload(pos + i) & 0xff
+      gSum += payload(pos + i + 1) & 0xff
+      bSum += payload(pos + i + 2) & 0xff
+      i += 3
+    }
+    val px = w.toLong * h
+    PpmFeatures(w, h, n,
+      rSum * 1000000L / px, gSum * 1000000L / px, bSum * 1000000L / px)
+  }
+
+  private val ppmEncode = udf(ppmBytes _)
+
+  /** Media frame with REAL image payloads: one deterministic P6 PPM per
+    * document id. The encode is fixture generation (map-only, codegen'd
+    * input column); the decode stage below is the operator under test. */
+  def mediaPpmFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"))
+      .withColumn("kind", lit("image"))
+      .withColumn("payload", ppmEncode(col("media_id")))
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixel_bytes", IntegerType, nullable = true),
+    StructField("r_mean_micros", LongType, nullable = true),
+    StructField("g_mean_micros", LongType, nullable = true),
+    StructField("b_mean_micros", LongType, nullable = true)))
+
+  /** Distributed feature extraction: partition-parallel REAL decode of the
+    * binary PPM payload into exact per-image features. mapPartitions keeps
+    * per-partition codec initialization amortized (the shape a heavier
+    * codec needs); rows with null payloads pass through with null features.
+    * No shuffle — a map-only stage over however the media table is
+    * partitioned, so it scales linearly with executors at 100 TB. */
+  def extractPpmFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
-      // per-partition init would go here (codec handles, model weights, …)
+      // per-partition init would go here (codec handles, buffer pools, …)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats = decodeStub(payload)
-        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+        val id = r.getLong(idIdx)
+        val f = decodePpm(r.getAs[Array[Byte]](payIdx))
+        if (f == null) Row(id, null, null, null, null, null, null)
+        else Row(id, f.width, f.height, f.nPixelBytes,
+          f.rMeanMicros, f.gMeanMicros, f.bMeanMicros)
       }
     }(enc)
   }
+
+  // ------------------------------------------------- audio/video stubs ---
 
   /** Deterministic fake resize: maps payload bytes onto a w×h grid by
     * modular sampling. STUB — a real implementation decodes, resamples and
@@ -86,7 +194,9 @@ object Multimodal {
     org.apache.spark.sql.functions.udf(frameSampleStub _)
 
   /** Build a media frame from the documents table (text bytes standing in
-    * for an opaque payload — deterministic, no external data needed). */
+    * for an opaque payload — deterministic, no external data needed). Used
+    * by the resize/frame-sample stub surface; the feature-extraction op
+    * uses `mediaPpmFromDocuments` (real images) instead. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
