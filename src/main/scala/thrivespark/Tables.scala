@@ -46,9 +46,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // ts arrives as LONG nanos (see t()); convert to µs TimestampType with
-    // exact integer division — both engines then see identical µs values.
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Older fixture generations wrote ts as TIMESTAMP(NANOS), which the
+    // nanosAsLong flag (see t()) surfaces as LONG nanos — convert with exact
+    // integer division. Current generations write µs precision, which Spark
+    // reads natively as TimestampType — pass through unchanged.
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -320,25 +320,56 @@ object Similarity {
                      md5(text) AS md5_hex
               FROM documents ORDER BY doc_id""")),
 
-    // The full multimodal pipeline surface in one plan: binary payload →
-    // partition-parallel feature extraction (mapPartitions; codec stubbed,
-    // Spark plumbing real) → resize + frame-sample column ops. Stubbed
-    // decode ⇒ engine-defined floats ⇒ no SQL oracle (rows-only driver
-    // check); MultimodalSpec pins the shapes and null passthrough.
+    // The full multimodal pipeline surface in one plan: REAL binary P6 PPM
+    // payloads → partition-parallel REAL decode (mapPartitions, map-only
+    // stage) → resize/frame-sample column ops on the raw payload. The
+    // planted pixel function is closed-form in (media_id, x, y, channel) and
+    // the features are exact integers, so the DuckDB oracle recomputes every
+    // value from generate_series — a full differential check, not rows-only.
+    // The self-join on media_id is fixture-grain only (both sides derive
+    // from one scan; AQE broadcasts at small SF) — in production the decode
+    // runs once per payload in the single mapPartitions stage.
     Op("multimodal_features",
       (s, d) => {
         val mm = thrivespark.multimodal.Multimodal
-        val media = mm.mediaFromDocuments(T.documents(s, d))
-        mm.extractFeatures(media)
-          .withColumn("thumb", mm.resizeUdf(col("payload"), lit(8), lit(8)))
-          .withColumn("frames", mm.frameSampleUdf(col("payload"), lit(256), lit(4)))
-          .select(col("media_id"), col("kind"),
-            size(col("features")).as("n_features"),
-            octet_length(col("thumb")).as("thumb_bytes"),
-            size(col("frames")).as("n_frames"),
-            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        val media = mm.mediaPpmFromDocuments(T.documents(s, d))
+        val feats = mm.extractPpmFeatures(media)
+        val derived = media.select(col("media_id"), col("kind"),
+          octet_length(mm.resizeUdf(col("payload"), lit(8), lit(8))).as("thumb_bytes"),
+          size(mm.frameSampleUdf(col("payload"), lit(256), lit(4))).as("n_frames"))
+        feats.join(derived, "media_id")
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("n_pixel_bytes"), col("r_mean_micros"), col("g_mean_micros"),
+            col("b_mean_micros"), col("thumb_bytes"), col("n_frames"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 9) AS w,
+                       8 + (doc_id % 7) AS h
+                FROM documents
+              ), sums AS (
+                SELECT m.media_id, m.w, m.h,
+                       SUM((3 * m.media_id + x.x + 2 * y.y) % 256)      AS rsum,
+                       SUM((3 * m.media_id + x.x + 2 * y.y + 37) % 256) AS gsum,
+                       SUM((3 * m.media_id + x.x + 2 * y.y + 74) % 256) AS bsum
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.h
+                GROUP BY 1, 2, 3
+              )
+              SELECT media_id,
+                     'image' AS kind,
+                     CAST(w AS INTEGER) AS width,
+                     CAST(h AS INTEGER) AS height,
+                     CAST(w * h * 3 AS INTEGER) AS n_pixel_bytes,
+                     CAST(rsum * 1000000 // (w * h) AS BIGINT) AS r_mean_micros,
+                     CAST(gsum * 1000000 // (w * h) AS BIGINT) AS g_mean_micros,
+                     CAST(bsum * 1000000 // (w * h) AS BIGINT) AS b_mean_micros,
+                     CAST(64 AS INTEGER) AS thumb_bytes,
+                     CAST((((9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                             + 3 * w * h + 255) // 256) + 3) // 4 AS INTEGER) AS n_frames
+              FROM sums
+              ORDER BY media_id""")),
   )
 }

@@ -98,15 +98,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!dropped.exists(d => d == all.min), "the smallest id always survives")
   }
 
-  test("multimodal_features: shapes, thumb size, frame count, null safety") {
+  test("multimodal_features: decoded dims, thumb size, frame count, null safety") {
     val mm = thrivespark.multimodal.Multimodal
     val df = thrivespark.Registry.queries("multimodal_features")(spark, sf0001)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getInt(2) == 8), "decode stub emits 8 features")
-    assert(rows.forall(_.getInt(3) == 64), "8x8 thumb = 64 bytes")
-    assert(rows.forall(_.getInt(4) >= 1), "at least one sampled frame")
-    assert(mm.decodeStub(null) == null, "null payload passes through decode")
+    val byName = df.schema.fieldNames.zipWithIndex.toMap
+    rows.foreach { r =>
+      val id = r.getLong(byName("media_id"))
+      assert(r.getInt(byName("width")) == mm.ppmWidth(id))
+      assert(r.getInt(byName("height")) == mm.ppmHeight(id))
+      assert(r.getInt(byName("n_pixel_bytes")) ==
+        mm.ppmWidth(id) * mm.ppmHeight(id) * 3)
+      assert(r.getInt(byName("thumb_bytes")) == 64, "8x8 thumb = 64 bytes")
+      assert(r.getInt(byName("n_frames")) >= 1, "at least one sampled frame")
+    }
+    assert(mm.decodePpm(null) == null, "null payload passes through decode")
     assert(mm.frameSampleStub(null, 4, 2) == null)
   }
 

@@ -1,35 +1,66 @@
 package graft
 
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import thrivespark.Tables
 import thrivespark.multimodal.Multimodal
 
-/** Multimodal binary-column plumbing: schema, distributed decode stage,
-  * null passthrough. The codec itself is a documented stub. */
+/** Multimodal binary-column plumbing: real P6 PPM payloads, the distributed
+  * decode stage (mapPartitions), null passthrough, and the audio/video
+  * resize/frame-sample stub surface. */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestBase._
 
-  test("extractFeatures adds an 8-dim feature vector per media row") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
-    val out = Multimodal.extractFeatures(media)
-    assert(out.schema.fieldNames.toSeq ==
-      Seq("media_id", "kind", "payload", "width", "height", "duration_ms", "features"))
-    val rows = out.select(col("media_id"), col("features")).limit(10).collect()
-    rows.foreach { r =>
-      assert(r.getSeq[Float](1).length == 8)
+  /** Reference recomputation of the decoded features straight from the
+    * planted pixel function — independent of the encoder+parser path. */
+  private def expected(id: Long): (Int, Int, Int, Long, Long, Long) = {
+    val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
+    var r = 0L; var g = 0L; var b = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      r += Multimodal.ppmPixel(id, x, y, 0)
+      g += Multimodal.ppmPixel(id, x, y, 1)
+      b += Multimodal.ppmPixel(id, x, y, 2)
     }
+    val px = w.toLong * h
+    (w, h, w * h * 3, r * 1000000L / px, g * 1000000L / px, b * 1000000L / px)
+  }
+
+  test("extractPpmFeatures decodes real PPM payloads to exact features") {
+    val media = Multimodal.mediaPpmFromDocuments(Tables.documents(spark, sf0001))
+    val out = Multimodal.extractPpmFeatures(media)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "width", "height", "n_pixel_bytes",
+        "r_mean_micros", "g_mean_micros", "b_mean_micros"))
     assert(out.count() == 500)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    for (id <- Seq(byId.keys.min, byId.keys.max, byId.keys.toSeq.sorted.apply(byId.size / 2))) {
+      assert(byId(id) == expected(id), s"features mismatch for media_id=$id")
+    }
+  }
+
+  test("decodePpm is a real parser: header grammar, malformed input throws") {
+    val f = Multimodal.decodePpm(Multimodal.ppmBytes(42L))
+    assert((f.width, f.height, f.nPixelBytes) ==
+      (Multimodal.ppmWidth(42L), Multimodal.ppmHeight(42L),
+        Multimodal.ppmWidth(42L) * Multimodal.ppmHeight(42L) * 3))
+    // comments in the header are legal PPM
+    val withComment = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(7))
+    assert(Multimodal.decodePpm(withComment).width == 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("not a ppm".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n4 4\n255\nxx".getBytes("US-ASCII")) // short raster
+    }
   }
 
   test("decode is deterministic and partition-count independent") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
-    val a = Multimodal.extractFeatures(media.repartition(1))
-      .select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val b = Multimodal.extractFeatures(media.repartition(7))
-      .select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(a == b)
+    val media = Multimodal.mediaPpmFromDocuments(Tables.documents(spark, sf0001))
+    def run(np: Int) = Multimodal.extractPpmFeatures(media.repartition(np))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(run(1) == run(7))
   }
 
   test("resize + frame-sample stubs: shapes, determinism, null-safety") {
@@ -51,11 +82,11 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("null payloads pass through with null features") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
+    val media = Multimodal.mediaPpmFromDocuments(Tables.documents(spark, sf0001))
       .withColumn("payload", when(col("media_id") % 2 === 0, col("payload")))
-    val out = Multimodal.extractFeatures(media)
-    val nulls = out.filter(col("payload").isNull)
+    val out = Multimodal.extractPpmFeatures(media)
+    val nulls = out.filter(col("width").isNull)
     assert(nulls.count() > 0)
-    assert(nulls.filter(col("features").isNotNull).count() == 0)
+    assert(nulls.filter(col("r_mean_micros").isNotNull).count() == 0)
   }
 }
