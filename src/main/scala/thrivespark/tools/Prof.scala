@@ -164,6 +164,19 @@ object Prof {
           thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
         time("dedup_ngram_jaccard warm")(
           thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
+      case "plan-nobcast" =>
+        // Capture a query's plan with broadcast demotion OFF: at bench SFs
+        // every table fits under the broadcast thresholds, so AQE rewrites
+        // shuffle-free SMJ shapes (join_bucketed) into BHJ and the captured
+        // plan contradicts the at-scale caption. Disabling both thresholds
+        // shows the shape a 100 TB fact table would get.
+        val key = if (args.length > 2) args(2) else "join_bucketed"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val q2 = thrivespark.Registry.queries(key)(spark, sfDir)
+        q2.count()
+        println(q2.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       case q =>
         val fn = thrivespark.Registry.queries(q)
         time(s"$q run1")(fn(spark, sfDir).count())
