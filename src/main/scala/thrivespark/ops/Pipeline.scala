@@ -59,20 +59,29 @@ object Pipeline {
     * stages — the same design as Dedup's shingle/pair tables. Spark's
     * CacheManager keys on the plan, so repeated op invocations in one
     * session reuse a single materialization. */
-  def survivors(s: SparkSession, d: String): DataFrame = {
-    val drop = Dedup.nearDupPairs(s, d, 0.6).select(col("b_id")).distinct()
-    T.documents(s, d)
-      .join(drop, col("doc_id") === col("b_id"), "left_anti")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+  def survivors(s: SparkSession, d: String): DataFrame =
+    survivorsOf(
+      T.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ts")),
+      Dedup.nearDupPairs(s, d, 0.6))
+
+  /** Frame-level stage 1, shared with ScaleStressSpec's 13× composition:
+    * docs (doc_id, ts) minus every b_id of the verified near-dup pair set. */
+  def survivorsOf(docsTs: DataFrame, pairs: DataFrame): DataFrame =
+    docsTs
+      .join(pairs.select(col("b_id")).distinct(),
+        col("doc_id") === col("b_id"), "left_anti")
+      .select(col("doc_id"), col("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   /** Stage 2: the full 4-filter gate over the survivor set — (doc_id,
     * n_tokens) of docs passing language, length, repetition and LM floors.
     * Identical flag semantics to text_filter_pipeline, re-based onto the
     * post-dedup corpus. */
-  def gatedSurvivors(s: SparkSession, d: String): DataFrame = {
-    val surv = survivors(s, d)
+  def gatedSurvivors(s: SparkSession, d: String): DataFrame =
+    gatedSurvivorsOf(survivors(s, d))
+
+  /** Frame-level stage 2 (same sharing rationale as survivorsOf). */
+  def gatedSurvivorsOf(surv: DataFrame): DataFrame = {
     val base = surv.select(col("doc_id"), size(col("ts")).as("n_tokens"),
       (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
         / size(col("ts")) > 0.05).as("lang_ok"),

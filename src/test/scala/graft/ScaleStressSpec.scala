@@ -238,6 +238,144 @@ class ScaleStressSpec extends AnyFunSuite {
     rows.unpersist()
   }
 
+  test("250k media rows: PPM decode stays a map-only stage (zero exchanges) " +
+      "with linear-ish wall growth", ScaleStress) {
+    // The multimodal decode's 100 TB story is "a shuffle-free map stage that
+    // scales linearly with executors". Measured at 50× the 5,000-doc bench
+    // media table: (a) the physical plan of encode→mapPartitions-decode
+    // contains NO exchange of any kind, (b) wall clock grows ~linearly in
+    // row count (a 20× data ratio must not cost anywhere near the 400× a
+    // quadratic stage would), (c) decoded dims match the closed form on
+    // every row — correctness doesn't degrade at scale.
+    val mm = thrivespark.multimodal.Multimodal
+    val nDocs = T.documents(spark, sf01).count()
+    val n50 = 50L * nDocs
+
+    def decoded(n: Long) =
+      mm.extractPpmFeatures(
+        mm.mediaPpmFromDocuments(spark.range(n).select(col("id").as("doc_id"))))
+
+    val out = decoded(n50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PPM decode plan contains a shuffle/broadcast exchange:\n$plan")
+
+    def wall(n: Long): Double = {
+      val t0 = System.nanoTime(); decoded(n).count(); (System.nanoTime() - t0) / 1e9
+    }
+    wall(n50 / 20) // JIT + codegen warmup
+    val tSmall = math.max(wall(n50 / 20), 0.05)
+    val tBig = wall(n50)
+    assert(tBig <= 60 * tSmall,
+      f"wall grew superlinearly: ${n50 / 20} rows in $tSmall%.2f s but " +
+      f"$n50 rows in $tBig%.2f s (20x data, ${tBig / tSmall}%.0f×)")
+
+    val badDims = out.filter(
+        col("width") =!= lit(8) + pmod(col("media_id"), lit(9)) ||
+        col("height") =!= lit(8) + pmod(col("media_id"), lit(7)) ||
+        col("n_pixel_bytes") =!= col("width") * col("height") * 3)
+      .count()
+    assert(badDims == 0, s"$badDims rows decoded wrong dims at 50×")
+    info(f"nDocs=$nDocs n50=$n50 tSmall=$tSmall%.2f s tBig=$tBig%.2f s " +
+      f"ratio=${tBig / tSmall}%.1f× (data 20×)")
+  }
+
+  test("13x corpus: the e2e pipeline composition (dedup → gate → pack → " +
+      "split) conserves docs/tokens and collapses families", ScaleStress) {
+    // pipeline_corpus_e2e's stages are stress-measured individually above;
+    // this runs the actual COMPOSITION (Pipeline.survivorsOf →
+    // gatedSurvivorsOf → packAndSplit) on the same 66,900-doc expanded
+    // corpus and checks the end-to-end invariants a corpus build must hold:
+    // dedup collapses every planted family, the audit rows conserve the
+    // gated doc/token totals exactly, packing stays within one sequence of
+    // the token-budget optimum, and the content-addressed split hits 90/5/5
+    // at sequence grain.
+    import thrivespark.ops.Pipeline
+    thrivespark.functions.Register(spark)
+    val base = T.documents(spark, sf01)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 75)
+      .persist()
+    val nBase = base.count()
+    // Family layout: the UNPERTURBED original at the family-minimum id
+    // (doc_id*100) plus 50 sentinel-perturbed copies (doc_id*100+k+1).
+    // Every copy replaces a 2w-token window ⇒ J(original, copy) ≈ 0.75 > τ,
+    // so dedup must collapse each family to exactly its original — and the
+    // original is a natural document, so the quality gate then sees the
+    // production corpus, not sentinel soup (perturbed survivors would all
+    // fail the LM floor: their unique sentinel tokens are maximally
+    // improbable under the survivor-trained LM).
+    val copies = spark.range(0, 50).select(col("id").cast("int").as("k"))
+    val perturbed = base.crossJoin(copies)
+      .withColumn("n", size(col("t")))
+      .withColumn("w", floor(col("n") / 14).cast("int"))
+      .withColumn("c", col("k") % 10)
+      .withColumn("p", col("c") * col("w") + 1)
+      .withColumn("m", col("w") * 2)
+      .withColumn("sent", transform(sequence(lit(1), col("m")),
+        i => concat_ws("_", lit("zz"), col("doc_id"), col("c"), i)))
+      .select(
+        (col("doc_id") * 100 + col("k") + 1).as("doc_id"),
+        concat(
+          slice(col("t"), lit(1), col("p") - 1),
+          col("sent"),
+          slice(col("t"), col("p") + col("m"),
+            col("n") - col("p") - col("m") + 1)).as("ts"))
+    val bigDocs = base
+      .select((col("doc_id") * 100).as("doc_id"), col("t").as("ts"))
+      .unionAll(perturbed)
+      .persist()
+    val nBig = bigDocs.count()
+    assert(nBig == nBase * 51)
+
+    val pairs = Dedup.nearDupPairsOf(
+      bigDocs.select(col("doc_id"),
+        call_function("shingle_hashes", col("ts")).as("shl")), 0.6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv = Pipeline.survivorsOf(bigDocs, pairs)
+    val nSurv = surv.count()
+    // every 51-doc family collapses to ~its original: ≥95% of the expanded
+    // corpus must be dropped before the gate even runs
+    assert(nSurv <= nBig / 20,
+      s"dedup left $nSurv of $nBig docs — families did not collapse")
+    assert(nSurv <= nBase,
+      s"dedup left $nSurv survivors from $nBase families")
+
+    val kept = Pipeline.gatedSurvivorsOf(surv)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptAgg = kept.agg(count(lit(1)), sum(col("n_tokens"))).head()
+    val (nKept, keptTokens) = (keptAgg.getLong(0), keptAgg.getLong(1))
+    assert(nKept > 0, "quality gate rejected the whole corpus")
+
+    val audit = Pipeline.packAndSplit(kept).collect()
+    val totDocs = audit.map(_.getAs[Long]("n_docs")).sum
+    val totTokens = audit.map(_.getAs[Long]("n_tokens")).sum
+    val totSeqs = audit.map(_.getAs[Long]("n_seqs")).sum
+    // exact conservation through pack+split: nothing dropped, nothing doubled
+    assert(totDocs == nKept, s"audit counts $totDocs docs, gate kept $nKept")
+    assert(totTokens == keptTokens,
+      s"audit counts $totTokens tokens, gate kept $keptTokens")
+    // packing efficiency: seq_id = floor(cum_excl/1024) assigns whole docs
+    // by start offset, so a sequence's token load lies in
+    // (1024 - maxDoc, 1024 + maxDoc): the sequence count must sit within
+    // the corresponding envelope of the budget optimum — no fragmentation
+    // blowup, no silently-merged buckets
+    val maxDoc = kept.agg(max(col("n_tokens")).cast("long")).head().getLong(0)
+    val lo = keptTokens / (1024 + maxDoc)
+    val hi = keptTokens / 1024 + 1
+    assert(totSeqs >= lo && totSeqs <= hi,
+      s"packed $totSeqs sequences outside [$lo, $hi] (maxDoc=$maxDoc)")
+    // content-addressed split: 90/5/5 within md5-binomial tolerance
+    val train = audit.find(_.getString(0) == "train").map(_.getAs[Long]("n_seqs")).getOrElse(0L)
+    assert(train >= (0.82 * totSeqs).toLong && train <= (0.97 * totSeqs).toLong,
+      s"train split $train of $totSeqs sequences is far from 90%")
+    info(s"nBig=$nBig survivors=$nSurv kept=$nKept keptTokens=$keptTokens " +
+      s"seqs=$totSeqs (envelope [$lo,$hi]) splits=${audit.map(r =>
+        s"${r.getString(0)}:${r.getAs[Long]("n_seqs")}").mkString(",")}")
+    kept.unpersist(); surv.unpersist(); pairs.unpersist()
+    bigDocs.unpersist(); base.unpersist()
+  }
+
   test("10x embeddings: IVF cells stay balanced so a probe scans a bounded " +
       "corpus fraction; the ANN query completes end-to-end", ScaleStress) {
     val emb = T.embeddings(spark, sf01)
