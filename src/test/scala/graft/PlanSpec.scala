@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("PPM feature extraction is a map-only stage: zero exchanges of any kind") {
+    // The multimodal decode's scale story is "no shuffle — linear in
+    // executors"; ScaleStressSpec measures the wall-clock side at 50×,
+    // this pins the plan side at fixture grain.
+    val mm = thrivespark.multimodal.Multimodal
+    val p = mm.extractPpmFeatures(
+        mm.mediaPpmFromDocuments(thrivespark.Tables.documents(spark, sf0001)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"decode stage must not shuffle:\n$p")
+  }
+
   test("SimilarityJoinRewrite leaves equi-keyed similarity joins untouched") {
     thrivespark.plans.SimilarityJoinRewrite.install(spark)
     // sim_threshold_pairs blocks on label (an equi conjunct): the rule must
