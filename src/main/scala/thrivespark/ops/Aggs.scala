@@ -1,5 +1,6 @@
 package thrivespark.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import thrivespark.{Op, Tables => T}
 import thrivespark.Det._
@@ -246,20 +247,34 @@ object Aggs {
     // counts ride along as the verification surface. Engine-specific
     // hashing ⇒ rows-only driver check.
     Op("agg_cms_freq",
-      (s, d) => {
-        import s.implicits._
-        val ev = T.events(s, d)
-        val skBytes = ev.agg(count_min_sketch(col("event_type"),
-            lit(0.001), lit(0.99), lit(42)).as("sk"))
-          .head().getAs[Array[Byte]]("sk")
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
-        val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
-          .toDF("event_type", "exact_n", "est_n")
-          .withColumn("overcount", col("est_n") - col("exact_n"))
-          .orderBy(col("event_type"))
-      },
+      (s, d) => cmsFreq(T.events(s, d), "event_type"),
       None),
   )
+
+  /** CMS estimate vs driver-side exact counts over `key`. The exact counts
+    * exist only as the sketch's verification surface, and collecting them is
+    * only safe on a tiny closed domain — so the collect is bounded by
+    * limit(maxGroups+1) (the driver can never materialize more) and the
+    * require fails loudly if the op is re-pointed at a high-cardinality
+    * column instead of silently becoming a driver bomb. */
+  def cmsFreq(ev: DataFrame, key: String, maxGroups: Int = 10000): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val skBytes = ev.agg(count_min_sketch(col(key),
+        lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+    val exact = ev.groupBy(col(key).as("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+      .limit(maxGroups + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(exact.length <= maxGroups,
+      s"agg_cms_freq: group domain of '$key' exceeds $maxGroups — the " +
+      "driver-side exact-count verification surface is only valid for small " +
+      "closed domains; use a distributed exact aggregate instead")
+    exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
+      .toDF("event_type", "exact_n", "est_n")
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy(col("event_type"))
+  }
 }

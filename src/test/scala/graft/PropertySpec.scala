@@ -242,6 +242,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cms_freq cardinality guard: high-cardinality key fails loudly, " +
+      "never collects the full domain") {
+    import thrivespark.{Tables => T}
+    val ev = T.events(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("user_id")
+        .cast("string").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      thrivespark.ops.Aggs.cmsFreq(ev, "k", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("exceeds 10"), e.getMessage)
+    // and the guarded op itself still works on its closed domain
+    assert(thrivespark.ops.Aggs.cmsFreq(T.events(spark, sf001), "event_type")
+      .count() > 0)
+  }
+
   test("approx_count_distinct within 2% of exact (#28)") {
     val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
     val approx = r.getLong(0).toDouble

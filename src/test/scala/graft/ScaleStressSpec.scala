@@ -42,6 +42,10 @@ class ScaleStressSpec extends AnyFunSuite {
     val nBase = base.count()
     assert(nBase >= 1000, s"corpus changed: only $nBase docs with >=75 tokens")
 
+    // 50 copies per family = 10 distinct perturbed variants × 5 exact
+    // repeats (the sentinel keys on c = k % 10, not k) — the bucket/CC
+    // bounds below are calibrated against exactly this topology, so keep
+    // it; the 13× composition test uses 50 genuinely distinct variants.
     val copies = spark.range(0, 50).select(col("id").cast("int").as("k"))
     val big = base.crossJoin(copies)
       .withColumn("n", size(col("t")))
@@ -298,7 +302,10 @@ class ScaleStressSpec extends AnyFunSuite {
       .persist()
     val nBase = base.count()
     // Family layout: the UNPERTURBED original at the family-minimum id
-    // (doc_id*100) plus 50 sentinel-perturbed copies (doc_id*100+k+1).
+    // (doc_id*100) plus 50 sentinel-perturbed copies (doc_id*100+k+1), all
+    // 50 byte-distinct (the sentinel carries k itself; the window POSITION
+    // cycles through 10 slots via c = k % 10, so copies k and k+10 perturb
+    // the same window with different tokens — still distinct texts).
     // Every copy replaces a 2w-token window ⇒ J(original, copy) ≈ 0.75 > τ,
     // so dedup must collapse each family to exactly its original — and the
     // original is a natural document, so the quality gate then sees the
@@ -313,7 +320,7 @@ class ScaleStressSpec extends AnyFunSuite {
       .withColumn("p", col("c") * col("w") + 1)
       .withColumn("m", col("w") * 2)
       .withColumn("sent", transform(sequence(lit(1), col("m")),
-        i => concat_ws("_", lit("zz"), col("doc_id"), col("c"), i)))
+        i => concat_ws("_", lit("zz"), col("doc_id"), col("k"), i)))
       .select(
         (col("doc_id") * 100 + col("k") + 1).as("doc_id"),
         concat(

@@ -22,11 +22,12 @@ echo "[gate] compile OK"
 if [[ "${1:-}" == "--test" ]]; then
   echo "[gate] sbt test ..."
   if ! sbt -batch test > /tmp/gate_test.log 2>&1; then
-    grep -E 'FAILED|Tests:' /tmp/gate_test.log | tail -20
+    { grep -E 'FAILED|Tests:' /tmp/gate_test.log | tail -20; } || true
     echo "[gate] FAIL: tests red — do NOT commit. Full log: /tmp/gate_test.log"
     exit 1
   fi
-  grep -E 'Tests: succeeded' /tmp/gate_test.log | tail -1
+  # informational only — the sbt exit code above already decided the gate
+  { grep -E 'Tests: succeeded' /tmp/gate_test.log | tail -1; } || true
   echo "[gate] tests OK"
 fi
 echo "[gate] PASS"
