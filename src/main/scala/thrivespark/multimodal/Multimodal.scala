@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * uncompressed format), and `decodePpm` is a real parser: it validates the
   * magic, skips whitespace/comments per the PPM grammar, reads the
   * width/height/maxval header and aggregates the interleaved RGB raster
-  * into exact integer features. Because the planted pixel function is
-  * closed-form in (media_id, x, y, channel), the features are exactly
-  * recomputable by the DuckDB oracle — the decode is differentially tested
-  * end-to-end, not just shape-checked.
+  * into exact integer features — including (r12) a REAL 8×8 grayscale
+  * box-filter thumbnail computed from the decoded raster. Because the
+  * planted pixel function is closed-form in (media_id, x, y, channel), the
+  * features are exactly recomputable by the DuckDB oracle — the decode AND
+  * the downsample are differentially tested end-to-end, not just
+  * shape-checked.
   *
-  * Audio/video resample stubs remain documented stubs (those codecs truly
-  * aren't in this container); their Spark-side contract (binary→binary,
+  * The generic binary resize/frame-sample stubs below remain documented
+  * stubs for payloads with no in-container codec (video); the features op
+  * no longer uses resizeStub. Their Spark-side contract (binary→binary,
   * null-safe, partition-parallel) is tested in MultimodalSpec. */
 object Multimodal {
 
@@ -67,10 +70,13 @@ object Multimodal {
 
   /** Exact decoded features: dims, raster size, per-channel mean in integer
     * micros (floor(sum * 1e6 / n_pixels) — integer math end-to-end, so no
-    * float-rounding hazard between engines). */
+    * float-rounding hazard between engines), plus the REAL 8×8 grayscale
+    * box-filter thumbnail computed from the decoded raster (r12 — retires
+    * resizeStub from the features path). */
   final case class PpmFeatures(
       width: Int, height: Int, nPixelBytes: Int,
-      rMeanMicros: Long, gMeanMicros: Long, bMeanMicros: Long)
+      rMeanMicros: Long, gMeanMicros: Long, bMeanMicros: Long,
+      thumb: Array[Byte], thumbChecksum: Long)
 
   /** REAL P6 parser: magic check, whitespace/`#`-comment skipping per the
     * Netpbm grammar, three ASCII header ints, single whitespace, then the
@@ -109,16 +115,45 @@ object Multimodal {
     val n = w * h * 3
     if (payload.length - pos < n) fail(s"short raster: need $n, have ${payload.length - pos}")
     var rSum = 0L; var gSum = 0L; var bSum = 0L
-    var i = 0
-    while (i < n) {
-      rSum += payload(pos + i) & 0xff
-      gSum += payload(pos + i + 1) & 0xff
-      bSum += payload(pos + i + 2) & 0xff
-      i += 3
+    // 8×8 box-filter accumulators: pixel (x,y) lands in cell
+    // (x*8/w, y*8/h) — integer division, so for w,h ≥ 8 every cell is
+    // nonempty and both engines compute identical cell membership; images
+    // smaller than the grid leave some cells empty (emitted as 0).
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cj = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = pos + (y * w + x) * 3
+        val r = payload(p) & 0xff
+        val g = payload(p + 1) & 0xff
+        val b = payload(p + 2) & 0xff
+        rSum += r; gSum += g; bSum += b
+        val cell = cj * 8 + x * 8 / w
+        cellSum(cell) += r + g + b
+        cellN(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // thumbnail byte = mean gray of the cell's box, gray = (r+g+b)/3 —
+    // floor((Σ r+g+b) / (3·n_box)), all nonnegative integer math so
+    // floor ≡ truncation on both engines
+    val thumb = new Array[Byte](64)
+    var checksum = 0L
+    var c = 0
+    while (c < 64) {
+      val v = if (cellN(c) == 0) 0L else cellSum(c) / (3L * cellN(c))
+      thumb(c) = v.toByte
+      checksum += v
+      c += 1
     }
     val px = w.toLong * h
     PpmFeatures(w, h, n,
-      rSum * 1000000L / px, gSum * 1000000L / px, bSum * 1000000L / px)
+      rSum * 1000000L / px, gSum * 1000000L / px, bSum * 1000000L / px,
+      thumb, checksum)
   }
 
   private val ppmEncode = udf(ppmBytes _)
@@ -138,7 +173,9 @@ object Multimodal {
     StructField("n_pixel_bytes", IntegerType, nullable = true),
     StructField("r_mean_micros", LongType, nullable = true),
     StructField("g_mean_micros", LongType, nullable = true),
-    StructField("b_mean_micros", LongType, nullable = true)))
+    StructField("b_mean_micros", LongType, nullable = true),
+    StructField("thumb", BinaryType, nullable = true),
+    StructField("thumb_checksum", LongType, nullable = true)))
 
   /** Distributed feature extraction: partition-parallel REAL decode of the
     * binary PPM payload into exact per-image features. mapPartitions keeps
@@ -155,9 +192,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val f = decodePpm(r.getAs[Array[Byte]](payIdx))
-        if (f == null) Row(id, null, null, null, null, null, null)
+        if (f == null) Row(id, null, null, null, null, null, null, null, null)
         else Row(id, f.width, f.height, f.nPixelBytes,
-          f.rMeanMicros, f.gMeanMicros, f.bMeanMicros)
+          f.rMeanMicros, f.gMeanMicros, f.bMeanMicros, f.thumb, f.thumbChecksum)
       }
     }(enc)
   }

@@ -322,10 +322,14 @@ object Similarity {
 
     // The full multimodal pipeline surface in one plan: REAL binary P6 PPM
     // payloads → partition-parallel REAL decode (mapPartitions, map-only
-    // stage) → resize/frame-sample column ops on the raw payload. The
-    // planted pixel function is closed-form in (media_id, x, y, channel) and
-    // the features are exact integers, so the DuckDB oracle recomputes every
-    // value from generate_series — a full differential check, not rows-only.
+    // stage) emitting exact channel means AND a REAL 8×8 grayscale
+    // box-filter thumbnail computed from the decoded raster (r12 — the
+    // resizeStub is retired from this op; only video frame-sampling remains
+    // a stub). The planted pixel function is closed-form in (media_id, x, y,
+    // channel) and every feature — including the thumbnail's 64-byte length
+    // and its checksum (Σ of the 64 cell means) — is exact integer math, so
+    // the DuckDB oracle recomputes all of it from generate_series: a full
+    // differential check of the downsample, not rows-only.
     // The self-join on media_id is fixture-grain only (both sides derive
     // from one scan; AQE broadcasts at small SF) — in production the decode
     // runs once per payload in the single mapPartitions stage.
@@ -335,12 +339,12 @@ object Similarity {
         val media = mm.mediaPpmFromDocuments(T.documents(s, d))
         val feats = mm.extractPpmFeatures(media)
         val derived = media.select(col("media_id"), col("kind"),
-          octet_length(mm.resizeUdf(col("payload"), lit(8), lit(8))).as("thumb_bytes"),
           size(mm.frameSampleUdf(col("payload"), lit(256), lit(4))).as("n_frames"))
         feats.join(derived, "media_id")
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("n_pixel_bytes"), col("r_mean_micros"), col("g_mean_micros"),
-            col("b_mean_micros"), col("thumb_bytes"), col("n_frames"))
+            col("b_mean_micros"), octet_length(col("thumb")).as("thumb_bytes"),
+            col("thumb_checksum"), col("n_frames"))
           .orderBy(col("media_id"))
       },
       Some("""WITH m AS (
@@ -348,17 +352,27 @@ object Similarity {
                        8 + (doc_id % 9) AS w,
                        8 + (doc_id % 7) AS h
                 FROM documents
-              ), sums AS (
-                SELECT m.media_id, m.w, m.h,
-                       SUM((3 * m.media_id + x.x + 2 * y.y) % 256)      AS rsum,
-                       SUM((3 * m.media_id + x.x + 2 * y.y + 37) % 256) AS gsum,
-                       SUM((3 * m.media_id + x.x + 2 * y.y + 74) % 256) AS bsum
+              ), px AS (
+                SELECT m.media_id, m.w, m.h, x.x AS x, y.y AS y,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256        AS r,
+                       (3 * m.media_id + x.x + 2 * y.y + 37) % 256   AS g,
+                       (3 * m.media_id + x.x + 2 * y.y + 74) % 256   AS b
                 FROM m
                 JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
                 JOIN generate_series(0, 13) AS y(y) ON y.y < m.h
-                GROUP BY 1, 2, 3
+              ), sums AS (
+                SELECT media_id, w, h,
+                       SUM(r) AS rsum, SUM(g) AS gsum, SUM(b) AS bsum
+                FROM px GROUP BY 1, 2, 3
+              ), cells AS (
+                SELECT media_id, (x * 8) // w AS ci, (y * 8) // h AS cj,
+                       SUM(r + g + b) AS gs, COUNT(*) AS nb
+                FROM px GROUP BY 1, 2, 3
+              ), thumb AS (
+                SELECT media_id, SUM(gs // (3 * nb)) AS tsum
+                FROM cells GROUP BY 1
               )
-              SELECT media_id,
+              SELECT s.media_id,
                      'image' AS kind,
                      CAST(w AS INTEGER) AS width,
                      CAST(h AS INTEGER) AS height,
@@ -367,9 +381,10 @@ object Similarity {
                      CAST(gsum * 1000000 // (w * h) AS BIGINT) AS g_mean_micros,
                      CAST(bsum * 1000000 // (w * h) AS BIGINT) AS b_mean_micros,
                      CAST(64 AS INTEGER) AS thumb_bytes,
+                     CAST(t.tsum AS BIGINT) AS thumb_checksum,
                      CAST((((9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
                              + 3 * w * h + 255) // 256) + 3) // 4 AS INTEGER) AS n_frames
-              FROM sums
-              ORDER BY media_id""")),
+              FROM sums s JOIN thumb t ON s.media_id = t.media_id
+              ORDER BY s.media_id""")),
   )
 }

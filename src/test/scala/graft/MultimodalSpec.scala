@@ -30,7 +30,8 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractPpmFeatures(media)
     assert(out.schema.fieldNames.toSeq ==
       Seq("media_id", "width", "height", "n_pixel_bytes",
-        "r_mean_micros", "g_mean_micros", "b_mean_micros"))
+        "r_mean_micros", "g_mean_micros", "b_mean_micros",
+        "thumb", "thumb_checksum"))
     assert(out.count() == 500)
     val byId = out.collect().map(r => r.getLong(0) ->
       ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
@@ -59,8 +60,33 @@ class MultimodalSpec extends AnyFunSuite {
   test("decode is deterministic and partition-count independent") {
     val media = Multimodal.mediaPpmFromDocuments(Tables.documents(spark, sf0001))
     def run(np: Int) = Multimodal.extractPpmFeatures(media.repartition(np))
-      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail.map {
+        case a: Array[Byte] => a.toSeq   // value equality for the thumb bytes
+        case x => x
+      }).toMap
     assert(run(1) == run(7))
+  }
+
+  test("thumbnail is a real 8x8 box filter over the decoded raster") {
+    // Brute-force reference: cell (i,j) collects pixels with x*8/w == i,
+    // y*8/h == j; its byte is floor(Σ(r+g+b) / (3·n_box)). Computed here
+    // straight from the planted pixel function, independent of the decoder.
+    for (id <- Seq(0L, 7L, 42L, 123L)) {
+      val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
+      val sums = Array.fill(64)(0L); val ns = Array.fill(64)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(cell) += Multimodal.ppmPixel(id, x, y, 0) +
+          Multimodal.ppmPixel(id, x, y, 1) + Multimodal.ppmPixel(id, x, y, 2)
+        ns(cell) += 1
+      }
+      val want = (0 until 64).map(c => (sums(c) / (3L * ns(c))).toByte)
+      val f = Multimodal.decodePpm(Multimodal.ppmBytes(id))
+      assert(f.thumb.toSeq == want, s"thumb mismatch for id=$id")
+      assert(f.thumbChecksum == want.map(_.toLong & 0xff).sum,
+        s"checksum mismatch for id=$id")
+      assert(f.thumb.length == 64)
+    }
   }
 
   test("resize + frame-sample stubs: shapes, determinism, null-safety") {
