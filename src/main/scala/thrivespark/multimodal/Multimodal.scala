@@ -199,6 +199,135 @@ object Multimodal {
     }(enc)
   }
 
+  // ----------------------------------------------------------------- WAV ---
+
+  /** Planted sample function: 16-bit PCM sample i of clip `id`. Nonnegative
+    * (0..4000) so every derived statistic is floor-of-nonnegative integer
+    * math — identical under truncating and flooring division, hence exactly
+    * recomputable by the DuckDB oracle (the PPM move repeated for audio). */
+  @inline def wavSample(id: Long, i: Int): Int =
+    ((7 * id + 11L * i) % 4001).toInt
+
+  def wavNumSamples(id: Long): Int = 256 + (id % 41).toInt * 4
+  val WavSampleRate = 8000
+
+  /** Deterministic RIFF/WAVE encoder: canonical 44-byte header (PCM fmt
+    * chunk) + 16-bit little-endian mono samples. This is a REAL audio file —
+    * any WAV reader plays it; no codec library is needed to WRITE
+    * uncompressed PCM, which is the whole point of the format choice. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = wavNumSamples(id)
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                            // audioFormat = PCM
+      .putShort(1)                            // channels = mono
+      .putInt(WavSampleRate)
+      .putInt(WavSampleRate * 2)              // byteRate
+      .putShort(2)                            // blockAlign
+      .putShort(16)                           // bitsPerSample
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { out.putShort(wavSample(id, i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** Exact decoded audio features: format fields straight from the parsed
+    * fmt chunk, integer statistics over the PCM samples (mean in micros =
+    * floor(sum·1e6 / n) — nonnegative integer math end-to-end). */
+  final case class WavFeatures(
+      sampleRate: Int, nSamples: Int, durationMs: Long,
+      meanMicros: Long, peak: Int)
+
+  /** REAL RIFF/WAVE parser: validates the RIFF/WAVE magic, then walks the
+    * chunk list generically (any chunk order, unknown chunks skipped, odd
+    * sizes padded per the RIFF spec) to find fmt and data. Only
+    * uncompressed 16-bit mono PCM is supported; anything else throws —
+    * decode errors must surface, not silently zero. */
+  def decodeWav(payload: Array[Byte]): WavFeatures = {
+    if (payload == null) return null
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WAV decode: $msg")
+    if (payload.length < 12) fail("too short for a RIFF header")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") fail("bad RIFF/WAVE magic")
+    var pos = 12
+    var sampleRate = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= payload.length) {
+      val cid = ascii(pos)
+      val csize = buf.getInt(pos + 4)
+      if (csize < 0 || pos + 8 + csize > payload.length)
+        fail(s"chunk '$cid' overruns payload")
+      cid match {
+        case "fmt " =>
+          if (csize < 16) fail("fmt chunk too short")
+          val audioFormat = buf.getShort(pos + 8)
+          if (audioFormat != 1) fail(s"unsupported audio format $audioFormat")
+          channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = csize
+        case _ => // unknown chunk: skip
+      }
+      pos += 8 + csize + (csize & 1)          // RIFF pads odd chunks
+    }
+    if (sampleRate < 0) fail("missing fmt chunk")
+    if (dataOff < 0) fail("missing data chunk")
+    if (channels != 1 || bits != 16) fail(s"unsupported layout: $channels ch, $bits bit")
+    val n = dataLen / 2
+    if (n == 0) fail("empty data chunk")
+    var sum = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2).toInt
+      sum += s
+      if (s > peak) peak = s
+      i += 1
+    }
+    WavFeatures(sampleRate, n, n.toLong * 1000 / sampleRate,
+      sum * 1000000L / n, peak)
+  }
+
+  private val wavEncode = udf(wavBytes _)
+
+  /** Media frame with REAL audio payloads: one deterministic PCM WAV per
+    * document id (fixture generation, like mediaPpmFromDocuments). */
+  def mediaWavFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"))
+      .withColumn("kind", lit("audio"))
+      .withColumn("payload", wavEncode(col("media_id")))
+
+  private val wavFeatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("mean_micros", LongType, nullable = true),
+    StructField("peak", IntegerType, nullable = true)))
+
+  /** Distributed audio feature extraction: partition-parallel REAL decode of
+    * the binary WAV payload. Same scale shape as extractPpmFeatures — a
+    * map-only mapPartitions stage, zero shuffles, linear in executors. */
+  def extractWavFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wavFeatSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val f = decodeWav(r.getAs[Array[Byte]](payIdx))
+        if (f == null) Row(id, null, null, null, null, null)
+        else Row(id, f.sampleRate, f.nSamples, f.durationMs, f.meanMicros, f.peak)
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------- audio/video stubs ---
 
   /** Deterministic fake resize: maps payload bytes onto a w×h grid by

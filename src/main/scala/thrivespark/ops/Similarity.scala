@@ -386,5 +386,42 @@ object Similarity {
                              + 3 * w * h + 255) // 256) + 3) // 4 AS INTEGER) AS n_frames
               FROM sums s JOIN thumb t ON s.media_id = t.media_id
               ORDER BY s.media_id""")),
+
+    // The audio leg of the multimodal path (r12 — the PPM move repeated for
+    // WAV/PCM): fixtures are genuine RIFF/WAVE files generated from a
+    // closed-form sample function, and the decode is a real chunk-walking
+    // parser (magic, fmt, data; unknown chunks skipped) run as the same
+    // map-only mapPartitions stage as the image decode. Every feature is
+    // nonnegative integer math, so the DuckDB oracle recomputes all of them
+    // from generate_series — a full differential check of the audio decode.
+    Op("multimodal_audio_features",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaWavFromDocuments(T.documents(s, d))
+        mm.extractWavFeatures(media)
+          .select(col("media_id"), lit("audio").as("kind"), col("sample_rate"),
+            col("n_samples"), col("duration_ms"), col("mean_micros"), col("peak"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, 256 + (doc_id % 41) * 4 AS n
+                FROM documents
+              ), s AS (
+                SELECT m.media_id, m.n,
+                       SUM((7 * m.media_id + 11 * i.i) % 4001) AS amp_sum,
+                       MAX((7 * m.media_id + 11 * i.i) % 4001) AS peak
+                FROM m
+                JOIN generate_series(0, 415) AS i(i) ON i.i < m.n
+                GROUP BY 1, 2
+              )
+              SELECT media_id,
+                     'audio' AS kind,
+                     CAST(8000 AS INTEGER) AS sample_rate,
+                     CAST(n AS INTEGER) AS n_samples,
+                     CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                     CAST(amp_sum * 1000000 // n AS BIGINT) AS mean_micros,
+                     CAST(peak AS INTEGER) AS peak
+              FROM s
+              ORDER BY media_id""")),
   )
 }

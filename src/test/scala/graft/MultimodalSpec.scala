@@ -89,6 +89,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("extractWavFeatures decodes real RIFF/WAVE payloads to exact features") {
+    val media = Multimodal.mediaWavFromDocuments(Tables.documents(spark, sf0001))
+    val out = Multimodal.extractWavFeatures(media)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "sample_rate", "n_samples", "duration_ms",
+        "mean_micros", "peak"))
+    assert(out.count() == 500)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    for (id <- Seq(byId.keys.min, byId.keys.max, byId.keys.toSeq.sorted.apply(byId.size / 2))) {
+      // reference recomputation straight from the planted sample function
+      val n = Multimodal.wavNumSamples(id)
+      val samples = (0 until n).map(Multimodal.wavSample(id, _))
+      val want = (Multimodal.WavSampleRate, n,
+        n.toLong * 1000 / Multimodal.WavSampleRate,
+        samples.map(_.toLong).sum * 1000000L / n, samples.max)
+      assert(byId(id) == want, s"audio features mismatch for media_id=$id")
+    }
+  }
+
+  test("decodeWav is a real parser: chunk walking, malformed input throws") {
+    val good = Multimodal.wavBytes(42L)
+    val f = Multimodal.decodeWav(good)
+    assert(f.sampleRate == 8000 && f.nSamples == Multimodal.wavNumSamples(42L))
+    // an unknown chunk between fmt and data is legal RIFF — splice one in
+    val lePad = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(0).array()
+    val spliced = good.take(36) ++ lePad ++ good.drop(36)
+    // fix the RIFF size field (bytes 4..7) for the extra 8 bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, good.length - 8 + 8)
+    assert(Multimodal.decodeWav(spliced) == f, "unknown chunk must be skipped")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not a wav at all".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(good.take(50)) // data chunk overruns payload
+    }
+    assert(Multimodal.decodeWav(null) == null)
+  }
+
   test("resize + frame-sample stubs: shapes, determinism, null-safety") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
       .withColumn("thumb", Multimodal.resizeUdf(col("payload"), lit(8), lit(8)))

@@ -64,6 +64,11 @@ class PlanSpec extends AnyFunSuite {
         mm.mediaPpmFromDocuments(thrivespark.Tables.documents(spark, sf0001)))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"decode stage must not shuffle:\n$p")
+    // same contract for the audio leg
+    val pa = mm.extractWavFeatures(
+        mm.mediaWavFromDocuments(thrivespark.Tables.documents(spark, sf0001)))
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange"), s"audio decode stage must not shuffle:\n$pa")
   }
 
   test("SimilarityJoinRewrite leaves equi-keyed similarity joins untouched") {
