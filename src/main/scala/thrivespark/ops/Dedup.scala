@@ -234,6 +234,63 @@ object Dedup {
     * a chain a–b–c it can drop b and c while a near-dup of c survives only
     * because c (not a) matched it. Cluster-then-pick-canonical is how
     * production training-data dedup resolves that. */
+  /** Bucket-size cap for the embedding sign-band LSH (r12 skew hardening).
+    * Buckets above the cap are split by a secondary hash of vec_id into
+    * ceil(size/cap) sub-buckets, so a single task's collect_list and the
+    * per-bucket O(size²) pair explosion both stay bounded even under an
+    * adversarial sign-correlated embedding distribution (every vector in
+    * one bucket per band). Recall cost: pairs straddling two sub-buckets of
+    * the SAME oversized bucket are only found if another band co-buckets
+    * them — the standard LSH degradation, traded for a hard memory bound.
+    * The cap is far above any real bucket on the fixture corpora (max
+    * measured bucket at sf0.1 is ~hundreds), so the DuckDB oracle — which
+    * models the UNCAPPED banding — stays exact; FixtureContractSpec pins
+    * that headroom so corpus drift fails loudly at the cause. */
+  val LshBucketCap = 4096
+
+  private def signBandKeys: Seq[org.apache.spark.sql.Column] =
+    (0 until 16).map { j =>
+      concat((1 to 4).map(i =>
+        when(element_at(col("embedding"), j * 4 + i) >= 0, "1").otherwise("0")): _*)
+    }
+
+  /** (label, vec_id, band, bkey, bsz, nsub, sub): every vector's 16 band
+    * keys, with oversized buckets assigned a secondary-hash sub-bucket.
+    * Two shuffles on the banded frame (size agg + regroup) — the price of
+    * the skew bound; on a well-distributed corpus nsub is 1 everywhere and
+    * candidates are identical to the uncapped plan. */
+  def lshBandedCapped(emb: DataFrame, cap: Int): DataFrame = {
+    val banded = emb.select(col("label"), col("vec_id"),
+      posexplode(array(signBandKeys: _*)).as(Seq("band", "bkey")))
+    val sizes = banded.groupBy(col("label"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+    banded.join(sizes, Seq("label", "band", "bkey"))
+      .withColumn("nsub", ceil(col("bsz") / lit(cap.toDouble)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")).cast("int"))
+  }
+
+  /** The dedup_embedding_lsh operator over any (vec_id, label, embedding)
+    * frame: sign-band LSH candidates (bucket-capped, see LshBucketCap) →
+    * exact cosine verify → survivors. */
+  def embeddingLshSurvivors(emb: DataFrame, tau: Double, cap: Int): DataFrame = {
+    val cands = lshBandedCapped(emb, cap)
+      .groupBy(col("label"), col("band"), col("bkey"), col("sub"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+    val drops = cands.join(ea, "a_id").join(eb, "b_id")
+      .filter(call_function("vec_dot", col("e_a"), col("e_b")) > tau)
+      .select(col("b_id")).distinct()
+    emb.join(drops, col("vec_id") === col("b_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame =
     connectedComponents(nearDupPairs(s, d, threshold).select(col("a_id"), col("b_id")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -463,32 +520,14 @@ object Dedup {
     // sf0.1 (93% — the misses are θ≈66° borderline pairs; at production
     // near-dup thresholds recall → 1 while buckets sharpen). Pair space is
     // O(Σ bucket²) per band with ~2^4·labels buckets per band — the shape
-    // that survives 100 TB where any per-label all-pairs join cannot.
+    // that survives 100 TB where any per-label all-pairs join cannot — and
+    // since r12 each bucket is hard-capped at LshBucketCap via secondary-
+    // hash splitting, so an adversarial sign-correlated distribution can't
+    // blow a single task (ScaleStressSpec proves the bound).
     Op("dedup_embedding_lsh",
       (s, d) => {
         thrivespark.functions.Register(s)
-        val emb = T.embeddings(s, d)
-        val bandKeys = (0 until 16).map { j =>
-          concat((1 to 4).map(i =>
-            when(element_at(col("embedding"), j * 4 + i) >= 0, "1").otherwise("0")): _*)
-        }
-        val banded = emb.select(col("label"), col("vec_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-        val cands = banded.groupBy(col("label"), col("band"), col("bkey"))
-          .agg(collect_list(col("vec_id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(col("ids")).as("a_id"), col("ids"))
-          .select(col("a_id"), explode(col("ids")).as("b_id"))
-          .filter(col("a_id") < col("b_id"))
-          .distinct()
-        val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
-        val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
-        val drops = cands.join(ea, "a_id").join(eb, "b_id")
-          .filter(call_function("vec_dot", col("e_a"), col("e_b")) > 0.4)
-          .select(col("b_id")).distinct()
-        emb.join(drops, col("vec_id") === col("b_id"), "left_anti")
-          .select(col("vec_id"), col("label"))
-          .orderBy(col("vec_id"))
+        embeddingLshSurvivors(T.embeddings(s, d), 0.4, LshBucketCap)
       },
       Some("""WITH b AS (
                 SELECT vec_id, label, j,

@@ -85,6 +85,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"recall gap at sf0.01: extra survivors ${lsh.diff(exact)}")
   }
 
+  test("dedup_embedding_lsh: bucket cap is inert on the real corpus " +
+      "(capped output == uncapped output)") {
+    thrivespark.functions.Register(spark)
+    val emb = thrivespark.Tables.embeddings(spark, sf001)
+    val capped = Dedup.embeddingLshSurvivors(emb, 0.4, Dedup.LshBucketCap)
+      .collect().map(_.getLong(0)).toSeq
+    val uncapped = Dedup.embeddingLshSurvivors(emb, 0.4, Int.MaxValue)
+      .collect().map(_.getLong(0)).toSeq
+    assert(capped == uncapped,
+      "the cap must not fire on the fixture corpus — the DuckDB oracle " +
+      "models uncapped banding")
+  }
+
   test("dedup_embedding_cosine survivors = corpus minus dropped later-ids") {
     val surv = thrivespark.Registry.queries("dedup_embedding_cosine")(spark, sf001)
       .collect().map(_.getLong(0)).toSet

@@ -114,4 +114,23 @@ class FixtureContractSpec extends AnyFunSuite {
         "check spark.sql.parquet.inferTimestampNTZ in Tables.t()")
     }
   }
+
+  test("embedding LSH buckets: fixture max bucket is far below LshBucketCap " +
+      "(the DuckDB oracle models UNCAPPED banding)") {
+    // dedup_embedding_lsh's oracle enumerates candidates from the raw
+    // (label, band, bkey) buckets; the Spark side splits buckets above
+    // LshBucketCap. The two agree only while no fixture bucket reaches the
+    // cap — pin 4x headroom so corpus regeneration fails here, at the
+    // cause, not as a mysterious hash mismatch in the driver differential.
+    thrivespark.functions.Register(spark)
+    import thrivespark.ops.Dedup
+    for (d <- Seq(sf0001, sf001)) {
+      val maxBucket = Dedup.lshBandedCapped(Tables.embeddings(spark, d), Int.MaxValue)
+        .groupBy(col("label"), col("band"), col("bkey"))
+        .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).head().getLong(0)
+      assert(maxBucket * 4 <= Dedup.LshBucketCap,
+        s"$d: max LSH bucket $maxBucket is within 4x of cap " +
+        s"${Dedup.LshBucketCap} — the uncapped oracle is no longer safe")
+    }
+  }
 }
