@@ -98,6 +98,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "models uncapped banding")
   }
 
+  test("sim_ann_incremental: delta assignment against existing cells == " +
+      "one-shot assignment of everything (incremental ≡ full rebuild)") {
+    import thrivespark.ops.Similarity
+    thrivespark.functions.Register(spark)
+    val emb = thrivespark.Tables.embeddings(spark, sf001)
+    val isDelta = col("vec_id") % 7 === 3
+    val cent = Similarity.ivfCentroids(emb.filter(!isDelta))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oneShot = cells(Similarity.ivfAssignTo(emb, cent))
+    val incremental =
+      cells(Similarity.ivfAssignTo(emb.filter(!isDelta), cent)) ++
+      cells(Similarity.ivfAssignTo(emb.filter(isDelta), cent))
+    assert(oneShot == incremental,
+      "delta-batch assignment must land every vector in the same cell as " +
+      "a full rebuild — the invariant sim_ann_incremental's oracle rides on")
+    // and the op's queries are exactly the delta slice, k-bounded
+    val out = thrivespark.Registry.queries("sim_ann_incremental")(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) % 7 == 3 && r.getLong(0) % 3 == 0),
+      "queries must come from the delta batch")
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+  }
+
   test("dedup_embedding_cosine survivors = corpus minus dropped later-ids") {
     val surv = thrivespark.Registry.queries("dedup_embedding_cosine")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
