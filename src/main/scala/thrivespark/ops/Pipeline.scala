@@ -73,6 +73,26 @@ object Pipeline {
       .select(col("doc_id"), col("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Disk variant of the stage-1 boundary (r12): the survivor set is
+    * WRITTEN to parquet and re-read instead of persisted — the true
+    * cluster checkpoint shape (survives executor loss, releases the dedup
+    * stage's memory before the gate starts, and makes the boundary a
+    * durable table other jobs can consume). ScaleStressSpec measures both
+    * at 13×; MEMORY_AND_DISK persist stays the in-session default (it wins
+    * on wall-clock when the survivor set fits in cluster memory and the
+    * consumers run in the same job — see README "intermediate reuse"),
+    * while this is the shape for multi-job pipelines or spot/preemptible
+    * executors. Both produce identical frames — only durability and
+    * storage medium differ. */
+  def survivorsOfDisk(docsTs: DataFrame, pairs: DataFrame, path: String): DataFrame = {
+    docsTs
+      .join(pairs.select(col("b_id")).distinct(),
+        col("doc_id") === col("b_id"), "left_anti")
+      .select(col("doc_id"), col("ts"))
+      .write.mode("overwrite").parquet(path)
+    docsTs.sparkSession.read.parquet(path)
+  }
+
   /** Stage 2: the full 4-filter gate over the survivor set — (doc_id,
     * n_tokens) of docs passing language, length, repetition and LM floors.
     * Identical flag semantics to text_filter_pipeline, re-based onto the

@@ -410,6 +410,56 @@ class ScaleStressSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("13x stage boundary: MEMORY_AND_DISK persist vs written-and-reread " +
+      "parquet survivor table — both feed the 4-consumer gate identically",
+      ScaleStress) {
+    // The corpus pipeline's stage-1 boundary is consumed by FOUR plan
+    // branches (flags, gram agg, LM train, LM score), so its shape is
+    // load-bearing. Measure the in-session persist against the durable
+    // parquet checkpoint on a 13x corpus with NO dedup drops (empty pair
+    // set ⇒ the boundary holds the full 13x survivor set — the worst case
+    // for the boundary, isolating exactly the cost under comparison).
+    import thrivespark.ops.Pipeline
+    thrivespark.functions.Register(spark)
+    val base = T.documents(spark, sf01)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 75)
+    val copies = spark.range(0, 13).select(col("id").as("k"))
+    val bigDocs = base.crossJoin(copies)
+      .select((col("doc_id") * 13 + col("k")).as("doc_id"), col("t").as("ts"))
+      .persist()
+    val nBig = bigDocs.count()
+    val noPairs = bigDocs.select(col("doc_id").as("b_id")).limit(0)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // persist boundary
+    val (nPersist, tPersist) = timed {
+      val s = Pipeline.survivorsOf(bigDocs, noPairs)
+      val n = Pipeline.gatedSurvivorsOf(s).count()
+      s.unpersist(); n
+    }
+    // durable parquet boundary
+    val dir = s"/tmp/graft_boundary_13x"
+    val (nDisk, tDisk) = timed {
+      val s = Pipeline.survivorsOfDisk(bigDocs, noPairs, dir)
+      Pipeline.gatedSurvivorsOf(s).count()
+    }
+    assert(nPersist == nDisk,
+      s"boundary variants diverged: persist=$nPersist disk=$nDisk")
+    assert(nPersist > 0)
+    // Neither variant may be pathological: the slower one stays within 3x
+    // of the faster (both are legitimate cluster shapes; the default is
+    // documented in README from this measurement).
+    val ratio = math.max(tPersist, tDisk) / math.min(tPersist, tDisk)
+    assert(ratio < 3.0,
+      f"boundary variants diverged $ratio%.1fx: persist=$tPersist%.1fs disk=$tDisk%.1fs")
+    info(f"13x boundary (n=$nBig docs): persist=$tPersist%.1fs " +
+      f"disk=$tDisk%.1fs (gate kept $nPersist)")
+    bigDocs.unpersist()
+  }
+
   test("adversarial sign-correlated embeddings: the LSH bucket cap bounds " +
       "the worst bucket; uncapped would be one corpus-sized bucket per band",
       ScaleStress) {
