@@ -524,5 +524,137 @@ object Similarity {
                      CAST(peak AS INTEGER) AS peak
               FROM s
               ORDER BY media_id""")),
+
+    // The video leg (r12 — the PPM/WAV move repeated for YUV4MPEG2):
+    // fixtures are genuine Cmono Y4M clips generated from a closed-form luma
+    // function, and the decode is a real stream parser (magic, tag walk,
+    // FRAME-delimited raw planes) that SAMPLES every 3rd frame — the
+    // keyframe-grain extraction a training pipeline runs so downstream
+    // stages touch 1/N of the raster bytes. Map-only mapPartitions stage,
+    // zero shuffles, like the image/audio legs. Every feature — including
+    // the sampled-frame luma sum, mean and peak — is nonnegative integer
+    // math, so the DuckDB oracle recomputes the full decode+sampling from a
+    // generate_series pixel grid: frame sampling is differentially tested,
+    // not stubbed (this retires frameSampleStub as the only video story).
+    Op("multimodal_video_features",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaY4mFromDocuments(T.documents(s, d))
+        mm.extractY4mFeatures(media, everyNth = 3)
+          .select(col("media_id"), lit("video").as("kind"), col("width"),
+            col("height"), col("n_frames"), col("fps"), col("duration_ms"),
+            col("n_sampled"), col("luma_sum"), col("mean_micros"), col("peak"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 5) * 2 AS w,
+                       8 + (doc_id % 3) * 2 AS h,
+                       6 + (doc_id % 9) AS n
+                FROM documents
+              ), px AS (
+                SELECT m.media_id, m.w, m.h, m.n,
+                       (5 * m.media_id + 13 * f.f + x.x + 3 * y.y) % 256 AS v
+                FROM m
+                JOIN generate_series(0, 13) AS f(f) ON f.f < m.n AND f.f % 3 = 0
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 11) AS y(y) ON y.y < m.h
+              ), s AS (
+                SELECT media_id, w, h, n,
+                       COUNT(*) AS npx, SUM(v) AS lsum, MAX(v) AS peak
+                FROM px GROUP BY 1, 2, 3, 4
+              )
+              SELECT media_id,
+                     'video' AS kind,
+                     CAST(w AS INTEGER) AS width,
+                     CAST(h AS INTEGER) AS height,
+                     CAST(n AS INTEGER) AS n_frames,
+                     CAST(10 AS INTEGER) AS fps,
+                     CAST(n * 100 AS BIGINT) AS duration_ms,
+                     CAST((n + 2) // 3 AS INTEGER) AS n_sampled,
+                     CAST(lsum AS BIGINT) AS luma_sum,
+                     CAST(lsum * 1000000 // npx AS BIGINT) AS mean_micros,
+                     CAST(peak AS INTEGER) AS peak
+              FROM s
+              ORDER BY media_id""")),
+
+    // The trimodal manifest in its production shape: ONE scan of the corpus
+    // table, ONE mapPartitions pass decoding image (PPM) + audio (WAV) +
+    // video (Y4M, every-3rd-frame sampled) payloads side by side, doc-level
+    // columns riding through — zero joins, zero Exchanges (pinned in
+    // PlanSpec). Per-modality extract ops would cost three scans and two
+    // media_id shuffles for row-local work; at 100 TB the fused pass is the
+    // only sane plan. Every emitted feature is integer math over the three
+    // closed-form planted signals, so one DuckDB query recomputes the whole
+    // manifest exactly.
+    Op("multimodal_manifest",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaTrimodalFromDocuments(T.documents(s, d))
+        mm.extractTrimodalManifest(media, everyNth = 3)
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, lang,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                       8 + (doc_id % 9) AS iw, 8 + (doc_id % 7) AS ih,
+                       256 + (doc_id % 41) * 4 AS an,
+                       8 + (doc_id % 5) * 2 AS vw, 8 + (doc_id % 3) * 2 AS vh,
+                       6 + (doc_id % 9) AS vn
+                FROM documents
+              ), ipx AS (
+                SELECT m.media_id, m.iw, m.ih, x.x AS x, y.y AS y,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256 AS r,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256
+                       + (3 * m.media_id + x.x + 2 * y.y + 37) % 256
+                       + (3 * m.media_id + x.x + 2 * y.y + 74) % 256 AS gray3
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.iw
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.ih
+              ), isum AS (
+                SELECT media_id, iw, ih, SUM(r) AS rsum
+                FROM ipx GROUP BY 1, 2, 3
+              ), icell AS (
+                SELECT media_id, (x * 8) // iw AS ci, (y * 8) // ih AS cj,
+                       SUM(gray3) AS gs, COUNT(*) AS nb
+                FROM ipx GROUP BY 1, 2, 3
+              ), ithumb AS (
+                SELECT media_id, SUM(gs // (3 * nb)) AS tsum
+                FROM icell GROUP BY 1
+              ), aud AS (
+                SELECT m.media_id, m.an,
+                       SUM((7 * m.media_id + 11 * i.i) % 4001) AS asum,
+                       MAX((7 * m.media_id + 11 * i.i) % 4001) AS apeak
+                FROM m
+                JOIN generate_series(0, 415) AS i(i) ON i.i < m.an
+                GROUP BY 1, 2
+              ), vid AS (
+                SELECT m.media_id, m.vw, m.vh, m.vn, COUNT(*) AS vnpx,
+                       SUM((5 * m.media_id + 13 * f.f + x.x + 3 * y.y) % 256) AS vsum,
+                       MAX((5 * m.media_id + 13 * f.f + x.x + 3 * y.y) % 256) AS vpeak
+                FROM m
+                JOIN generate_series(0, 13) AS f(f) ON f.f < m.vn AND f.f % 3 = 0
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.vw
+                JOIN generate_series(0, 11) AS y(y) ON y.y < m.vh
+                GROUP BY 1, 2, 3, 4
+              )
+              SELECT m.media_id, m.lang, m.n_tokens,
+                     CAST(m.iw AS INTEGER) AS img_width,
+                     CAST(m.ih AS INTEGER) AS img_height,
+                     CAST(s.rsum * 1000000 // (m.iw * m.ih) AS BIGINT) AS img_r_mean_micros,
+                     CAST(t.tsum AS BIGINT) AS img_thumb_checksum,
+                     CAST(m.an AS INTEGER) AS aud_n_samples,
+                     CAST(a.asum * 1000000 // m.an AS BIGINT) AS aud_mean_micros,
+                     CAST(a.apeak AS INTEGER) AS aud_peak,
+                     CAST(m.vn AS INTEGER) AS vid_n_frames,
+                     CAST((m.vn + 2) // 3 AS INTEGER) AS vid_n_sampled,
+                     CAST(v.vsum * 1000000 // v.vnpx AS BIGINT) AS vid_mean_micros,
+                     CAST(v.vpeak AS INTEGER) AS vid_peak
+              FROM m
+              JOIN isum s ON s.media_id = m.media_id
+              JOIN ithumb t ON t.media_id = m.media_id
+              JOIN aud a ON a.media_id = m.media_id
+              JOIN vid v ON v.media_id = m.media_id
+              ORDER BY m.media_id""")),
   )
 }

@@ -157,4 +157,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.count() > 0)
     assert(nulls.filter(col("r_mean_micros").isNotNull).count() == 0)
   }
+
+  /** Reference recomputation of the sampled video features straight from the
+    * planted luma function — independent of the encoder+parser path. */
+  private def expectedY4m(id: Long, everyNth: Int): Multimodal.Y4mFeatures = {
+    val w = Multimodal.y4mWidth(id); val h = Multimodal.y4mHeight(id)
+    val n = Multimodal.y4mFrames(id)
+    var sum = 0L; var peak = 0; var nSampled = 0
+    for (f <- 0 until n if f % everyNth == 0) {
+      nSampled += 1
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.y4mLuma(id, f, x, y)
+        sum += v
+        if (v > peak) peak = v
+      }
+    }
+    Multimodal.Y4mFeatures(w, h, n, Multimodal.Y4mFps, n.toLong * 100,
+      nSampled, sum, sum * 1000000L / (nSampled.toLong * w * h), peak)
+  }
+
+  test("extractY4mFeatures decodes + frame-samples real Y4M payloads exactly") {
+    val media = Multimodal.mediaY4mFromDocuments(Tables.documents(spark, sf0001))
+    val out = Multimodal.extractY4mFeatures(media, everyNth = 3)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "width", "height", "n_frames", "fps", "duration_ms",
+        "n_sampled", "luma_sum", "mean_micros", "peak"))
+    assert(out.count() == 500)
+    val byId = out.collect().map { r =>
+      r.getLong(0) -> Multimodal.Y4mFeatures(r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getInt(6), r.getLong(7),
+        r.getLong(8), r.getInt(9))
+    }.toMap
+    for (id <- Seq(byId.keys.min, byId.keys.max, byId.keys.toSeq.sorted.apply(byId.size / 2))) {
+      assert(byId(id) == expectedY4m(id, 3), s"video features mismatch for media_id=$id")
+    }
+  }
+
+  test("decodeY4m is a real parser: tag grammar, C420, malformed input throws") {
+    // everyNth = 1 samples every frame — total luma over all frames
+    val all = Multimodal.decodeY4m(Multimodal.y4mBytes(7L), 1)
+    assert(all.nSampled == all.nFrames && all.nFrames == Multimodal.y4mFrames(7L))
+    // sampling strictly reduces the aggregated bytes but not the frame count
+    val sampled = Multimodal.decodeY4m(Multimodal.y4mBytes(7L), 3)
+    assert(sampled.nFrames == all.nFrames && sampled.nSampled < all.nSampled)
+    assert(sampled.lumaSum < all.lumaSum)
+    // unknown header tags (X extension) are skipped per the Y4M grammar;
+    // C420 frames carry chroma planes after the luma (size w*h*3/2)
+    val c420 = ("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg XCOLORRANGE=FULL\n" +
+      "FRAME\n").getBytes("US-ASCII") ++ Array.tabulate[Byte](12)(i => (i + 1).toByte)
+    val f = Multimodal.decodeY4m(c420, 1)
+    assert((f.width, f.height, f.nFrames, f.fpsNum) == (4, 2, 1, 25))
+    assert(f.lumaSum == (1 to 8).sum && f.peak == 8)   // luma plane only
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("MPEG4 W4 H2\nFRAME\n".getBytes("US-ASCII"), 1)
+    }
+    intercept[IllegalArgumentException] {   // short frame: header promises 8 luma bytes
+      Multimodal.decodeY4m("YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\nxx".getBytes("US-ASCII"), 1)
+    }
+    intercept[IllegalArgumentException] {   // unsupported colorspace must throw
+      Multimodal.decodeY4m("YUV4MPEG2 W4 H2 F25:1 C444\nFRAME\n".getBytes("US-ASCII"), 1)
+    }
+    assert(Multimodal.decodeY4m(null, 3) == null)
+  }
+
+  test("trimodal manifest: one fused pass agrees with the per-modality decoders") {
+    val media = Multimodal.mediaTrimodalFromDocuments(Tables.documents(spark, sf0001))
+    val out = Multimodal.extractTrimodalManifest(media, everyNth = 3)
+    assert(out.count() == 500)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(rows.keys.min, rows.keys.max)) {
+      val img = Multimodal.decodePpm(Multimodal.ppmBytes(id))
+      val aud = Multimodal.decodeWav(Multimodal.wavBytes(id))
+      val vid = Multimodal.decodeY4m(Multimodal.y4mBytes(id), 3)
+      val r = rows(id)
+      assert((r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6)) ==
+        (img.width, img.height, img.rMeanMicros, img.thumbChecksum))
+      assert((r.getInt(7), r.getLong(8), r.getInt(9)) ==
+        (aud.nSamples, aud.meanMicros, aud.peak))
+      assert((r.getInt(10), r.getInt(11), r.getLong(12), r.getInt(13)) ==
+        (vid.nFrames, vid.nSampled, vid.meanMicros, vid.peak))
+    }
+  }
+
+  test("y4m null payloads pass through with null features") {
+    val media = Multimodal.mediaY4mFromDocuments(Tables.documents(spark, sf0001))
+      .withColumn("payload", when(col("media_id") % 2 === 0, col("payload")))
+    val out = Multimodal.extractY4mFeatures(media, everyNth = 3)
+    val nulls = out.filter(col("width").isNull)
+    assert(nulls.count() > 0)
+    assert(nulls.filter(col("luma_sum").isNotNull).count() == 0)
+  }
 }

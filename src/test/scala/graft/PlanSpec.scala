@@ -69,6 +69,18 @@ class PlanSpec extends AnyFunSuite {
         mm.mediaWavFromDocuments(thrivespark.Tables.documents(spark, sf0001)))
       .queryExecution.executedPlan.toString
     assert(!pa.contains("Exchange"), s"audio decode stage must not shuffle:\n$pa")
+    // ... the video leg ...
+    val pv = mm.extractY4mFeatures(
+        mm.mediaY4mFromDocuments(thrivespark.Tables.documents(spark, sf0001)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!pv.contains("Exchange"), s"video decode stage must not shuffle:\n$pv")
+    // ... and for the FUSED trimodal manifest: one scan, one map stage, no
+    // per-modality rejoin — the production plan shape
+    val pt = mm.extractTrimodalManifest(
+        mm.mediaTrimodalFromDocuments(thrivespark.Tables.documents(spark, sf0001)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!pt.contains("Exchange"), s"trimodal manifest must not shuffle:\n$pt")
+    assert(!pt.contains("Join"), s"trimodal manifest must not join:\n$pt")
   }
 
   test("SimilarityJoinRewrite leaves equi-keyed similarity joins untouched") {
