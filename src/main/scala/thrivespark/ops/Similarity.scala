@@ -252,6 +252,96 @@ object Similarity {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     // Product quantization (PQ) — the compressed-domain scale path that
+    // Recall@k of the IVF index vs exact brute force, AS A QUERY — "measure,
+    // don't guess" applied to ANN quality. A production vector store ships
+    // recall dashboards next to its index; this computes per-query hit
+    // counts by left-semi-joining the exact top-k against the IVF top-k on
+    // (q_id, c_id). Both sides are deterministic (total orders throughout
+    // the ladder), so even the RECALL MEASUREMENT gets an exact SQL oracle
+    // — the number the dashboard shows is differentially tested, not
+    // sampled. Scale shape: the exact side is the one honest brute-force
+    // pass (broadcast query block), the IVF side reuses the probe plan;
+    // the join + count grain is queries × k, i.e. tiny.
+    Op("sim_ann_recall",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val approx = annTopKFrom(emb).select(col("q_id"), col("c_id"))
+        val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))
+        exact.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("k"),
+            coalesce(col("n_hit"), lit(0)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0)).cast("long") * lit(1000000L)
+              / col("k").cast("long")).cast("long").as("recall_micros"))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH exact AS (
+                SELECT q_id, c_id FROM (
+                  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) DESC,
+                           b.vec_id) AS rn
+                  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id % 50 = 0)
+                WHERE rn <= 5),
+              cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE vec_id % 100 = 0),
+              a1 AS (
+                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c),
+              assigned AS (SELECT c_id, c_emb, cent_id AS cell FROM a1 WHERE arn = 1),
+              q AS (
+                SELECT vec_id AS q_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id % 50 = 0),
+              p1 AS (
+                SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS crn
+                FROM q CROSS JOIN cent c),
+              probes AS (SELECT q_id, q_emb, cell FROM p1 WHERE crn <= 2),
+              cand AS (
+                SELECT p.q_id, a.c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) AS cos
+                FROM probes p JOIN assigned a ON p.cell = a.cell
+                WHERE p.q_id <> a.c_id),
+              approx AS (
+                SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, c_id) AS rn
+                  FROM cand)
+                WHERE rn <= 5),
+              hit AS (
+                SELECT e.q_id, COUNT(*) AS n_hit
+                FROM exact e JOIN approx x ON e.q_id = x.q_id AND e.c_id = x.c_id
+                GROUP BY 1),
+              kq AS (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY 1)
+              SELECT kq.q_id, CAST(kq.k AS INTEGER) AS k,
+                     CAST(COALESCE(h.n_hit, 0) AS INTEGER) AS n_hit,
+                     CAST(COALESCE(h.n_hit, 0) * 1000000 // kq.k AS BIGINT) AS recall_micros
+              FROM kq LEFT JOIN hit h ON h.q_id = kq.q_id
+              ORDER BY kq.q_id""")),
+
     // completes the ANN ladder (brute → IVF → sign-LSH → PQ): vectors are
     // encoded as M=8 subspace codes against a per-subspace codebook
     // (centroids = a deterministic seed sample's slices), and queries score
