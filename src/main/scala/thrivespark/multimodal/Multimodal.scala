@@ -493,6 +493,77 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------ quarantine decode ---
+
+  /** Classify a decode failure into a stable, engine-comparable code. The
+    * raw exception message carries positions/sizes (useful in logs, hostile
+    * to differential testing); the code is what the quarantine table keys
+    * on. */
+  def decodeErrCode(e: Throwable): String = {
+    val m = if (e.getMessage == null) "" else e.getMessage
+    if (m.contains("bad magic")) "bad_magic"
+    else if (m.contains("short raster") || m.contains("short frame") ||
+             m.contains("overruns")) "truncated"
+    else "decode_error"
+  }
+
+  private val quarantineSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("r_mean_micros", LongType, nullable = true),
+    StructField("err_code", StringType, nullable = true)))
+
+  /** Fault-TOLERANT image decode: same map-only mapPartitions stage as
+    * extractPpmFeatures, but a malformed payload quarantines its ROW
+    * instead of killing the STAGE. At 100 TB a handful of corrupt blobs is
+    * a certainty, and a Spark task failure retries the whole partition
+    * (then fails the job after 4 attempts) — so per-row capture is the only
+    * shape that survives real data. Good rows emit features with a null
+    * err_code; bad rows emit nulls with a stable err_code, and the caller
+    * routes on `status` (the dq_validate_reject pattern applied to media).
+    * The strict decoders stay the default — errors must surface unless the
+    * caller explicitly opts into quarantine semantics. */
+  def extractPpmFeaturesQuarantine(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(quarantineSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val f = decodePpm(r.getAs[Array[Byte]](payIdx))
+          if (f == null) Row(id, "quarantined", null, null, null, "null_payload")
+          else Row(id, "ok", f.width, f.height, f.rMeanMicros, null)
+        } catch {
+          case e: IllegalArgumentException =>
+            Row(id, "quarantined", null, null, null, decodeErrCode(e))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic corruption fixture for the quarantine op: every
+    * id % 7 == 3 payload is truncated mid-raster, every id % 7 == 5 gets
+    * its magic byte clobbered. Closed-form ⇒ the oracle knows exactly
+    * which rows quarantine with which code. */
+  def corruptPpmBytes(id: Long): Array[Byte] = {
+    val b = ppmBytes(id)
+    if (id % 7 == 3) java.util.Arrays.copyOf(b, b.length / 2)
+    else if (id % 7 == 5) { b(0) = 'X'; b }
+    else b
+  }
+
+  private val corruptPpmEncode = udf(corruptPpmBytes _)
+
+  /** Media frame with deterministically corrupted payloads (see
+    * corruptPpmBytes) — the quarantine op's fixture generator. */
+  def mediaCorruptPpmFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"))
+      .withColumn("kind", lit("image"))
+      .withColumn("payload", corruptPpmEncode(col("media_id")))
+
   // ------------------------------------- single-pass trimodal manifest ---
 
   /** Media frame carrying ALL THREE modality payloads per document — the

@@ -746,5 +746,112 @@ object Similarity {
               JOIN aud a ON a.media_id = m.media_id
               JOIN vid v ON v.media_id = m.media_id
               ORDER BY m.media_id""")),
+
+    // The decode stage under Structured Streaming: media staged as 4 files
+    // replays as 4 micro-batches (maxFilesPerTrigger=1), each decoded by
+    // the SAME stateless map-only stage as the batch path and appended to a
+    // parquet sink via Trigger.AvailableNow + checkpoint — the scheduled
+    // media-ingest shape (decode only what arrived since the last run; the
+    // bookmark contract applied to payload columns). Stateless +
+    // deterministic ⇒ sink ≡ one-shot batch decode regardless of batch
+    // boundaries, so the streaming execution gets the batch oracle.
+    Op("multimodal_stream_decode",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val base = thrivespark.Scratch.dir("mmdec")
+        val stage = s"$base/stage"
+        mm.mediaPpmFromDocuments(T.documents(s, d))
+          .repartition(4)
+          .write.mode("overwrite").parquet(stage)
+        thrivespark.streaming.StreamRunner.decodeMediaAvailableNow(
+            s, stage, s"$base/out", s"$base/cp",
+            "q_mmdec_" + new java.io.File(d).getName)
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_pixel_bytes"), col("r_mean_micros"), col("g_mean_micros"),
+            col("b_mean_micros"), octet_length(col("thumb")).as("thumb_bytes"),
+            col("thumb_checksum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 9) AS w,
+                       8 + (doc_id % 7) AS h
+                FROM documents
+              ), px AS (
+                SELECT m.media_id, m.w, m.h, x.x AS x, y.y AS y,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256        AS r,
+                       (3 * m.media_id + x.x + 2 * y.y + 37) % 256   AS g,
+                       (3 * m.media_id + x.x + 2 * y.y + 74) % 256   AS b
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.h
+              ), sums AS (
+                SELECT media_id, w, h,
+                       SUM(r) AS rsum, SUM(g) AS gsum, SUM(b) AS bsum
+                FROM px GROUP BY 1, 2, 3
+              ), cells AS (
+                SELECT media_id, (x * 8) // w AS ci, (y * 8) // h AS cj,
+                       SUM(r + g + b) AS gs, COUNT(*) AS nb
+                FROM px GROUP BY 1, 2, 3
+              ), thumb AS (
+                SELECT media_id, SUM(gs // (3 * nb)) AS tsum
+                FROM cells GROUP BY 1
+              )
+              SELECT s.media_id,
+                     CAST(w AS INTEGER) AS width,
+                     CAST(h AS INTEGER) AS height,
+                     CAST(w * h * 3 AS INTEGER) AS n_pixel_bytes,
+                     CAST(rsum * 1000000 // (w * h) AS BIGINT) AS r_mean_micros,
+                     CAST(gsum * 1000000 // (w * h) AS BIGINT) AS g_mean_micros,
+                     CAST(bsum * 1000000 // (w * h) AS BIGINT) AS b_mean_micros,
+                     CAST(64 AS INTEGER) AS thumb_bytes,
+                     CAST(t.tsum AS BIGINT) AS thumb_checksum
+              FROM sums s JOIN thumb t ON s.media_id = t.media_id
+              ORDER BY s.media_id""")),
+
+    // Fault-TOLERANT decode with row-level quarantine: at 100 TB corrupt
+    // blobs are a certainty, and the strict decoders' throw would retry the
+    // whole partition 4 times then kill the job. This op decodes a corpus
+    // with deterministically planted corruption (id%7==3 truncated
+    // mid-raster, id%7==5 magic clobbered — closed-form, so the oracle
+    // knows exactly which rows quarantine with which code) through the safe
+    // mapPartitions stage: good rows emit features, bad rows emit a stable
+    // err_code, nothing kills the stage. The dq_validate_reject pattern
+    // applied to media columns; still zero shuffles.
+    Op("multimodal_quarantine",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaCorruptPpmFromDocuments(T.documents(s, d))
+        mm.extractPpmFeaturesQuarantine(media)
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h,
+                       doc_id % 7 AS r7
+                FROM documents
+              ), px AS (
+                SELECT m.media_id, m.w, m.h,
+                       SUM((3 * m.media_id + x.x + 2 * y.y) % 256) AS rsum
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.h
+                WHERE m.r7 NOT IN (3, 5)
+                GROUP BY 1, 2, 3
+              )
+              SELECT m.media_id,
+                     CASE WHEN m.r7 IN (3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+                     CASE WHEN m.r7 IN (3, 5) THEN NULL
+                          ELSE CAST(m.w AS INTEGER) END AS width,
+                     CASE WHEN m.r7 IN (3, 5) THEN NULL
+                          ELSE CAST(m.h AS INTEGER) END AS height,
+                     CASE WHEN m.r7 IN (3, 5) THEN NULL
+                          ELSE CAST(p.rsum * 1000000 // (m.w * m.h) AS BIGINT)
+                          END AS r_mean_micros,
+                     CASE WHEN m.r7 = 3 THEN 'truncated'
+                          WHEN m.r7 = 5 THEN 'bad_magic'
+                          ELSE NULL END AS err_code
+              FROM m LEFT JOIN px p ON p.media_id = m.media_id
+              ORDER BY m.media_id""")),
   )
 }

@@ -266,6 +266,35 @@ object StreamRunner {
     spark.read.parquet(stateDir)
   }
 
+  /** Streaming media decode: the multimodal feature-extraction stage running
+    * under Structured Streaming. Media files arrive (maxFilesPerTrigger=1 ⇒
+    * one micro-batch per staged file), each batch is decoded by the SAME
+    * map-only mapPartitions stage as the batch path — stateless, so it needs
+    * no watermark or state store — and appended to a parquet sink.
+    * Trigger.AvailableNow + checkpoint is the scheduled-ingest shape: a
+    * decode job that picks up only media added since its last run (the
+    * bookmark contract for payload columns). Because the stage is stateless
+    * and deterministic, the sink contents equal the one-shot batch decode
+    * exactly, whatever the batch boundaries — which is the oracle. */
+  def decodeMediaAvailableNow(spark: SparkSession, srcDir: String,
+      outDir: String, checkpoint: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val feats = thrivespark.multimodal.Multimodal.extractPpmFeatures(in)
+    val q = feats.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** #59: stateful streaming dedup on event_id across micro-batches. */
   def dedupWithinWatermark(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =

@@ -239,6 +239,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine decode: corrupt rows get stable codes, stage survives") {
+    val media = Multimodal.mediaCorruptPpmFromDocuments(Tables.documents(spark, sf0001))
+    val out = Multimodal.extractPpmFeaturesQuarantine(media).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 3) assert((r.getString(1), r.getString(5)) == ("quarantined", "truncated"))
+      else if (id % 7 == 5) assert((r.getString(1), r.getString(5)) == ("quarantined", "bad_magic"))
+      else {
+        assert(r.getString(1) == "ok" && r.isNullAt(5))
+        assert(r.getInt(2) == Multimodal.ppmWidth(id))
+      }
+    }
+    // a null payload quarantines too (does not throw, does not pass as ok)
+    import spark.implicits._
+    val n = Multimodal.extractPpmFeaturesQuarantine(
+      Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")).head()
+    assert((n.getString(1), n.getString(5)) == ("quarantined", "null_payload"))
+  }
+
   test("y4m null payloads pass through with null features") {
     val media = Multimodal.mediaY4mFromDocuments(Tables.documents(spark, sf0001))
       .withColumn("payload", when(col("media_id") % 2 === 0, col("payload")))
