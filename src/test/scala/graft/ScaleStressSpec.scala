@@ -284,6 +284,49 @@ class ScaleStressSpec extends AnyFunSuite {
       f"ratio=${tBig / tSmall}%.1f× (data 20×)")
   }
 
+  test("100k trimodal rows: the fused manifest stays one map stage (zero " +
+      "exchanges, zero joins) with linear-ish wall growth", ScaleStress) {
+    // multimodal_manifest's 100 TB claim is "ONE scan, ONE fused pass for
+    // all three decoders — no per-modality rescan/rejoin". Measured at 20×
+    // the 5,000-doc bench media table: (a) the physical plan has no
+    // exchange AND no join of any kind, (b) wall clock grows ~linearly in
+    // rows, (c) all three decoders' dims/counts match the closed forms on
+    // every row at scale.
+    val mm = thrivespark.multimodal.Multimodal
+    val n20 = 20L * T.documents(spark, sf01).count()
+
+    def manifest(n: Long) =
+      mm.extractTrimodalManifest(
+        mm.mediaTrimodalFromDocuments(
+          spark.range(n).select(col("id").as("doc_id"),
+            lit("en").as("lang"), lit("a b c").as("text"))), 3)
+
+    val out = manifest(n20)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"trimodal manifest shuffles at 20×:\n$plan")
+    assert(!plan.contains("Join"), s"trimodal manifest joins at 20×:\n$plan")
+
+    def wall(n: Long): Double = {
+      val t0 = System.nanoTime(); manifest(n).count(); (System.nanoTime() - t0) / 1e9
+    }
+    wall(n20 / 10) // JIT + codegen warmup
+    val tSmall = math.max(wall(n20 / 10), 0.05)
+    val tBig = wall(n20)
+    assert(tBig <= 30 * tSmall,
+      f"wall grew superlinearly: ${n20 / 10} rows in $tSmall%.2f s but " +
+      f"$n20 rows in $tBig%.2f s (10x data, ${tBig / tSmall}%.0f×)")
+
+    val bad = out.filter(
+        col("img_width") =!= lit(8) + pmod(col("media_id"), lit(9)) ||
+        col("aud_n_samples") =!= lit(256) + pmod(col("media_id"), lit(41)) * 4 ||
+        col("vid_n_frames") =!= lit(6) + pmod(col("media_id"), lit(9)) ||
+        col("vid_n_sampled") =!= expr("(vid_n_frames + 2) div 3"))
+      .count()
+    assert(bad == 0, s"$bad rows decoded wrong dims/counts at 20×")
+    info(f"n20=$n20 tSmall=$tSmall%.2f s tBig=$tBig%.2f s " +
+      f"ratio=${tBig / tSmall}%.1f× (data 10×)")
+  }
+
   test("13x corpus: the e2e pipeline composition (dedup → gate → pack → " +
       "split) conserves docs/tokens and collapses families", ScaleStress) {
     // pipeline_corpus_e2e's stages are stress-measured individually above;
