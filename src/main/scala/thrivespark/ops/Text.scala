@@ -46,7 +46,181 @@ object Text {
           / (col("n_tokens") * lit(1000000.0))).as("avg_logp"))
   }
 
+  // ------------------------------------------------------------- BPE ---
+
+  /** BPE merge-pair learning, word-granular: symbols start as whitespace
+    * tokens and each iteration merges the corpus-wide most frequent
+    * adjacent symbol pair (count desc, then lexicographic — a total order,
+    * so training is deterministic). This is the actual BPE algorithm, run
+    * at word level (phrase vocabulary) where the fixture corpus has
+    * meaningful pair statistics; character-level is the same code on
+    * exploded characters.
+    *
+    * Cross-engine representation: the symbol sequence is kept as a
+    * US-delimited string — ` a  b ` wraps EVERY
+    * symbol in its own delimiters, so applying merge (l, r) is literally
+    * `replace(s, D+l+D+D+r+D, D+l+' '+r+D)`: leftmost non-overlapping
+    * replacement — greedy BPE application — with identical semantics in
+    * Spark and DuckDB, and adjacent occurrences still match because each
+    * symbol keeps its own wrapping. Merged symbols contain spaces; the
+    * delimiter keeps them unambiguous (FixtureContractSpec asserts the
+    * corpus is single-spaced and delimiter-free).
+    *
+    * Scale shape per iteration: pair extraction is a map-only transform,
+    * the count is one map-side-combined groupBy (the bigram shuffle every
+    * distributed BPE trainer pays), the argmax is a 1-row TakeOrdered, and
+    * the merge application is map-only with the merge as a literal.
+    * The corpus is re-persisted each iteration (iteration checkpointing —
+    * at 100 TB each round writes the rewritten corpus, exactly how
+    * large-scale tokenizer training checkpoints). Driver state = one
+    * (l, r, cnt) row per iteration: O(iters), not O(data). */
+  private val BpeD = "\u001f"
+
+  /** Wrapped-string corpus: doc_id, s. */
+  private[ops] def bpeCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(BpeD), concat_ws(BpeD + BpeD, split(col("text"), " ")),
+        lit(BpeD)).as("s"))
+
+  /** Adjacent symbol pairs of the wrapped string `s` (exploded). The
+    * single-symbol guard matters: Spark's sequence(1, 0) is DESCENDING
+    * ([1, 0] — not empty like DuckDB's generate_series), and element_at
+    * with index 0 throws. */
+  private def bpePairs(corpus: DataFrame): DataFrame = {
+    val t = split(expr("substring(s, 2, length(s) - 2)"), BpeD + BpeD)
+    corpus
+      .select(explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+  }
+
+  /** Train `iters` merges; returns (iteration, left, right, pair_count) and
+    * the final rewritten corpus. */
+  def bpeTrain(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var corpus = bpeCorpus(docs).persist()
+    corpus.count()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 0 until iters) {
+      val top = bpePairs(corpus)
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).head()
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, l, r, cnt))
+      val next = corpus.withColumn("s",
+          replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
+            lit(BpeD + l + " " + r + BpeD)))
+        .persist()
+      next.count()
+      corpus.unpersist()
+      corpus = next
+    }
+    (merges.result(), corpus)
+  }
+
+  private val BpeIters = 8
+
+  /** Learned-merge cache per (session, corpus dir): training runs once and
+    * both BPE ops share it (the Tables reader-cache move). The cache holds
+    * only the 8 (it, l, r, cnt) tuples — O(iters) driver memory. */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Int, String, String, Long)]]
+
+  private[ops] def bpeMergesFor(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
+    mergeCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    mergeCache.getOrElseUpdate((s, d), {
+      val (merges, corpus) = bpeTrain(T.documents(s, d), BpeIters)
+      corpus.unpersist()
+      merges
+    })
+  }
+
+  /** Tokenize with an already-trained merge list: ONE map-only projection
+    * chaining the greedy replaces in merge order — equivalent to the
+    * trainer's iterative rewrite (each iteration IS exactly one corpus-wide
+    * replace), with zero shuffles and zero persists. This is the production
+    * apply shape: the tokenizer is trained once, then tokenization is a
+    * stateless map stage with the merges as broadcast literals. */
+  def bpeApply(docs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(bpeCorpus(docs)) { case (df, (_, l, r, _)) =>
+      df.withColumn("s",
+        replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
+          lit(BpeD + l + " " + r + BpeD)))
+    }
+
+  /** The 8-stage DuckDB mirror: d0 = wrapped corpus, then per iteration a
+    * pair-count CTE, a top-1 CTE and a rewritten-corpus CTE — the same
+    * total orders and the same leftmost non-overlapping replace. Built by
+    * the same loop bound so the two engines can't drift. */
+  private def bpeOracleStages(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH d0 AS (
+        SELECT doc_id, chr(31) || array_to_string(string_split(text, ' '),
+               chr(31) || chr(31)) || chr(31) AS s
+        FROM documents)""")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+        t$i AS (SELECT doc_id,
+                 string_split(substr(s, 2, length(s) - 2), chr(31) || chr(31)) AS t
+                FROM d$i),
+        p$i AS (SELECT t[i] AS l, t[i + 1] AS r, COUNT(*) AS cnt
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM t$i)
+                GROUP BY 1, 2),
+        m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        d${i + 1} AS (SELECT d.doc_id,
+                 replace(d.s, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                         chr(31) || m.l || ' ' || m.r || chr(31)) AS s
+                FROM d$i d, m$i m)""")
+    }
+    sb.toString
+  }
+
   val ops: Seq[Op] = Seq(
+    // The real BPE training loop, word-granular (see bpeTrain): 8 merges
+    // learned from the corpus, each the most frequent adjacent symbol pair
+    // under a total order. Oracle = an 8-stage DuckDB mirror generated by
+    // the same loop bound — training is differentially tested end-to-end,
+    // merge by merge, including the greedy rewrites between iterations.
+    Op("text_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        bpeMergesFor(s, d).toDF("it", "l", "r", "cnt").orderBy(col("it"))
+      },
+      Some(bpeOracleStages(BpeIters) + "\n" +
+        (0 until BpeIters).map(i => s"SELECT $i AS it, l, r, cnt FROM m$i")
+          .mkString("", " UNION ALL ", " ORDER BY it"))),
+
+    // Tokenization with the learned merges: per-document symbol counts
+    // before and after applying the 8 merges greedily. Training is shared
+    // with text_bpe_train via the merge cache; the apply is bpeApply's
+    // single map-only projection chaining the replaces — zero shuffles,
+    // the production tokenize shape. The oracle rides the same 8-stage
+    // mirror and counts d8's symbols.
+    Op("text_bpe_tokenize",
+      (s, d) => {
+        val corpus = bpeApply(T.documents(s, d), bpeMergesFor(s, d))
+        val t = split(expr("substring(s, 2, length(s) - 2)"), BpeD + BpeD)
+        corpus
+          .select(col("doc_id"), size(t).as("n_tokens_bpe"))
+          .join(T.documents(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens_ws")), "doc_id")
+          .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeOracleStages(BpeIters) + s"""
+        SELECT d.doc_id,
+               CAST(len(string_split(doc.text, ' ')) AS INTEGER) AS n_tokens_ws,
+               CAST(len(string_split(substr(d.s, 2, length(d.s) - 2),
+                    chr(31) || chr(31))) AS INTEGER) AS n_tokens_bpe
+        FROM d$BpeIters d JOIN documents doc ON doc.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     Op("text_stats",
       (s, d) => T.documents(s, d).select(
         col("doc_id"), col("lang"),

@@ -298,4 +298,32 @@ class PropertySpec extends AnyFunSuite {
     assert(sh(2L) == Set("d c b", "c b a"))
     assert(sh(1L).intersect(sh(2L)).isEmpty)
   }
+
+  test("BPE training follows exact greedy merge semantics (hand-computed)") {
+    // d1 = "a b a b c", d2 = "a b a b":
+    //   iter 0: pair counts (a,b)=4 (b,a)=2 (b,c)=1       → merge (a, b)
+    //   greedy leftmost rewrite: d1=[ab, ab, c] d2=[ab, ab]
+    //   iter 1: ("a b","a b")=2, ("a b",c)=1              → merge (ab, ab)
+    //   iter 2: d1=[abab, c] → ("a b a b", c)=1           → merge (abab, c)
+    // — including the adjacent-occurrence case ("ab ab" must merge BOTH
+    // occurrences despite sharing no overlap) and count-vs-apply asymmetry
+    // (counts are overlapping, application is leftmost non-overlapping).
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b")).toDF("doc_id", "text")
+    val (merges, corpus) = thrivespark.ops.Text.bpeTrain(docs, 3)
+    assert(merges == Seq(
+      (0, "a", "b", 4L),
+      (1, "a b", "a b", 2L),
+      (2, "a b a b", "c", 1L)))
+    val fin = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.unpersist()
+    val D = "\u001f"
+    assert(fin(1L) == s"${D}a b a b c$D")   // one merged symbol
+    assert(fin(2L) == s"${D}a b a b$D")
+    // the map-only apply (one chained-replace projection) reproduces the
+    // trainer's iterative rewrite exactly
+    val applied = thrivespark.ops.Text.bpeApply(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied == fin)
+  }
 }
