@@ -256,15 +256,20 @@ object Dedup {
 
   /** (label, vec_id, band, bkey, bsz, nsub, sub): every vector's 16 band
     * keys, with oversized buckets assigned a secondary-hash sub-bucket.
-    * Two shuffles on the banded frame (size agg + regroup) — the price of
-    * the skew bound; on a well-distributed corpus nsub is 1 everywhere and
-    * candidates are identical to the uncapped plan. */
+    * Bucket sizes come from a window count over the banded frame — ONE
+    * computation of the band-key expansion and one (label, band, bkey)
+    * shuffle, vs the agg+join formulation that expanded the band keys
+    * twice (no persist) and paid an extra exchange (measured ~1.7 s extra
+    * at sf0.1). One shuffle is the price of the skew bound; on a
+    * well-distributed corpus nsub is 1 everywhere and candidates are
+    * identical to the uncapped plan. */
   def lshBandedCapped(emb: DataFrame, cap: Int): DataFrame = {
     val banded = emb.select(col("label"), col("vec_id"),
       posexplode(array(signBandKeys: _*)).as(Seq("band", "bkey")))
-    val sizes = banded.groupBy(col("label"), col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsz"))
-    banded.join(sizes, Seq("label", "band", "bkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"), col("band"), col("bkey"))
+    banded
+      .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("nsub", ceil(col("bsz") / lit(cap.toDouble)).cast("int"))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")).cast("int"))
   }
