@@ -143,6 +143,98 @@ object Text {
     (merges.result(), corpus)
   }
 
+  // -------------------------------------------------- char-level BPE ---
+
+  /** Character-level BPE — the textbook tokenizer formulation — trained on
+    * the WORD-FREQUENCY table: one corpus-wide word count, then every
+    * iteration's pair statistics are frequency-weighted sums over the
+    * VOCABULARY (tens of thousands of rows), not the corpus. This is the
+    * true 100 TB shape for tokenizer training: after the single word-count
+    * shuffle, the iterative part touches data proportional to the vocab,
+    * independent of corpus size. Symbols start as characters plus an
+    * explicit end-of-word marker; the same delimiter-wrapped string
+    * representation and greedy replace as the word-level trainer. */
+  private[ops] def bpeCharVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat(lit(BpeD),
+          concat_ws(BpeD + BpeD,
+            concat(array_remove(split(col("w"), ""), ""), array(lit("</w>")))),
+          lit(BpeD)).as("s"))
+
+  /** Frequency-weighted adjacent pairs over the vocab's symbol strings
+    * (same materialize-the-array discipline as bpePairs). */
+  private def bpeCharPairs(vocab: DataFrame): DataFrame = {
+    val t = split(expr("substring(s, 2, length(s) - 2)"), BpeD + BpeD)
+    vocab
+      .select(col("freq"), t.as("t"))
+      .select(col("freq"), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("l"),
+            element_at(col("t"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
+  }
+
+  /** Train `iters` char-level merges on the frequency table; returns
+    * (iteration, left, right, weighted_count) and the final vocab with
+    * rewritten symbol strings. Same loop shape as bpeTrain. */
+  def bpeCharTrain(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeCharVocab(docs).persist()
+    var prev: DataFrame = null
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 0 until iters) {
+      val top = bpeCharPairs(vocab)
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).head()
+      if (prev != null) prev.unpersist()
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, l, r, cnt))
+      prev = vocab
+      vocab = vocab.withColumn("s",
+          replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
+            lit(BpeD + l + r + BpeD)))   // char merge concatenates, no space
+        .localCheckpoint(false)
+    }
+    vocab.count()
+    if (prev != null) prev.unpersist()
+    (merges.result(), vocab)
+  }
+
+  /** DuckDB mirror for the char-level trainer: v0 = word-frequency table
+    * with wrapped char symbols (+ </w>), then per iteration a weighted
+    * pair-count CTE, a top-1 CTE and a rewritten-vocab CTE. */
+  private def bpeCharOracleStages(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH v0 AS (
+        SELECT w, freq,
+               chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),
+               chr(31) || chr(31)) || chr(31) AS s
+        FROM (SELECT t AS w, COUNT(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              GROUP BY 1))""")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+        ct$i AS (SELECT freq,
+                 string_split(substr(s, 2, length(s) - 2), chr(31) || chr(31)) AS t
+                FROM v$i),
+        cp$i AS (SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM ct$i)
+                GROUP BY 1, 2),
+        cm$i AS (SELECT l, r, cnt FROM cp$i ORDER BY cnt DESC, l, r LIMIT 1),
+        v${i + 1} AS (SELECT v.w, v.freq,
+                 replace(v.s, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                         chr(31) || m.l || m.r || chr(31)) AS s
+                FROM v$i v, cm$i m)""")
+    }
+    sb.toString
+  }
+
   private val BpeIters = 8
 
   /** Learned-merge cache per (session, corpus dir): training runs once and
@@ -272,6 +364,49 @@ object Text {
                     chr(31) || chr(31))) AS INTEGER) AS n_tokens_bpe
         FROM a$BpeIters a JOIN documents doc ON doc.doc_id = a.doc_id
         ORDER BY a.doc_id""")),
+
+    // Character-level BPE (see bpeCharTrain): the textbook tokenizer loop,
+    // trained on the word-FREQUENCY table so each iteration's weighted pair
+    // statistics touch vocab-sized data — after the one corpus-wide word
+    // count, training cost is independent of corpus size (the 100 TB
+    // shape). Oracle = the generated per-iteration SQL mirror.
+    Op("text_bpe_char_train",
+      (s, d) => {
+        import s.implicits._
+        bpeCharTrain(T.documents(s, d), BpeIters)._1
+          .toDF("it", "l", "r", "cnt").orderBy(col("it"))
+      },
+      Some(bpeCharOracleStages(BpeIters) + "\n" +
+        (0 until BpeIters).map(i => s"SELECT $i AS it, l, r, cnt FROM cm$i")
+          .mkString("", " UNION ALL ", " ORDER BY it"))),
+
+    // The learned segmentations: the 50 most frequent words' final symbol
+    // splits after the 8 char merges (freq desc, word — a total order), as
+    // a human-auditable vocab sample plus the per-word symbol count a
+    // token-budget estimator needs. Rides the same trained vocab table.
+    Op("text_bpe_char_segment",
+      (s, d) => {
+        val (_, vocab) = bpeCharTrain(T.documents(s, d), BpeIters)
+        val inner = expr("substring(s, 2, length(s) - 2)")
+        val out = vocab
+          .select(col("w"), col("freq"),
+            size(split(inner, BpeD + BpeD)).as("n_symbols"),
+            replace(inner, lit(BpeD + BpeD), lit("|")).as("segmentation"))
+          .orderBy(col("freq").desc, col("w"))
+          .limit(50)
+        // NOTE: the trained vocab stays cached — it is a localCheckpoint,
+        // so unpersisting before the caller evaluates `out` would drop the
+        // only copy (truncated lineage cannot recompute). Vocab-sized, tiny.
+        out
+      },
+      Some(bpeCharOracleStages(BpeIters) + s"""
+        SELECT w, freq,
+               CAST(len(string_split(substr(s, 2, length(s) - 2),
+                    chr(31) || chr(31))) AS INTEGER) AS n_symbols,
+               replace(substr(s, 2, length(s) - 2), chr(31) || chr(31), '|')
+                 AS segmentation
+        FROM v$BpeIters
+        ORDER BY freq DESC, w LIMIT 50""")),
 
     Op("text_stats",
       (s, d) => T.documents(s, d).select(
