@@ -326,4 +326,25 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(applied == fin)
   }
+
+  test("char-level BPE weights pair counts by word frequency (hand-computed)") {
+    // corpus: "ab" x3, "ac" x1 (as one doc). Char pairs over the vocab,
+    // weighted by word freq:
+    //   iter 0: (a,b)=3 (b,</w>)=3 (a,c)=1 (c,</w>)=1  -> merge (a, b)
+    //   iter 1: vocab: [ab,</w>] x3, [a,c,</w>] x1
+    //           (ab,</w>)=3 (a,c)=1 (c,</w>)=1          -> merge (ab, </w>)
+    // An UNWEIGHTED count would tie (a,b) with (a,c) at 1 each and merge
+    // (a,b) only via the lexicographic tie-break - the freq=3 weight is
+    // what this pins (and iter 1's (ab,</w>)=3 over the tie-broken rest).
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab ac")).toDF("doc_id", "text")
+    val (merges, vocab) = thrivespark.ops.Text.bpeCharTrain(docs, 2)
+    assert(merges == Seq(
+      (0, "a", "b", 3L),
+      (1, "ab", "</w>", 3L)))
+    val segs = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val D = "\u001f"
+    assert(segs("ab") == s"${D}ab</w>$D")          // fully merged
+    assert(segs("ac") == s"${D}a$D${D}c$D$D</w>$D") // untouched
+  }
 }
