@@ -515,8 +515,11 @@ object Similarity {
     // payloads → partition-parallel REAL decode (mapPartitions, map-only
     // stage) emitting exact channel means AND a REAL 8×8 grayscale
     // box-filter thumbnail computed from the decoded raster (r12 — the
-    // resizeStub is retired from this op; only video frame-sampling remains
-    // a stub). The planted pixel function is closed-form in (media_id, x, y,
+    // resizeStub is retired from this op; real video frame-sampling now
+    // lives in multimodal_video_features, so this op's n_frames column —
+    // the generic frameSampleStub applied to the PPM payload — is the last
+    // stub-derived column anywhere, kept as the codec-agnostic binary
+    // surface). The planted pixel function is closed-form in (media_id, x, y,
     // channel) and every feature — including the thumbnail's 64-byte length
     // and its checksum (Σ of the 64 cell means) — is exact integer math, so
     // the DuckDB oracle recomputes all of it from generate_series: a full
