@@ -642,4 +642,36 @@ class ScaleStressSpec extends AnyFunSuite {
                 purchase_ts <= view_ts + INTERVAL 1 HOUR""")), "join"),
       horizonBound = 12L * perHour)
   }
+  test("13x corpus: char-BPE learns IDENTICAL merges with exactly 13x the " +
+      "weights (vocab-bound training)", ScaleStress) {
+    // text_bpe_char_train's 100 TB claim is "after the one word-count
+    // shuffle, training touches vocab-sized data independent of corpus
+    // size". Replicating the corpus 13x leaves the VOCABULARY unchanged
+    // (same words, 13x each frequency), so the frequency-weighted argmax
+    // must pick the IDENTICAL merge sequence with every weighted count
+    // exactly 13x its base value - an exact structural property of
+    // vocab-bound training, checked without timing flakiness; the wall
+    // ratio is reported as supporting evidence.
+    import org.apache.spark.sql.functions._
+    val docs = T.documents(spark, sf01).select(col("doc_id"), col("text"))
+    val rep13 = (0 until 13).map(i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    def trained(d: org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      val (m, vocab) = thrivespark.ops.Text.bpeCharTrain(d, 8)
+      vocab.unpersist()
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val (m1, w1) = trained(docs)
+    val (m13, w13) = trained(rep13)
+    assert(m13.map { case (it, l, r, _) => (it, l, r) } ==
+           m1.map { case (it, l, r, _) => (it, l, r) },
+      s"merge sequence changed under 13x replication:\n$m1\nvs\n$m13")
+    m1.zip(m13).foreach { case ((_, l, r, c1), (_, _, _, c13)) =>
+      assert(c13 == 13 * c1, s"weight of ($l,$r): $c13 != 13 * $c1")
+    }
+    info(f"wall 1x=$w1%.2f s, 13x=$w13%.2f s, ratio=${w13 / w1}%.1f (data 13x)")
+  }
 }
