@@ -428,5 +428,81 @@ object Analytics {
                                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                                   * (1.0 / n_a + 1.0 / n_b)), 0), 6)) > 1.96 AS INTEGER) AS significant
               FROM w""")),
+
+    // Domain mixing to a token budget (the DoReMi/Pile corpus-mixing step):
+    // given target mixture weights per domain (en-heavy: 0.5 + 4×0.125) and
+    // a global token budget (60% of the corpus), each domain's sampling
+    // fraction is min(1, budget·w / domain_tokens) — clamped, so an
+    // under-resourced domain contributes everything it has — and documents
+    // are then selected content-addressed (md5 bucket vs the fraction in
+    // millionths, floor()ed to a LONG threshold because double→int CAST
+    // truncates in Spark but rounds in DuckDB). Two tiny aggregations
+    // (per-domain totals, corpus total) broadcast into a map-side filter
+    // over the corpus: at 100 TB the mixing plan reads the documents table
+    // twice and shuffles only 5-row frames — the per-doc accept/reject
+    // never leaves the map task. Determinism: budget is integer (×6/10 in
+    // long math), the fraction is one multiply + one divide on identical
+    // doubles, selection is the md5 idiom shared with hash_split.
+    Op("analytics_domain_mix",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        val perLang = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+        val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        val planned = perLang.crossJoin(broadcast(total))
+          // Column./ is double division; floor() recovers DuckDB's integer
+          // // quotient exactly (token totals ≪ 2^53)
+          .withColumn("budget_tokens",
+            floor(col("total_tokens") * 6 / 10).cast("long"))
+          .withColumn("weight", when(col("lang") === "en", lit(0.5)).otherwise(lit(0.125)))
+          .withColumn("frac", least(lit(1.0),
+            col("budget_tokens") * col("weight") / col("lang_tokens")))
+          .withColumn("thr", floor(col("frac") * 1000000).cast("long"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            col("frac"), col("thr"))
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000
+        docs.withColumn("b", b)
+          .join(broadcast(planned), Seq("lang"))
+          .withColumn("sampled", (col("b") < col("thr")).cast("int"))
+          .groupBy(col("lang"), col("n_docs"), col("lang_tokens"), col("frac"))
+          .agg(sum(col("sampled")).as("n_sampled"),
+            sum(col("sampled") * col("n_tokens")).as("tokens_sampled"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            round6(col("frac")).as("target_frac"), col("n_sampled"),
+            col("tokens_sampled"),
+            round6(col("tokens_sampled").cast("double") / col("lang_tokens"))
+              .as("achieved_frac"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tokens FROM documents),
+              pl AS (SELECT lang, count(*) AS n_docs,
+                            CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+                     FROM docs GROUP BY lang),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 6 // 10
+                             AS budget_tokens FROM docs),
+              planned AS (
+                SELECT lang, n_docs, lang_tokens,
+                       least(1.0, budget_tokens
+                             * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END)
+                             / lang_tokens) AS frac,
+                       CAST(floor(least(1.0, budget_tokens
+                             * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END)
+                             / lang_tokens) * 1000000) AS BIGINT) AS thr
+                FROM pl, tot),
+              sel AS (
+                SELECT d.lang, p.n_docs, p.lang_tokens, p.frac,
+                       CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000000
+                            < p.thr AS INTEGER) AS sampled,
+                       d.n_tokens
+                FROM docs d JOIN planned p ON d.lang = p.lang)
+              SELECT lang, n_docs, lang_tokens, round(frac, 6) AS target_frac,
+                     CAST(sum(sampled) AS BIGINT) AS n_sampled,
+                     CAST(sum(sampled * n_tokens) AS BIGINT) AS tokens_sampled,
+                     round(CAST(sum(sampled * n_tokens) AS DOUBLE) / lang_tokens, 6)
+                       AS achieved_frac
+              FROM sel GROUP BY 1, 2, 3, frac ORDER BY lang""")),
   )
 }

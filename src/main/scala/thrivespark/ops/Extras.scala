@@ -1308,6 +1308,47 @@ object Extras {
                          (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
                           FROM lineitem) mx)
               GROUP BY z_bucket ORDER BY z_bucket""")),
+
+    // Deterministic global corpus shuffle + shard layout (the training-order
+    // pass every LLM run needs): each doc gets a content-addressed sort key
+    // md5(epoch_salt || doc_id) — reshuffling per epoch is just a new salt —
+    // a shard from the key's top 16 bits, and its position within the shard
+    // by (skey, doc_id) order. Unlike rand()-based shuffling this is
+    // reproducible across engines, re-runs and repartitionings, and the
+    // shard/pos pair IS the output layout: at 100 TB shard count is chosen
+    // so one shard ≈ one training file (~256 MB), the per-shard rank is the
+    // single-reducer sort that writer task performs anyway
+    // (repartition(shard) → sortWithinPartitions(skey) → one file per
+    // shard — the WebDataset/packed-shard write shape), and no global
+    // total-order sort ever happens. The trailing orderBy is presentation
+    // for the differential gate only.
+    Op("etl_global_shuffle",
+      (s, d) => {
+        val S = 16
+        val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"), skey.as("skey"))
+          .withColumn("shard",
+            (conv(substring(col("skey"), 1, 4), 16, 10).cast("long") % S).cast("int"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+          .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                     md5(concat('epoch0:', CAST(doc_id AS VARCHAR))) AS skey
+                   FROM documents),
+              sh AS (SELECT doc_id, n_tokens, skey,
+                       CAST(CAST(concat('0x', substring(skey, 1, 4)) AS UBIGINT) % 16
+                            AS INTEGER) AS shard
+                     FROM m)
+              SELECT doc_id, shard,
+                     CAST(row_number() OVER (PARTITION BY shard
+                            ORDER BY skey, doc_id) AS INTEGER) AS pos,
+                     n_tokens
+              FROM sh ORDER BY shard, pos""")),
   )
 }
 

@@ -808,6 +808,66 @@ object Text {
                               x -> md5(x))) AS min_shingle_md5
               FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
               ORDER BY doc_id""")),
+
+    // Paragraph-level dedup that REWRITES the document (the CCNet/
+    // RefinedWeb boilerplate-removal stage): segment each doc into
+    // consecutive 10-token paragraphs (last partial kept), drop every
+    // paragraph whose md5 already occurs in an earlier document
+    // (first-occurrence-wins: the doc with the minimum doc_id holding a
+    // hash keeps its copy; all later docs lose theirs), and reassemble the
+    // survivors in original order into the rewritten text. This is the
+    // editing counterpart of text_substring_dedup, which only *scores*
+    // shared windows — here the corpus actually shrinks (the corpus has
+    // 100+ naturally repeated cross-doc paragraphs, so the op does real
+    // removal work, verified in PipelineSpec). Plan: one bounded explode
+    // (×n_paras), a map-side-combined min(doc_id) per hash, then the
+    // occ⋈first join WITHOUT a broadcast hint — boilerplate hash tables
+    // are corpus-sized on web crawls, so AQE decides broadcast from the
+    // measured size (the text_substring_dedup argument); reassembly is the
+    // one doc_id-keyed aggregation every per-doc op here already pays.
+    // Within-doc repeats of a paragraph whose first occurrence is this
+    // same doc are all kept (keep keys on doc_id, not (doc_id, idx)) —
+    // cross-DOCUMENT boilerplate is the target, in-doc repetition is
+    // text_repetition's signal.
+    Op("text_paragraph_dedup",
+      (s, d) => {
+        val P = 10
+        // Column./ is IEEE double division — floor() it back to the integer
+        // quotient DuckDB's // computes (exact: sizes ≪ 2^53)
+        val lastPara = floor((size(col("ts")) - 1) / lit(P)).cast("int")
+        val paras = transform(sequence(lit(0), lastPara),
+          i => array_join(slice(col("ts"), i * lit(P) + lit(1), lit(P)), " "))
+        val ex = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), posexplode(paras).as(Seq("idx", "para")))
+          .withColumn("h", md5(col("para")))
+        val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        ex.join(first, Seq("h"))
+          .withColumn("keep", col("doc_id") === col("first_doc"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(col("keep").cast("int")).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("para"))))),
+              x => x.getField("para")), " ").as("new_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              paras AS (
+                SELECT doc_id,
+                       unnest([{'idx': i, 'para': array_to_string(ts[i*10+1 : i*10+10], ' ')}
+                               for i in generate_series(0, (len(ts) - 1) // 10)],
+                              recursive := true)
+                FROM toks),
+              fo AS (SELECT md5(para) AS h, min(doc_id) AS first_doc
+                     FROM paras GROUP BY 1),
+              k AS (SELECT p.doc_id, p.idx, p.para, p.doc_id = f.first_doc AS keep
+                    FROM paras p JOIN fo f ON md5(p.para) = f.h)
+              SELECT doc_id, count(*) AS n_paras,
+                     CAST(sum(CAST(keep AS INTEGER)) AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                                         ORDER BY idx), '') AS new_text
+              FROM k GROUP BY doc_id ORDER BY doc_id""")),
   )
 }
 
