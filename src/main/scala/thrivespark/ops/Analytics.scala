@@ -504,5 +504,89 @@ object Analytics {
                      round(CAST(sum(sampled * n_tokens) AS DOUBLE) / lang_tokens, 6)
                        AS achieved_frac
               FROM sel GROUP BY 1, 2, 3, frac ORDER BY lang""")),
+
+    // Domain mixing WITH upsampling — the unclamped case analytics_domain_mix
+    // rounds down: when budget·w exceeds a domain's token mass the recipe
+    // repeats the domain across epochs (every real LLM data recipe upweights
+    // small high-quality domains this way). epochs = budget·w / tokens
+    // (here 120% budget, en-weight 0.6 ⇒ en ≈ 1.66 epochs, the rest
+    // downsample); each doc emits floor(epochs) full copies plus one more
+    // when its md5 bucket clears the fractional threshold. The Spark side
+    // RUNS the emission — explode(array_repeat) fans each doc out to its
+    // copy count before re-aggregating — so the op exercises the actual
+    // row-multiplication path a 100 TB materialization pays (map-only
+    // fan-out, no shuffle added; the oracle computes the arithmetically
+    // identical Σcopies). Same two broadcast aggregates + map-side
+    // selection as domain_mix; a domain emitting zero rows would drop its
+    // row here while the oracle keeps a zero row — impossible on this
+    // corpus (epochs ≥ 0.7 every lang, deterministic), declared rather
+    // than papered over.
+    Op("analytics_domain_upsample",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        val perLang = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+        val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        val planned = perLang.crossJoin(broadcast(total))
+          .withColumn("budget_tokens",
+            floor(col("total_tokens") * 12 / 10).cast("long"))
+          .withColumn("weight", when(col("lang") === "en", lit(0.6)).otherwise(lit(0.1)))
+          .withColumn("epochs",
+            col("budget_tokens") * col("weight") / col("lang_tokens"))
+          .withColumn("n_full", floor(col("epochs")).cast("long"))
+          .withColumn("thr",
+            floor((col("epochs") - floor(col("epochs"))) * 1000000).cast("long"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            col("epochs"), col("n_full"), col("thr"))
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000
+        docs.withColumn("b", b)
+          .join(broadcast(planned), Seq("lang"))
+          .withColumn("copies",
+            (col("n_full") + (col("b") < col("thr")).cast("long")).cast("int"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"), col("epochs"),
+            col("n_tokens"),
+            explode(array_repeat(lit(1), col("copies"))).as("one"))
+          .groupBy(col("lang"), col("n_docs"), col("lang_tokens"), col("epochs"))
+          .agg(count(lit(1)).as("n_emitted"), sum(col("n_tokens")).as("tokens_emitted"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            round6(col("epochs")).as("target_epochs"),
+            col("n_emitted"), col("tokens_emitted"),
+            round6(col("tokens_emitted").cast("double") / col("lang_tokens"))
+              .as("achieved_epochs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tokens FROM documents),
+              pl AS (SELECT lang, count(*) AS n_docs,
+                            CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+                     FROM docs GROUP BY lang),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 12 // 10
+                             AS budget_tokens FROM docs),
+              planned AS (
+                SELECT lang, n_docs, lang_tokens,
+                       budget_tokens
+                         * (CASE WHEN lang = 'en' THEN 0.6 ELSE 0.1 END)
+                         / lang_tokens AS epochs
+                FROM pl, tot),
+              p2 AS (SELECT lang, n_docs, lang_tokens, epochs,
+                            CAST(floor(epochs) AS BIGINT) AS n_full,
+                            CAST(floor((epochs - floor(epochs)) * 1000000)
+                                 AS BIGINT) AS thr
+                     FROM planned),
+              sel AS (
+                SELECT d.lang, p.n_docs, p.lang_tokens, p.epochs,
+                       p.n_full
+                         + CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000000
+                                < p.thr AS INTEGER) AS copies,
+                       d.n_tokens
+                FROM docs d JOIN p2 p ON d.lang = p.lang)
+              SELECT lang, n_docs, lang_tokens, round(epochs, 6) AS target_epochs,
+                     CAST(sum(copies) AS BIGINT) AS n_emitted,
+                     CAST(sum(copies * n_tokens) AS BIGINT) AS tokens_emitted,
+                     round(CAST(sum(copies * n_tokens) AS DOUBLE) / lang_tokens, 6)
+                       AS achieved_epochs
+              FROM sel GROUP BY 1, 2, 3, epochs ORDER BY lang""")),
   )
 }

@@ -110,4 +110,29 @@ class TrainingMixSpec extends AnyFunSuite {
     val others = fr.filter(_._1 != "en").values
     assert(fr("en") >= others.max || fr("en") == 1.0)
   }
+
+  test("domain upsample: en exceeds one epoch, emission matches the plan") {
+    val out = q("analytics_domain_upsample", sf001).collect()
+    assert(out.length == 5, "every language must emit rows on this corpus")
+    var planned = 0.0; var emitted = 0L; var total = 0L
+    out.foreach { r =>
+      val epochs = r.getAs[Double]("target_epochs")
+      val nDocs = r.getAs[Long]("n_docs")
+      // every doc emits at least floor(epochs) copies
+      assert(r.getAs[Long]("n_emitted") >= epochs.toLong * nDocs)
+      planned += epochs * r.getAs[Long]("lang_tokens")
+      emitted += r.getAs[Long]("tokens_emitted")
+      total += r.getAs[Long]("lang_tokens")
+    }
+    val en = out.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Double]("target_epochs") > 1.0, "en must be upsampled")
+    assert(en.getAs[Double]("achieved_epochs") > 1.0,
+      "upsampling must actually emit more than one epoch of en")
+    // weights sum to 1, so the planned mass is exactly the 120% budget;
+    // the hash-threshold realization stays close on this fixed corpus
+    val budget = total * 12 / 10
+    assert(math.abs(planned - budget) <= 1e-6 * total)
+    assert(math.abs(emitted - planned) < 0.15 * planned,
+      s"realized $emitted vs planned $planned drifted")
+  }
 }
