@@ -674,4 +674,34 @@ class ScaleStressSpec extends AnyFunSuite {
     }
     info(f"wall 1x=$w1%.2f s, 13x=$w13%.2f s, ratio=${w13 / w1}%.1f (data 13x)")
   }
+
+  test("13x corpus: paragraph dedup keeps EXACTLY the 1x winners and drops " +
+      "all replicas (first-wins is replication-stable)", ScaleStress) {
+    // text_paragraph_dedup's scale claim is "bucketed groupBy + equi-join,
+    // never all-pairs". Replicating the corpus 13x with REPLICA ids offset
+    // ABOVE every original id leaves each paragraph hash's min-doc winner
+    // unchanged, so the kept-paragraph total must be EXACTLY the 1x value
+    // while n_paras grows exactly 13x — an exact structural property of
+    // first-occurrence-wins under replication (every replica paragraph is
+    // a duplicate of an original that outranks it). Wall ratio reported as
+    // supporting linear-scaling evidence.
+    val docs = T.documents(spark, sf01).select(col("doc_id"), col("text"))
+    val rep13 = (0 until 13).map(i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    def run(d: org.apache.spark.sql.DataFrame, dir: String) = {
+      d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val out = thrivespark.Registry.queries("text_paragraph_dedup")(spark, dir)
+        .agg(sum("n_paras"), sum("n_kept")).head()
+      ((out.getLong(0), out.getLong(1)), (System.nanoTime() - t0) / 1e9)
+    }
+    val ((paras1, kept1), w1) = run(docs, "/tmp/graft_paradedup_1x")
+    val ((paras13, kept13), w13) = run(rep13, "/tmp/graft_paradedup_13x")
+    assert(paras13 == 13 * paras1, "paragraph mass must replicate exactly")
+    assert(kept13 == kept1,
+      s"replication must add zero new winners: kept $kept13 != 1x $kept1")
+    info(f"wall 1x=$w1%.2f s, 13x=$w13%.2f s, ratio=${w13 / w1}%.1f (data 13x)")
+  }
 }
