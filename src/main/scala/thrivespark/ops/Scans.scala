@@ -86,6 +86,76 @@ object Scans {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS dt, count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Raw-file media ingestion (r12): `format("binaryFile")` IS the 100 TB
+    // media-lake read path — a directory of image/audio files becomes
+    // (path, modificationTime, length, content) rows, partitioned by file
+    // like any other scan, with pathGlobFilter pruning at listing time.
+    // Fixture: 40 REAL .ppm files written once per dataset (bounded
+    // driver-side file IO — generation is the fixture, the DISTRIBUTED
+    // read+decode is the op); media_id parses from the filename, the
+    // payload feeds the same real PPM decoder as multimodal_features, and
+    // the source's own `length` column is oracle-checked against the
+    // closed-form P6 size (9 + digits(w) + digits(h) + 3wh) — proving the
+    // bytes on disk, the source metadata and the decode all agree.
+    Op("source_binary_files",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val dir = java.nio.file.Paths.get(
+          s"/tmp/graft_binsrc_${new java.io.File(d).getName}")
+        java.nio.file.Files.createDirectories(dir)
+        val ids = T.documents(s, d).select($c("doc_id"))
+          .filter($c("doc_id") < 40).collect().map(_.getLong(0))  // bounded ≤40
+        ids.foreach { id =>
+          java.nio.file.Files.write(dir.resolve(f"img_$id%05d.ppm"),
+            mm.ppmBytes(id))
+        }
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.ppm").load(dir.toString)
+          .select(
+            regexp_extract($c("path"), "img_(\\d+)\\.ppm$", 1)
+              .cast("long").as("media_id"),
+            $c("length"), $c("content").as("payload"))
+        mm.extractPpmFeatures(bin.select($c("media_id"), $c("payload")))
+          .join(bin.select($c("media_id"), $c("length")), "media_id")
+          .select($c("media_id"), $c("length"), $c("width"), $c("height"),
+            $c("r_mean_micros"), $c("thumb_checksum"))
+          .orderBy($c("media_id"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 9) AS w,
+                       8 + (doc_id % 7) AS h
+                FROM documents WHERE doc_id < 40
+              ), px AS (
+                SELECT m.media_id, m.w, m.h, x.x AS x, y.y AS y,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256 AS r,
+                       (3 * m.media_id + x.x + 2 * y.y + 37) % 256 AS g,
+                       (3 * m.media_id + x.x + 2 * y.y + 74) % 256 AS b
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.h
+              ), sums AS (
+                SELECT media_id, w, h, SUM(r) AS rsum
+                FROM px GROUP BY 1, 2, 3
+              ), cells AS (
+                SELECT media_id, (x * 8) // w AS ci, (y * 8) // h AS cj,
+                       SUM(r + g + b) AS gs, COUNT(*) AS nb
+                FROM px GROUP BY 1, 2, 3
+              ), thumb AS (
+                SELECT media_id, SUM(gs // (3 * nb)) AS tsum
+                FROM cells GROUP BY 1
+              )
+              SELECT s.media_id,
+                     CAST(9 + length(CAST(w AS VARCHAR))
+                            + length(CAST(h AS VARCHAR)) + 3 * w * h
+                          AS BIGINT) AS length,
+                     CAST(w AS INTEGER) AS width,
+                     CAST(h AS INTEGER) AS height,
+                     CAST(rsum * 1000000 // (w * h) AS BIGINT) AS r_mean_micros,
+                     CAST(t.tsum AS BIGINT) AS thumb_checksum
+              FROM sums s JOIN thumb t ON s.media_id = t.media_id
+              ORDER BY s.media_id""")),
   )
 
   /** Catalog name (and /tmp leaf) for the sink_hive_table external table.

@@ -856,5 +856,54 @@ object Similarity {
                           ELSE NULL END AS err_code
               FROM m LEFT JOIN px p ON p.media_id = m.media_id
               ORDER BY m.media_id""")),
+
+    // Symmetric int8 embedding quantization (r12): the storage/bandwidth
+    // move a 100 TB embedding table pays FIRST — per-vector scale =
+    // max|x|/127 (epsilon-guarded), q_i = round(x_i/scale) ∈ [-127,127],
+    // 4× smaller than float32 and ADC-compatible with the PQ scorer. Pure
+    // map-only per-row array math (zero shuffles before the presentation
+    // sort), and every emitted stat is either exact integer arithmetic or
+    // one IEEE op mirrored by the oracle: scale/err are floored to micros,
+    // round() is half-away-from-zero in BOTH engines, and the max
+    // reconstruction error must stay ≤ scale/2 by construction (asserted
+    // per row in DedupSimilaritySpec).
+    Op("sim_embed_quantize",
+      (s, d) => {
+        val xd = (x: Column) => x.cast("double")
+        val scale = greatest(
+          array_max(transform(col("embedding"), x => abs(xd(x)))), lit(1e-12)) / 127.0
+        T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .withColumn("scale", scale)
+          .withColumn("q", transform(col("embedding"),
+            x => round(xd(x) / col("scale")).cast("int")))
+          .withColumn("err", array_max(zip_with(col("embedding"), col("q"),
+            (x, qq) => abs(xd(x) - xd(qq) * col("scale")))))
+          .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+            floor(col("scale") * 1000000).cast("long").as("scale_micros"),
+            aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+            array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+            floor(col("err") * 1000000).cast("long").as("err_micros"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH b AS (
+                SELECT vec_id, embedding,
+                       greatest(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+                FROM embeddings),
+              q AS (
+                SELECT vec_id, embedding, scale,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)) AS qv
+                FROM b)
+              SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+                     CAST(floor(scale * 1000000) AS BIGINT) AS scale_micros,
+                     CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                     list_min(qv) AS q_min, list_max(qv) AS q_max,
+                     CAST(floor(list_max(list_transform(
+                            generate_series(1, len(embedding)),
+                            i -> abs(CAST(embedding[i] AS DOUBLE)
+                                     - qv[i] * scale))) * 1000000)
+                          AS BIGINT) AS err_micros
+              FROM q ORDER BY vec_id""")),
   )
 }

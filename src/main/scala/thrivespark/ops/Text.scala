@@ -868,6 +868,42 @@ object Text {
                      coalesce(string_agg(CASE WHEN keep THEN para END, ' '
                                          ORDER BY idx), '') AS new_text
               FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Overlapping-window chunking (the RAG / embedding-ingestion split):
+    // 32-token chunks on a 24-token stride, so consecutive chunks share 8
+    // tokens of context — the standard retrieval-chunking shape. Chunk i
+    // starts at token i·S+1 while i·S < n (trailing chunks run short; both
+    // engines mirror the same boundary rule), chunk length is computed
+    // arithmetically (min(C, n − i·S)) rather than re-tokenized, and the
+    // md5 identifies the chunk for downstream embedding/dedup without
+    // shipping the text twice. Map-only: one bounded Generate (×⌈n/S⌉),
+    // zero shuffles before the presentation sort — the chunker adds no
+    // exchange to an embedding pipeline at 100 TB.
+    Op("text_chunk_overlap",
+      (s, d) => {
+        val C = 32; val S = 24
+        val lastChunk = floor((size(col("ts")) - 1) / lit(S)).cast("int")
+        val chunks = transform(sequence(lit(0), lastChunk),
+          i => array_join(slice(col("ts"), i * lit(S) + lit(1), lit(C)), " "))
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), size(col("ts")).as("n"),
+            posexplode(chunks).as(Seq("chunk_id", "chunk")))
+          .select(col("doc_id"), col("chunk_id"),
+            least(lit(C), col("n") - col("chunk_id") * S).as("n_chunk_tokens"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts,
+                                   len(string_split(text, ' ')) AS n
+                            FROM documents),
+              ex AS (SELECT doc_id, n, ts,
+                            unnest(generate_series(0, (n - 1) // 24)) AS i
+                     FROM toks)
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                     CAST(least(32, n - i * 24) AS INTEGER) AS n_chunk_tokens,
+                     md5(array_to_string(ts[i*24+1 : i*24+32], ' ')) AS chunk_md5
+              FROM ex ORDER BY doc_id, chunk_id""")),
   )
 }
 

@@ -176,4 +176,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2L)._2 == 0 && out(2L)._3 == 1, s"doc 2 must be kept: ${out(2L)}")
     assert(out(3L) == ((0L, 0L, 1)), s"short doc: keep=1, zero windows: ${out(3L)}")
   }
+
+  test("sim_embed_quantize: codes bounded, reconstruction error <= scale/2") {
+    val out = thrivespark.Registry.queries("sim_embed_quantize")(spark, sf001)
+      .collect()
+    assert(out.length == thrivespark.Tables.embeddings(spark, sf001).count())
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_dims") == 64)
+      val qMin = r.getAs[Int]("q_min"); val qMax = r.getAs[Int]("q_max")
+      assert(qMin >= -127 && qMax <= 127, s"int8 range violated: [$qMin,$qMax]")
+      // symmetric quantization saturates: the max-|x| coordinate maps to ±127
+      assert(qMax == 127 || qMin == -127,
+        s"some coordinate must hit full scale: [$qMin,$qMax]")
+      // rounding error is at most half a quantization step
+      assert(r.getAs[Long]("err_micros") <= r.getAs[Long]("scale_micros") / 2 + 1,
+        s"err ${r.getAs[Long]("err_micros")} vs scale ${r.getAs[Long]("scale_micros")}")
+    }
+  }
 }

@@ -267,4 +267,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.count() > 0)
     assert(nulls.filter(col("luma_sum").isNotNull).count() == 0)
   }
+
+  test("binaryFile source: 40 files round-trip, source length == bytes on disk") {
+    val out = thrivespark.Registry.queries("source_binary_files")(spark, sf0001)
+      .collect()
+    assert(out.length == 40, "one row per fixture file")
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("length") == Multimodal.ppmBytes(id).length,
+        s"source length must equal the real file size for id $id")
+      assert(r.getAs[Int]("width") == Multimodal.ppmWidth(id))
+      assert(r.getAs[Int]("height") == Multimodal.ppmHeight(id))
+    }
+    // idempotent: a second run (fixture rewrite + re-list) is identical
+    val again = thrivespark.Registry.queries("source_binary_files")(spark, sf0001)
+      .collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

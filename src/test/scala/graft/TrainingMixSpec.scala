@@ -135,4 +135,28 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(math.abs(emitted - planned) < 0.15 * planned,
       s"realized $emitted vs planned $planned drifted")
   }
+
+  // ---------------------------------------------------- text_chunk_overlap ---
+
+  test("chunk overlap: stride coverage, boundary rule, and chunk counts") {
+    val C = 32; val S = 24
+    val out = q("text_chunk_overlap", sf001).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val lens = thrivespark.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet == lens.keySet, "every doc must chunk")
+    byDoc.foreach { case (docId, rows) =>
+      val n = lens(docId)
+      val ids = rows.map(_.getAs[Int]("chunk_id")).sorted
+      assert(ids.toSeq == (0 to (n - 1) / S), s"doc $docId: wrong chunk ids")
+      rows.foreach { r =>
+        val i = r.getAs[Int]("chunk_id")
+        assert(r.getAs[Int]("n_chunk_tokens") == math.min(C, n - i * S))
+      }
+      // stride < chunk ⇒ chunks cover every token: last chunk starts at
+      // ((n-1)/S)*S + 1 ≤ n and each previous chunk reaches into the next
+      assert(((n - 1) / S) * S < n)
+    }
+  }
 }
