@@ -905,5 +905,115 @@ object Similarity {
                                      - qv[i] * scale))) * 1000000)
                           AS BIGINT) AS err_micros
               FROM q ORDER BY vec_id""")),
+
+    // The multimodal counterpart of pipeline_corpus_e2e: decode ONCE (the
+    // fused trimodal manifest persisted MEMORY_AND_DISK as the stage
+    // boundary — five audit consumers), gate on DECODED features (image
+    // exposure band, audio clip ceiling, video luma band, text length —
+    // each a map-side predicate over the persisted manifest, the media QC
+    // filters a trimodal training corpus runs), then the content-addressed
+    // md5 90/5/5 split at media grain. The audit emits one row per
+    // cumulative gate stage plus one per split — conservation is checkable
+    // down the rows (each stage ⊆ the previous; splits partition the
+    // final gate, asserted in PipelineSpec). At 100 TB: one decode pass,
+    // zero-shuffle gates, 1-row audit aggregations; the only data-sized
+    // exchange is the persist write. Thresholds from the sf0.01 feature
+    // distribution (each gate drops 20–25%); all integer comparisons, so
+    // the DuckDB oracle recomputes every stage from the closed-form pixel/
+    // sample/luma functions.
+    Op("pipeline_multimodal_e2e",
+      (s, d) => {
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaTrimodalFromDocuments(T.documents(s, d))
+        val man = mm.extractTrimodalManifest(media, everyNth = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gImg = col("img_r_mean_micros") >= 60000000L
+        val gAud = col("aud_peak") <= 3996
+        val gVid = col("vid_mean_micros") >= 90000000L
+        val gTxt = col("n_tokens") >= 15
+        def stage(name: String, f: org.apache.spark.sql.DataFrame) =
+          f.agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tokens"))
+            .select(lit(name).as("stage"), col("n"), col("tokens"))
+        val surv = man.filter(gImg && gAud && gVid && gTxt)
+        val splits = surv
+          .withColumn("b", conv(substring(md5(col("media_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100)
+          .withColumn("stage",
+            when(col("b") < 90, "5_train").when(col("b") < 95, "6_val")
+              .otherwise("7_test"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tokens"))
+          .select(col("stage"), col("n"), col("tokens"))
+        stage("0_decoded", man)
+          .unionAll(stage("1_img_gate", man.filter(gImg)))
+          .unionAll(stage("2_aud_gate", man.filter(gImg && gAud)))
+          .unionAll(stage("3_vid_gate", man.filter(gImg && gAud && gVid)))
+          .unionAll(stage("4_txt_gate", surv))
+          .unionAll(splits)
+          .orderBy(col("stage"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                       8 + (doc_id % 9) AS iw, 8 + (doc_id % 7) AS ih,
+                       256 + (doc_id % 41) * 4 AS an,
+                       8 + (doc_id % 5) * 2 AS vw, 8 + (doc_id % 3) * 2 AS vh,
+                       6 + (doc_id % 9) AS vn
+                FROM documents
+              ), img AS (
+                SELECT m.media_id,
+                       SUM((3 * m.media_id + x.x + 2 * y.y) % 256)
+                         * 1000000 // (m.iw * m.ih) AS img_mean
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.iw
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.ih
+                GROUP BY m.media_id, m.iw, m.ih
+              ), aud AS (
+                SELECT m.media_id, MAX((7 * m.media_id + 11 * i.i) % 4001) AS aud_peak
+                FROM m JOIN generate_series(0, 415) AS i(i) ON i.i < m.an
+                GROUP BY 1
+              ), vid AS (
+                SELECT m.media_id,
+                       SUM((5 * m.media_id + 13 * f.f + x.x + 3 * y.y) % 256)
+                         * 1000000 // COUNT(*) AS vid_mean
+                FROM m
+                JOIN generate_series(0, 13) AS f(f) ON f.f < m.vn AND f.f % 3 = 0
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.vw
+                JOIN generate_series(0, 11) AS y(y) ON y.y < m.vh
+                GROUP BY m.media_id
+              ), man AS (
+                SELECT m.media_id, m.n_tokens, i.img_mean, a.aud_peak, v.vid_mean
+                FROM m
+                JOIN img i ON i.media_id = m.media_id
+                JOIN aud a ON a.media_id = m.media_id
+                JOIN vid v ON v.media_id = m.media_id
+              ), surv AS (
+                SELECT * FROM man
+                WHERE img_mean >= 60000000 AND aud_peak <= 3996
+                  AND vid_mean >= 90000000 AND n_tokens >= 15)
+              SELECT '0_decoded' AS stage, count(*) AS n,
+                     CAST(sum(n_tokens) AS BIGINT) AS tokens FROM man
+              UNION ALL
+              SELECT '1_img_gate', count(*), CAST(sum(n_tokens) AS BIGINT)
+              FROM man WHERE img_mean >= 60000000
+              UNION ALL
+              SELECT '2_aud_gate', count(*), CAST(sum(n_tokens) AS BIGINT)
+              FROM man WHERE img_mean >= 60000000 AND aud_peak <= 3996
+              UNION ALL
+              SELECT '3_vid_gate', count(*), CAST(sum(n_tokens) AS BIGINT)
+              FROM man WHERE img_mean >= 60000000 AND aud_peak <= 3996
+                          AND vid_mean >= 90000000
+              UNION ALL
+              SELECT '4_txt_gate', count(*), CAST(sum(n_tokens) AS BIGINT)
+              FROM surv
+              UNION ALL
+              SELECT CASE WHEN b < 90 THEN '5_train'
+                          WHEN b < 95 THEN '6_val' ELSE '7_test' END,
+                     count(*), CAST(sum(n_tokens) AS BIGINT)
+              FROM (SELECT n_tokens,
+                      CAST(concat('0x', substring(md5(CAST(media_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100 AS b
+                    FROM surv)
+              GROUP BY 1
+              ORDER BY stage""")),
   )
 }

@@ -88,4 +88,24 @@ class PipelineSpec extends AnyFunSuite {
       s"$missed tau-passing pairs missing from the LSH candidate set — " +
         "the pipeline/dedup oracles' recall assumption no longer holds")
   }
+
+  test("multimodal pipeline: gates shrink monotonically, splits partition " +
+      "the final gate exactly") {
+    val out = thrivespark.Registry.queries("pipeline_multimodal_e2e")(spark, sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stages = Seq("0_decoded", "1_img_gate", "2_aud_gate", "3_vid_gate",
+      "4_txt_gate")
+    stages.foreach(st => assert(out.contains(st), s"missing stage $st"))
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(b)._1 <= out(a)._1 && out(b)._2 <= out(a)._2,
+        s"stage $b must be a subset of $a")
+      assert(out(b)._1 > 0, s"gate $b must not annihilate the corpus")
+    }
+    assert(out("4_txt_gate")._1 < out("0_decoded")._1,
+      "the gate chain must actually drop something")
+    val splitN = Seq("5_train", "6_val", "7_test").flatMap(out.get).map(_._1).sum
+    val splitT = Seq("5_train", "6_val", "7_test").flatMap(out.get).map(_._2).sum
+    assert(splitN == out("4_txt_gate")._1 && splitT == out("4_txt_gate")._2,
+      "train/val/test must partition the gated survivors exactly")
+  }
 }
