@@ -193,4 +193,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"err ${r.getAs[Long]("err_micros")} vs scale ${r.getAs[Long]("scale_micros")}")
     }
   }
+
+  test("join_fuzzy_edit: every planted feed row recovers its catalog source") {
+    val out = thrivespark.Registry.queries("join_fuzzy_edit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = thrivespark.Tables.documents(spark, sf001).count()
+    // completeness of the segment-pigeonhole blocking: the two planted
+    // substitutions leave one aligned segment intact, so the identity link
+    // (feed doc -> its own catalog row) must survive for EVERY doc
+    val self = out.filter { case (f, c, _) => f - 1000000L == c }
+    assert(self.length == nDocs, s"lost ${nDocs - self.length} planted links")
+    assert(self.forall(_._3 == 2), "planted edits are exactly 2 substitutions")
+    out.foreach { case (_, _, dist) => assert(dist <= 2) }
+    // the blocking is candidate-limiting, not all-pairs: cross-links exist
+    // (24-char prefixes do collide) but stay a small fraction of n²
+    val cross = out.length - self.length
+    assert(cross < nDocs, s"cross-link volume $cross looks all-pairs-ish")
+  }
 }
