@@ -449,7 +449,9 @@ object Analytics {
           size(split(col("text"), " ")).as("n_tokens"))
         val perLang = docs.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
-        val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        // corpus total from the 5-row per-domain aggregate — NOT a second
+        // scan of the documents table (identical value: Σ lang_tokens)
+        val total = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
         val planned = perLang.crossJoin(broadcast(total))
           // Column./ is double division; floor() recovers DuckDB's integer
           // // quotient exactly (token totals ≪ 2^53)
@@ -527,7 +529,8 @@ object Analytics {
           size(split(col("text"), " ")).as("n_tokens"))
         val perLang = docs.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
-        val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+        // corpus total from the 5-row per-domain aggregate (see domain_mix)
+        val total = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
         val planned = perLang.crossJoin(broadcast(total))
           .withColumn("budget_tokens",
             floor(col("total_tokens") * 12 / 10).cast("long"))

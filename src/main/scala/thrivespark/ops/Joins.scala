@@ -298,9 +298,11 @@ object Joins {
               i => col("title").substr(i * 8 + 1, lit(8)))).as(Seq("i", "seg")))
         segs(feed, "feed_id", "ft").join(segs(cat, "cat_id", "ct"), Seq("i", "seg"))
           .select(col("feed_id"), col("cat_id"), col("ft"), col("ct")).distinct()
-          .filter(levenshtein(col("ft"), col("ct")) <= 2)
-          .select(col("feed_id"), col("cat_id"),
-            levenshtein(col("ft"), col("ct")).as("dist"))
+          // compute the O(len²) DP once: Spark does not CSE across
+          // Filter and Project
+          .withColumn("dist", levenshtein(col("ft"), col("ct")))
+          .filter(col("dist") <= 2)
+          .select(col("feed_id"), col("cat_id"), col("dist"))
           .orderBy(col("feed_id"), col("cat_id"))
       },
       Some("""WITH cat AS (SELECT doc_id AS cat_id,

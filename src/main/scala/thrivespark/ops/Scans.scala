@@ -104,6 +104,11 @@ object Scans {
         val dir = java.nio.file.Paths.get(
           s"/tmp/graft_binsrc_${new java.io.File(d).getName}")
         java.nio.file.Files.createDirectories(dir)
+        // hermetic fixture: clear stale .ppm files first — a previous
+        // dataset sharing the leaf name must not leak rows into this read
+        java.nio.file.Files.list(dir).forEach { p =>
+          if (p.toString.endsWith(".ppm")) java.nio.file.Files.delete(p)
+        }
         val ids = T.documents(s, d).select($c("doc_id"))
           .filter($c("doc_id") < 40).collect().map(_.getLong(0))  // bounded ≤40
         ids.foreach { id =>
