@@ -45,11 +45,10 @@ object Bench {
       staleUnder(new java.io.File("/tmp"),
         n => n.startsWith("graft_") && n != "graft_eph") ++
       staleUnder(new java.io.File("/tmp/graft_eph"), _ => true)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    stale.foreach(rm)
+    // commons-io delete: unlike a hand-rolled listFiles recursion it does
+    // NOT follow directory symlinks, so a stale scratch entry linking into
+    // real data cannot get its target emptied by the sweep
+    stale.foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f): Unit)
     stale.length
   }
 
@@ -196,13 +195,22 @@ object Bench {
     // two orders above any clean per-query time and above the historical
     // 11× contamination inflation, so it fires only on true liveness loss.
     var nTimeout = 0
+    var nFailed = 0
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.zipWithIndex
       .map { case ((name, fn), i) =>
         if (i > 0 && i % 25 == 0) midIo += ioProbeOnce(spark)
         val t0 = System.nanoTime()
-        QueryGuard.timed(spark, name, 300L) { fn(spark, sfDir).count() } match {
+        // Execute via the noop sink, NOT count(): under Aggregate(count(1))
+        // Catalyst prunes the op's defining work (EliminateSorts drops the
+        // global orderBy, column pruning drops unreferenced projections —
+        // a from_json+flatten op collapses to a bare row-count scan). The
+        // noop write consumes every output row and column, so the timing
+        // covers the plan the op actually declares.
+        QueryGuard.timed(spark, name, 300L) {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        } match {
           case Left(reason) =>
-            if (reason.startsWith("timed out")) nTimeout += 1
+            if (reason.startsWith("timed out")) nTimeout += 1 else nFailed += 1
             System.err.println(s"[bench] $name failed: $reason")
           case Right(_) => ()
         }
@@ -221,11 +229,11 @@ object Bench {
     val ratios = results.flatMap { case (n, sec) =>
       BenchPriors.prior.get(n).map(p => n -> sec / p) }
     val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
-    // a timed-out query means part of the suite went unmeasured — the
-    // record is not a valid total, label it
-    val contaminated = probesBreached || ratioBreached || nTimeout > 0
+    // a timed-out OR exception-failed query means part of the suite went
+    // unmeasured — either way the record is not a valid total, label it
+    val contaminated = probesBreached || ratioBreached || nTimeout > 0 || nFailed > 0
     val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"cleaned_tmp":$cleaned"""
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")

@@ -20,18 +20,33 @@ object QueryGuard {
   def timed[A](spark: SparkSession, name: String, timeoutSec: Long)(
       f: => A): Either[String, A] = {
     val group = s"guard_$name"
+    // ops (StreamRunner.withStatePartitions) mutate this session conf with
+    // a worker-thread finally; if the worker is abandoned below, that
+    // restore may never run (or fire asynchronously mid-flight during a
+    // LATER query) — snapshot here so the caller thread can restore it
+    val shufKey = "spark.sql.shuffle.partitions"
+    val shufPrev = spark.conf.get(shufKey)
     @volatile var out: Either[String, A] = Left("did not run")
+    @volatile var fatal: Throwable = null
     val th = new Thread(() => {
       // job group is thread-local — set it on the worker thread so the
       // watchdog can cancel exactly this query's jobs
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       try out = Right(f)
-      catch { case e: Throwable => out = Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          out = Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        // a fatal JVM error (OOM, linkage) means NOTHING measured after
+        // this point is trustworthy — propagate instead of benching on in
+        // a broken JVM under a clean-looking record
+        case e: Throwable => fatal = e
+      }
       finally spark.sparkContext.clearJobGroup()
     }, s"query-guard-$name")
     th.setDaemon(true)
     th.start()
     th.join(timeoutSec * 1000)
+    if (fatal != null) throw fatal
     if (!th.isAlive) out
     else {
       spark.sparkContext.cancelJobGroup(group)
@@ -40,6 +55,7 @@ object QueryGuard {
       spark.streams.active.foreach(q => scala.util.Try(q.stop()))
       th.interrupt()
       th.join(5000)
+      spark.conf.set(shufKey, shufPrev)
       Left(s"timed out after ${timeoutSec}s (jobs cancelled)")
     }
   }

@@ -31,7 +31,13 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         } match {
-          case Left(reason) => System.err.println(s"[verify] $name failed: $reason")
+          case Left(reason) =>
+            // a kill mid-write can leave committed part-files behind; the
+            // driver's DuckDB compare would read that partial dump as the
+            // query's result — a failed query must leave NO artifact
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$outDir/$name")): Unit
+            System.err.println(s"[verify] $name failed: $reason")
           case Right(_) => ()
         }
       }

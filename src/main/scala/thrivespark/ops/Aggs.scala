@@ -194,10 +194,16 @@ object Aggs {
     // The exact countDistinct rides along to prove equality in the oracle.
     Op("agg_bitmap_distinct",
       (s, d) => {
+        // nullif(pos, 0): Spark's array_position returns 0 for a type
+        // outside the declared domain where DuckDB's list_position returns
+        // NULL — without the nullif an unknown type would claim bit 0 on
+        // this side and be SKIPPED by the oracle's bit_or, a silent
+        // divergence if the fixture domain ever grows. NULL-ing it makes
+        // both engines skip unknowns identically.
         T.events(s, d)
           .select(col("user_id"), expr("shiftleft(1L, " +
-              "cast(array_position(array('click','error','purchase','signup','view'), " +
-              "event_type) as int))").as("bit"),
+              "cast(nullif(array_position(array('click','error','purchase','signup','view'), " +
+              "event_type), 0) as int))").as("bit"),
             col("event_type"))
           .groupBy(col("user_id"))
           .agg(bit_count(bit_or(col("bit"))).as("n_types_bitmap"),

@@ -121,6 +121,13 @@ object StreamRunner {
     * horizon), not O(history). */
   def viewPurchaseJoin(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =
+    viewPurchaseJoinOf(spark, srcDir, checkpoint, queryName, "inner")
+
+  /** Shared body of the inner and left-outer stream-stream joins — the two
+    * ops differ ONLY in join type, so one helper keeps their sources,
+    * watermarks and join condition from drifting apart. */
+  private def viewPurchaseJoinOf(spark: SparkSession, srcDir: String,
+      checkpoint: String, queryName: String, joinType: String): DataFrame =
       // 2, not 4: a stream-stream join commits FOUR state stores per
       // partition per micro-batch (keyed left/right + key-to-numValues
       // each side), so partition count is 2× the commit lever it is for
@@ -139,7 +146,7 @@ object StreamRunner {
     val joined = views.join(purchases,
       expr("""user_id = p_user AND
               purchase_ts > view_ts AND
-              purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+              purchase_ts <= view_ts + INTERVAL 1 HOUR"""), joinType)
       .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
     val q = joined.writeStream
@@ -163,33 +170,7 @@ object StreamRunner {
     * operational detail of streaming outer joins. */
   def viewPurchaseLeftJoin(spark: SparkSession, srcDir: String,
       checkpoint: String, queryName: String): DataFrame =
-      withStatePartitions(spark, 2) {
-    val schema = spark.read.parquet(srcDir).schema
-    def src() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-    val views = src().filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
-    val purchases = src().filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = views.join(purchases,
-      expr("""user_id = p_user AND
-              purchase_ts > view_ts AND
-              purchase_ts <= view_ts + INTERVAL 1 HOUR"""), "leftOuter")
-      .select(col("user_id"), unix_micros(col("view_ts")).as("view_us"),
-        unix_micros(col("purchase_ts")).as("purchase_us"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
-  }
+    viewPurchaseJoinOf(spark, srcDir, checkpoint, queryName, "leftOuter")
 
   /** Incremental batch-style streaming (Trigger.AvailableNow): process
     * everything available, then self-terminate — the scheduled-job pattern.
@@ -202,15 +183,24 @@ object StreamRunner {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val agg = in.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.map(_.numInputRows).sum
+    // q.recentProgress is a ring buffer capped at
+    // numRecentProgressUpdates (default 100) — with maxFilesPerTrigger=1 a
+    // source holding >100 files would silently undercount the
+    // rows-consumed contract; raise the cap for this run (restored after)
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    } finally spark.conf.set(key, prev)
   }
 
   /** Streaming CDC apply (foreachBatch upsert sink): treat each event as an

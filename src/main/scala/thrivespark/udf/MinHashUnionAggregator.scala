@@ -22,8 +22,14 @@ object MinHashUnionAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Lon
   override def zero: Array[Long] = Empty.clone()
 
   override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // fail loudly on a malformed signature: silently tolerating a short
+    // one would leave Long.MaxValue filler slots in the union — a corrupt
+    // sketch, far harder to trace than an error at the source
+    require(sig != null && sig.length >= NumHashes,
+      s"minhash signature must carry $NumHashes longs, got " +
+        (if (sig == null) "null" else sig.length.toString))
     var i = 0
-    while (i < NumHashes && i < sig.length) {
+    while (i < NumHashes) {
       if (sig(i) < b(i)) b(i) = sig(i)
       i += 1
     }
