@@ -227,13 +227,6 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Near-dup CLUSTERS: connected components of the verified pair graph,
-    * so every dup cluster — not just each pairwise edge — gets one
-    * canonical representative (its smallest doc_id). Pair-at-a-time
-    * survivor logic (keep the lower id of each pair) is not transitive: in
-    * a chain a–b–c it can drop b and c while a near-dup of c survives only
-    * because c (not a) matched it. Cluster-then-pick-canonical is how
-    * production training-data dedup resolves that. */
   /** Bucket-size cap for the embedding sign-band LSH (r12 skew hardening).
     * Buckets above the cap are split by a secondary hash of vec_id into
     * ceil(size/cap) sub-buckets, so a single task's collect_list and the
@@ -296,6 +289,13 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Near-dup CLUSTERS: connected components of the verified pair graph,
+    * so every dup cluster — not just each pairwise edge — gets one
+    * canonical representative (its smallest doc_id). Pair-at-a-time
+    * survivor logic (keep the lower id of each pair) is not transitive: in
+    * a chain a–b–c it can drop b and c while a near-dup of c survives only
+    * because c (not a) matched it. Cluster-then-pick-canonical is how
+    * production training-data dedup resolves that. */
   def dupClusters(s: SparkSession, d: String, threshold: Double): DataFrame =
     connectedComponents(nearDupPairs(s, d, threshold).select(col("a_id"), col("b_id")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

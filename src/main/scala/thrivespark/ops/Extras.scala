@@ -435,12 +435,6 @@ object Extras {
                      1 AS compacted_to_fewer
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // CDC upsert compaction (MERGE latest-wins without a table format):
-    // union base + change rows, rank per key by (version, tiebreak) desc,
-    // keep rn=1. One shuffle on the key; at 100 TB this is the standard
-    // snapshot-compaction job over a CDC log (and the batch equivalent of
-    // re-ingestion idempotency). Changes derived deterministically here:
-    // every 7th customer gets a v2 row with doubled balance.
     // Thrive's central parse step as a first-class utility: nested JSON →
     // declared-schema parse (never inferred) → recursive struct flatten to
     // scalar columns. The payload is built from events itself so the oracle
@@ -491,6 +485,12 @@ object Extras {
               AS t(ord, col_name, col_type, required)
               ORDER BY ord""")),
 
+    // CDC upsert compaction (MERGE latest-wins without a table format):
+    // union base + change rows, rank per key by (version, tiebreak) desc,
+    // keep rn=1. One shuffle on the key; at 100 TB this is the standard
+    // snapshot-compaction job over a CDC log (and the batch equivalent of
+    // re-ingestion idempotency). Changes derived deterministically here:
+    // every 7th customer gets a v2 row with doubled balance.
     Op("etl_cdc_upsert",
       (s, d) => {
         val base = T.customer(s, d).select(

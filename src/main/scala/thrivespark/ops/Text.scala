@@ -104,13 +104,45 @@ object Text {
       .select(col("p.l").as("l"), col("p.r").as("r"))
   }
 
+  /** localCheckpoint storage registry: `Dataset.unpersist` does NOT
+    * release localCheckpoint blocks — it only uncaches CacheManager
+    * entries, while the checkpoint persists its INTERNAL RDD directly
+    * (verified on this Spark: the checkpointed RDD stays fully cached
+    * after unpersist(true)). The trainers therefore record each
+    * checkpoint's RDD handles here and `bpeRelease` frees them by
+    * handle. Snapshot-diff of getPersistentRDDs is safe: the training
+    * loops are single-threaded within a session. */
+  private val ckStorage = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[org.apache.spark.rdd.RDD[_]]]
+
+  private def localCheckpointTracked(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(false)
+    val added = sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r }.toSeq
+    ckStorage.put(out.queryExecution.logical, added): Unit
+    out
+  }
+
+  /** Release the BlockManager storage behind a frame returned by the BPE
+    * trainers — checkpoint-backed (via the registry) or plain persist. */
+  def bpeRelease(df: DataFrame): Unit = {
+    ckStorage.remove(df.queryExecution.logical)
+      .foreach(_.foreach(_.unpersist(false)))
+    df.unpersist(): Unit
+  }
+
   /** Train `iters` merges; returns (iteration, left, right, pair_count) and
     * the final rewritten corpus. One job per iteration: the pair-count
     * argmax is the only action, and it materializes the lazily-persisted
-    * rewritten corpus as a side effect; the previous iteration's cache is
+    * rewritten corpus as a side effect; the previous iteration's storage is
     * released one-behind (after its child has been built from it) instead
     * of via an eager count() per iteration — halving the job count, which
-    * at 8 iterations is the dominant cost of the loop, not the data. */
+    * at 8 iterations is the dominant cost of the loop, not the data.
+    * Callers release the RETURNED corpus with `bpeRelease`, not
+    * unpersist() (see ckStorage). */
   def bpeTrain(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var corpus = bpeCorpus(docs).persist()
@@ -121,8 +153,8 @@ object Text {
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).head()
-      // `corpus` is now materialized in the cache; its parent can go
-      if (prev != null) prev.unpersist()
+      // `corpus` is now materialized in storage; its parent can go
+      if (prev != null) bpeRelease(prev)
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((it, l, r, cnt))
       prev = corpus
@@ -133,13 +165,12 @@ object Text {
       // planning overhead (measured: 10.6 s → ~3 s for the 8-round loop).
       // On a cluster the equivalent lineage cut is the per-round corpus
       // write the doc comment above describes.
-      corpus = corpus.withColumn("s",
-          replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
-            lit(BpeD + l + " " + r + BpeD)))
-        .localCheckpoint(false)
+      corpus = localCheckpointTracked(corpus.withColumn("s",
+        replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
+          lit(BpeD + l + " " + r + BpeD))))
     }
     corpus.count()                    // materialize the final rewrite …
-    if (prev != null) prev.unpersist() // … then release its parent
+    if (prev != null) bpeRelease(prev) // … then release its parent
     (merges.result(), corpus)
   }
 
@@ -191,18 +222,33 @@ object Text {
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).head()
-      if (prev != null) prev.unpersist()
+      if (prev != null) bpeRelease(prev)
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((it, l, r, cnt))
       prev = vocab
-      vocab = vocab.withColumn("s",
-          replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
-            lit(BpeD + l + r + BpeD)))   // char merge concatenates, no space
-        .localCheckpoint(false)
+      vocab = localCheckpointTracked(vocab.withColumn("s",
+        replace(col("s"), lit(BpeD + l + BpeD + BpeD + r + BpeD),
+          lit(BpeD + l + r + BpeD))))   // char merge concatenates, no space
     }
     vocab.count()
-    if (prev != null) prev.unpersist()
+    if (prev != null) bpeRelease(prev)
     (merges.result(), vocab)
+  }
+
+  /** Per-(session, dir) cache of the char-level training result — the
+    * mergeCache move applied to the char twin ops: text_bpe_char_train and
+    * text_bpe_char_segment previously EACH ran the full 8-iteration loop.
+    * The cached vocab frame stays deliberately resident (vocab-sized,
+    * checkpoint-backed — the segment op's display derives from it). */
+  private val charTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private[ops] def bpeCharTrained(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    charTrainCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    charTrainCache.getOrElseUpdate((s, d),
+      bpeCharTrain(T.documents(s, d), BpeIters))
   }
 
   /** DuckDB mirror for the char-level trainer: v0 = word-frequency table
@@ -257,7 +303,7 @@ object Text {
     mergeCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
     mergeCache.getOrElseUpdate((s, d), {
       val (merges, corpus) = bpeTrain(bpeTrainSlice(T.documents(s, d)), BpeIters)
-      corpus.unpersist()
+      bpeRelease(corpus)
       merges
     })
   }
@@ -373,7 +419,7 @@ object Text {
     Op("text_bpe_char_train",
       (s, d) => {
         import s.implicits._
-        bpeCharTrain(T.documents(s, d), BpeIters)._1
+        bpeCharTrained(s, d)._1
           .toDF("it", "l", "r", "cnt").orderBy(col("it"))
       },
       Some(bpeCharOracleStages(BpeIters) + "\n" +
@@ -386,7 +432,7 @@ object Text {
     // token-budget estimator needs. Rides the same trained vocab table.
     Op("text_bpe_char_segment",
       (s, d) => {
-        val (_, vocab) = bpeCharTrain(T.documents(s, d), BpeIters)
+        val (_, vocab) = bpeCharTrained(s, d)
         val inner = expr("substring(s, 2, length(s) - 2)")
         val out = vocab
           .select(col("w"), col("freq"),
@@ -910,11 +956,18 @@ object Text {
 /** Shared word-3-gram shingling, used by text_fingerprint, dedup_near_minhash
   * and the UDF surface. Both engines build the identical shingle list. */
 object Shingles {
-  /** Distinct word 3-gram shingles of a text column (Spark side). */
+  /** Distinct word 3-gram shingles of a text column (Spark side). The
+    * <3-token guard is load-bearing: Spark's sequence(1, 0) is DESCENDING
+    * ([1, 0] — not empty like DuckDB's generate_series), so an unguarded
+    * transform would call element_at(t, 0) and throw on any short doc;
+    * the empty array mirrors the oracle's empty list comprehension
+    * (downstream mins/minhashes become NULL identically). */
   def shingles3(text: Column): Column = {
     val t = split(text, " ")
-    array_distinct(transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Same construction in DuckDB SQL, assuming a lateral column

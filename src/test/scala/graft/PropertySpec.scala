@@ -347,4 +347,40 @@ class PropertySpec extends AnyFunSuite {
     assert(segs("ab") == s"${D}ab</w>$D")          // fully merged
     assert(segs("ac") == s"${D}a$D${D}c$D$D</w>$D") // untouched
   }
+
+  test("BPE training releases ALL BlockManager storage via bpeRelease " +
+      "(Dataset.unpersist alone leaks localCheckpoint blocks)") {
+    // Dataset.unpersist only uncaches CacheManager entries; the iterative
+    // trainers' localCheckpoints persist their internal RDDs directly, so
+    // the loops release by RDD handle. This pins that the whole training
+    // run — 3 iterations = 1 persist + 3 checkpoints — leaves ZERO extra
+    // persistent RDDs behind once the returned corpus is bpeRelease'd.
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b")).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (_, corpus) = thrivespark.ops.Text.bpeTrain(docs, 3)
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "training must have persisted something")
+    thrivespark.ops.Text.bpeRelease(corpus)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"training leaked persistent RDDs: $leaked")
+  }
+
+  test("shingles3 is total: <3-token docs shingle to an empty array " +
+      "(sequence(1,0) is descending in Spark — the guarded footgun)") {
+    import spark.implicits._
+    val out = Seq((1L, "only two"), (2L, "one"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        thrivespark.ops.Shingles.shingles3(col("text")).as("sh"),
+        array_min(transform(thrivespark.ops.Shingles.shingles3(col("text")),
+          x => md5(x))).as("min_md5"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getString(2)))).toMap
+    assert(out(1L)._1.isEmpty && out(1L)._2 == null,
+      "2-token doc: empty shingles, NULL min — the oracle's exact behavior")
+    assert(out(2L)._1.isEmpty && out(2L)._2 == null)
+    assert(out(3L)._1 == Seq("a b c", "b c d"))
+  }
 }

@@ -661,7 +661,7 @@ class ScaleStressSpec extends AnyFunSuite {
     def trained(d: org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
       val (m, vocab) = thrivespark.ops.Text.bpeCharTrain(d, 8)
-      vocab.unpersist()
+      thrivespark.ops.Text.bpeRelease(vocab)
       (m, (System.nanoTime() - t0) / 1e9)
     }
     val (m1, w1) = trained(docs)
