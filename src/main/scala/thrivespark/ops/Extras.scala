@@ -147,20 +147,32 @@ object Extras {
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // RANGE frame: peers by value, not by row — deterministic under ties.
+    // Exactness carrier note (r12): the banded sum accumulates integer
+    // CENTS (round(price·100) — one identical IEEE multiply+round per row
+    // in both engines; prices are 2-decimal money so cents are the exact
+    // value), not decimal(18,6). Same exact result (÷100.0 at the end is
+    // one IEEE division of the identical integer), but Spark's sliding
+    // RANGE frame RE-AGGREGATES its buffer as the bounds move — no
+    // retraction — so the per-add cost is paid O(n·avg_band) times per
+    // partition and a long add is ~50× a BigDecimal add. Parallelism is
+    // inherently #priorities for this declared semantics.
     Op("win_range_between",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice"))
           .rangeBetween(-10000L, 0L)
-        T.orders(s, d).select(
-          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          count(lit(1)).over(w).as("n_in_band"),
-          sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_in_band"))
+        T.orders(s, d)
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_in_band"),
+            (sum(col("cents")).over(w) / lit(100.0)).as("sum_in_band"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
                      count(*) OVER w AS n_in_band,
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_in_band
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0
+                       AS sum_in_band
               FROM orders
               WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)

@@ -840,13 +840,22 @@ object Text {
     // Fingerprinting: whole-doc md5 + a 1-perm minhash over 3-gram shingles
     // (min of shingle md5s) — md5 is identical in both engines, so this is
     // oracle-checkable unlike engine-specific hash functions.
+    // Plan note (r12): the min-shingle-md5 is computed explode→codegen'd
+    // md5 projection→map-side-combined min, NOT array_min(transform(…,
+    // md5)) — higher-order-function lambdas evaluate INTERPRETED per
+    // element, and the 1.3M interpreted md5 calls at sf0.1 cost ~5× the
+    // codegen'd path (7.5 s → measured below). The tiny per-doc min frame
+    // broadcast-joins back onto the doc_md5 projection (left join: a
+    // <3-token doc has no shingles and must surface with a NULL min,
+    // the oracle's exact behavior).
     Op("text_fingerprint",
       (s, d) => {
-        val sh = Shingles.shingles3(col("text"))
-        T.documents(s, d).select(
-          col("doc_id"),
-          md5(col("text")).as("doc_md5"),
-          array_min(transform(sh, x => md5(x))).as("min_shingle_md5"))
+        val docs = T.documents(s, d)
+        val mins = docs
+          .select(col("doc_id"), explode(Shingles.shingles3(col("text"))).as("sh"))
+          .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("min_shingle_md5"))
+        docs.select(col("doc_id"), md5(col("text")).as("doc_md5"))
+          .join(mins, Seq("doc_id"), "left")
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id, md5(text) AS doc_md5,
