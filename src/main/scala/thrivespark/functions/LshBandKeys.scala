@@ -29,22 +29,10 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   override def prettyName: String = "lsh_band_keys"
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h0 = arr.getLong(i)
-        var j = 0
-        while (j < numHashes) {
-          val h = XXH64.hashLong(h0, j)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
+    // the minhash minima come from the SAME shared loop as
+    // MinHashSignature (MinHashCore) — the banding argument requires the
+    // two expressions' hash families to be identical
+    val mins = MinHashCore.mins(input.asInstanceOf[ArrayData], numHashes)
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -66,25 +54,11 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
       val gad = classOf[GenericArrayData].getName
       val mins = ctx.freshName("mins")
       val keys = ctx.freshName("keys")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
       val b = ctx.freshName("b")
       val r = ctx.freshName("r")
-      val h0 = ctx.freshName("h0")
-      val h = ctx.freshName("h")
       val k = ctx.freshName("k")
       s"""
-        long[] $mins = new long[$numHashes];
-        java.util.Arrays.fill($mins, Long.MAX_VALUE);
-        for (int $i = 0; $i < $c.numElements(); $i++) {
-          if (!$c.isNullAt($i)) {
-            long $h0 = $c.getLong($i);
-            for (int $j = 0; $j < $numHashes; $j++) {
-              long $h = $xxh.hashLong($h0, $j);
-              if ($h < $mins[$j]) $mins[$j] = $h;
-            }
-          }
-        }
+        ${MinHashCore.minsCode(ctx, c, numHashes, mins)}
         long[] $keys = new long[$bands];
         for (int $b = 0; $b < $bands; $b++) {
           long $k = (long) $b;

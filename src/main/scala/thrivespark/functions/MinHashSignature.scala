@@ -32,8 +32,31 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashCore.mins(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val gad = classOf[GenericArrayData].getName
+      val out = ctx.freshName("mh")
+      s"""
+        ${MinHashCore.minsCode(ctx, c, numHashes, out)}
+        ${ev.value} = new $gad($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** The one minhash inner loop, shared by MinHashSignature and LshBandKeys
+  * (interpreted + codegen flavors). The LSH banding correctness argument
+  * depends on the two expressions computing the IDENTICAL hash family
+  * (sig[j] = min over shingle-hashes h of XXH64(h, seed = j)) — keeping a
+  * single implementation makes desynchronizing them impossible. */
+private[functions] object MinHashCore {
+  def mins(arr: ArrayData, numHashes: Int): Array[Long] = {
     val out = Array.fill[Long](numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -49,34 +72,28 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       }
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val xxh = classOf[XXH64].getName
-      val gad = classOf[GenericArrayData].getName
-      val out = ctx.freshName("mh")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h0 = ctx.freshName("h0")
-      val h = ctx.freshName("h")
-      s"""
-        long[] $out = new long[$numHashes];
-        java.util.Arrays.fill($out, Long.MAX_VALUE);
-        for (int $i = 0; $i < $c.numElements(); $i++) {
-          if (!$c.isNullAt($i)) {
-            long $h0 = $c.getLong($i);
-            for (int $j = 0; $j < $numHashes; $j++) {
-              long $h = $xxh.hashLong($h0, $j);
-              if ($h < $out[$j]) $out[$j] = $h;
-            }
+  /** Codegen flavor: declares `long[] <out>` holding the minima of `c`. */
+  def minsCode(ctx: CodegenContext, c: String, numHashes: Int, out: String): String = {
+    val xxh = classOf[XXH64].getName
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h0 = ctx.freshName("h0")
+    val h = ctx.freshName("h")
+    s"""
+      long[] $out = new long[$numHashes];
+      java.util.Arrays.fill($out, Long.MAX_VALUE);
+      for (int $i = 0; $i < $c.numElements(); $i++) {
+        if (!$c.isNullAt($i)) {
+          long $h0 = $c.getLong($i);
+          for (int $j = 0; $j < $numHashes; $j++) {
+            long $h = $xxh.hashLong($h0, $j);
+            if ($h < $out[$j]) $out[$j] = $h;
           }
         }
-        ${ev.value} = new $gad($out);
-      """
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
+      }
+    """
+  }
 }

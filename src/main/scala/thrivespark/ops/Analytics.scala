@@ -352,14 +352,19 @@ object Analytics {
           .withColumn("sampled", (col("b") < col("rate")).cast("int"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"),
-            round6(avg(col("rate").cast("double") / 1000.0)).as("mean_weight"))
+            // R2: rates are exact longs — sum them exactly and divide ONCE
+            // (a floating avg() of rate/1000.0 accumulates ulp error in
+            // partition order, which DuckDB's row-order avg need not match)
+            round6(sum(col("rate")).cast("double")
+              / (lit(1000.0) * count(lit(1)))).as("mean_weight"))
           .withColumn("achieved_rate",
             round6(col("n_sampled").cast("double") / col("n_total")))
           .orderBy(col("lang"))
       },
       Some("""SELECT lang, count(*) AS n_total,
                      CAST(sum(sampled) AS BIGINT) AS n_sampled,
-                     round(avg(rate / 1000.0), 6) AS mean_weight,
+                     round(CAST(sum(rate) AS DOUBLE) / (1000.0 * count(*)), 6)
+                       AS mean_weight,
                      round(CAST(sum(sampled) AS DOUBLE) / count(*), 6) AS achieved_rate
               FROM (SELECT lang,
                       CAST(floor(least(1.0,

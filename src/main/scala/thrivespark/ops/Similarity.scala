@@ -48,12 +48,16 @@ object Similarity {
   def ivfAssignTo(emb: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     thrivespark.functions.Register(emb.sparkSession)
+    // the embedding rides THROUGH the argmax (every row of a vec_id group
+    // carries the identical vector), so recovering it needs no second
+    // corpus scan + re-join — the aggregation's output IS the assignment
     emb.join(broadcast(cent))
       .withColumn("sim", dot(col("embedding"), col("cent_emb")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
-      .join(emb, "vec_id")
-      .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("c_emb"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("embedding").as("c_emb")),
+        struct(col("sim"), -col("cent_id"))).as("m"))
+      .select(col("vec_id").as("c_id"), col("m.cell").as("cell"),
+        col("m.c_emb").as("c_emb"))
   }
 
   /** Default deterministic centroid rule: vec_id % 100 == 0. */
@@ -124,8 +128,9 @@ object Similarity {
     // build phase (runs once per index lifetime): centroids from the BASE
     // only + base assignments, persisted as the standing index tables
     val idx = s"/tmp/graft_annidx_${new java.io.File(d).getName}"
-    ivfCentroids(base).write.mode("overwrite").parquet(s"$idx/centroids")
-    ivfAssignTo(base, ivfCentroids(base))
+    val baseCent = ivfCentroids(base)       // one frame for both build steps
+    baseCent.write.mode("overwrite").parquet(s"$idx/centroids")
+    ivfAssignTo(base, baseCent)
       .write.mode("overwrite").parquet(s"$idx/assignments")
     // incremental ingest: only the delta is assigned (broadcast centroids,
     // map-side); the persisted base assignments are reused as-is
@@ -251,7 +256,6 @@ object Similarity {
                 FROM cand)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
-    // Product quantization (PQ) — the compressed-domain scale path that
     // Recall@k of the IVF index vs exact brute force, AS A QUERY — "measure,
     // don't guess" applied to ANN quality. A production vector store ships
     // recall dashboards next to its index; this computes per-query hit
@@ -276,13 +280,16 @@ object Similarity {
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("c_id"))
         val approx = annTopKFrom(emb).select(col("q_id"), col("c_id"))
-        val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
-          .groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("n_hit"))
-        exact.groupBy(col("q_id")).agg(count(lit(1)).cast("int").as("k"))
-          .join(hits, Seq("q_id"), "left")
-          .select(col("q_id"), col("k"),
-            coalesce(col("n_hit"), lit(0)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0)).cast("long") * lit(1000000L)
+        // ONE aggregation over exact (left-joined to approx with a match
+        // flag) computes k and n_hit together — the previous two-branch
+        // shape (left_semi for hits + a separate groupBy for k) executed
+        // the brute-force exact plan TWICE per run
+        exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).cast("int").as("k"),
+            sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+          .select(col("q_id"), col("k"), col("n_hit"),
+            (col("n_hit").cast("long") * lit(1000000L)
               / col("k").cast("long")).cast("long").as("recall_micros"))
           .orderBy(col("q_id"))
       },

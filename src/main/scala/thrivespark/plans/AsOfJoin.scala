@@ -95,26 +95,39 @@ case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
-        val lt = lTimeB.eval(lRow).asInstanceOf[Long]
-        // advance right while its key is behind, or equal-key and in-time
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rk = rKeyProj(rBuf.head)
-          val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0) {
-            rBuf.next() // right key behind every remaining left row's key
-          } else if (cmp == 0 &&
-              rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lt) {
-            candidate = rBuf.next().copy()
-            candidateKey = rk.copy()
-          } else {
-            advancing = false
+        val ltRaw = lTimeB.eval(lRow)
+        // SQL null semantics, not JVM unboxing: a NULL key or time never
+        // matches (unboxing a null time would silently read as 0L and a
+        // NULL key would compare equal to another NULL — both would
+        // fabricate matches the oracle's `t <= ts AND k = k` excludes)
+        if (lk.anyNull || ltRaw == null) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lt = ltRaw.asInstanceOf[Long]
+          // advance right while its key is behind, or equal-key and in-time
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val rtRaw = rTimeB.eval(rBuf.head)
+            if (rk.anyNull || rtRaw == null) {
+              rBuf.next(): Unit // NULL-keyed/timed right rows never match
+            } else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) {
+                rBuf.next() // right key behind every remaining left row's key
+              } else if (cmp == 0 && rtRaw.asInstanceOf[Long] <= lt) {
+                candidate = rBuf.next().copy()
+                candidateKey = rk.copy()
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matched = candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, lk) == 0 &&
+            rTimeB.eval(candidate).asInstanceOf[Long] <= lt
+          resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && candidateKey != null &&
-          keyOrd.compare(candidateKey, lk) == 0 &&
-          rTimeB.eval(candidate).asInstanceOf[Long] <= lt
-        resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
   }
