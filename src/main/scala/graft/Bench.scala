@@ -59,20 +59,20 @@ object Bench {
     * measured 109.7 s on the idle box) the probe slows with everything
     * else, so the record becomes self-labeling instead of silently wrong. */
   private val CalibrationBudgetSec = 2.0
-  private def calibrate(spark: SparkSession): Double = {
+  private def cpuProbeOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
-    // best of two probes: a single probe can absorb a one-off JIT/GC pause
-    // (measured 0.94 s first vs 0.30 s steady); sustained contention slows
-    // BOTH, which is the signal we're after
-    (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(8L * 1000 * 1000)
-        .select((col("id") % 9973).as("k"), (col("id") * 2654435761L).as("v"))
-        .groupBy(col("k")).agg(sum(col("v")), avg(col("v")))
-        .count(): Unit
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    val t0 = System.nanoTime()
+    spark.range(8L * 1000 * 1000)
+      .select((col("id") % 9973).as("k"), (col("id") * 2654435761L).as("v"))
+      .groupBy(col("k")).agg(sum(col("v")), avg(col("v")))
+      .count(): Unit
+    (System.nanoTime() - t0) / 1e9
   }
+  // best of two probes: a single probe can absorb a one-off JIT/GC pause
+  // (measured 0.94 s first vs 0.30 s steady); sustained contention slows
+  // BOTH, which is the signal we're after
+  private def calibrate(spark: SparkSession): Double =
+    (1 to 2).map(_ => cpuProbeOnce(spark)).min
 
   /** Disk-bound calibration probe. The CPU probe alone produced a FALSE
     * NEGATIVE in the r6 record: write-heavy queries ran 50–95× slow under
@@ -117,6 +117,24 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val over5x = ratios.count(_ > 5.0)
     (median, over5x, ratios.nonEmpty && median > 2.5 && over5x > ratios.size / 4)
+  }
+
+  /** Contiguity rule (r13). The official r12 record was a FALSE CLEAN that
+    * the dispersion heuristic above structurally cannot see: a mid-run
+    * CPU-steal window inflated 7 CONTIGUOUS suite-order queries 4–25×
+    * (118 s of a 292 s total) while the overall median stayed 1.07 and only
+    * 6 queries crossed 5× — far under the quarter-of-suite mass the
+    * dispersion rule demands. Contention is temporally clustered: it hits
+    * whichever queries happen to run while the interloper lives, i.e. a RUN
+    * in suite order. A genuine one-off (GC pause, page-cache eviction)
+    * spikes one query, maybe two; three ADJACENT queries each >4× their
+    * clean prior is a contention window, not noise. Takes ratios in suite
+    * order (unlike ratioVerdict, which is order-free). */
+  private[graft] def contiguityBreach(orderedRatios: Seq[Double]): Boolean = {
+    var run = 0; var worst = 0
+    orderedRatios.foreach { r =>
+      if (r > 4.0) { run += 1; if (run > worst) worst = run } else run = 0 }
+    worst >= 3
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,13 +200,18 @@ object Bench {
     val ioPre = calibrateIo(spark)
     if (calPre > CalibrationBudgetSec || ioPre > IoBudgetSec)
       println(f"WARNING: calibration cpu=${calPre}%.2f s (budget ${CalibrationBudgetSec}%.1f) io=${ioPre}%.2f s (budget ${IoBudgetSec}%.1f) — host appears contaminated by concurrent load; timings below are NOT trustworthy")
-    // Interleave the ~1 s I/O probe every 25 queries: r5–r7 all produced
-    // officially contaminated records that self-labeled clean because the
-    // bracketing probes only observe the endpoints — contention that arrives
-    // after the pre-probe and subsides before the post-probe is invisible to
-    // them (BENCH_r07: brackets clean, yet 58 queries ran >5× their clean
-    // priors). A mid-run breach labels the record directly.
+    // Interleave the ~1 s I/O probe AND the CPU probe every 25 queries:
+    // r5–r7 all produced officially contaminated records that self-labeled
+    // clean because the bracketing probes only observe the endpoints —
+    // contention that arrives after the pre-probe and subsides before the
+    // post-probe is invisible to them (BENCH_r07: brackets clean, yet 58
+    // queries ran >5× their clean priors). r12 closed that for I/O but the
+    // mid-run probe was I/O-ONLY, so a mid-run CPU-steal window (the
+    // official r12 record: 7 contiguous queries 4–25× slow) still slipped
+    // through. Both resources are now probed mid-run; either budget breach
+    // labels the record directly.
     val midIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Per-query liveness cap (QueryGuard): a single hung query (r8 saw one —
     // an Observation.get parked on a dropped listener event) must cost the
     // record one marked-failed entry, not the whole official run. 300 s is
@@ -198,7 +221,9 @@ object Bench {
     var nFailed = 0
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.zipWithIndex
       .map { case ((name, fn), i) =>
-        if (i > 0 && i % 25 == 0) midIo += ioProbeOnce(spark)
+        if (i > 0 && i % 25 == 0) {
+          midIo += ioProbeOnce(spark); midCpu += cpuProbeOnce(spark)
+        }
         val t0 = System.nanoTime()
         // Execute via the noop sink, NOT count(): under Aggregate(count(1))
         // Catalyst prunes the op's defining work (EliminateSorts drops the
@@ -222,18 +247,23 @@ object Bench {
       println(f"WARNING: post-run calibration cpu=${calPost}%.2f s io=${ioPost}%.2f s exceeds budget — concurrent load arrived during the run; timings above are NOT trustworthy")
     val probesBreached = calPre > CalibrationBudgetSec || calPost > CalibrationBudgetSec ||
       ioPre > IoBudgetSec || ioPost > IoBudgetSec ||
-      midIo.exists(_ > IoBudgetSec)
+      midIo.exists(_ > IoBudgetSec) || midCpu.exists(_ > CalibrationBudgetSec)
     // Per-query ratio to the last recorded clean run (BenchPriors): a
     // contaminated record localizes itself — a uniform ~1.5× spread is host
     // speed, concentrated 10×+ spikes are contention on those queries.
+    // `results` is suite order, so `ratios` is too — the contiguity rule
+    // depends on that ordering.
     val ratios = results.flatMap { case (n, sec) =>
       BenchPriors.prior.get(n).map(p => n -> sec / p) }
     val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
+    val contiguousBreached = contiguityBreach(ratios.map(_._2))
     // a timed-out OR exception-failed query means part of the suite went
     // unmeasured — either way the record is not a valid total, label it
-    val contaminated = probesBreached || ratioBreached || nTimeout > 0 || nFailed > 0
+    val contaminated = probesBreached || ratioBreached || contiguousBreached ||
+      nTimeout > 0 || nFailed > 0
     val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
+    val midCpuStr = midCpu.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"cpu_mid_sec":$midCpuStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"contiguous_breached":$contiguousBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")

@@ -150,23 +150,55 @@ object Extras {
     // Exactness carrier note (r12): the banded sum accumulates integer
     // CENTS (round(price·100) — one identical IEEE multiply+round per row
     // in both engines; prices are 2-decimal money so cents are the exact
-    // value), not decimal(18,6). Same exact result (÷100.0 at the end is
-    // one IEEE division of the identical integer), but Spark's sliding
-    // RANGE frame RE-AGGREGATES its buffer as the bounds move — no
-    // retraction — so the per-add cost is paid O(n·avg_band) times per
-    // partition and a long add is ~50× a BigDecimal add. Parallelism is
-    // inherently #priorities for this declared semantics.
+    // value), not decimal(18,6); ÷100.0 at the end is one IEEE division
+    // of the identical integer.
+    //
+    // Execution rewrite (r13): the DECLARED semantics is the sliding
+    // RANGE frame in the oracle SQL below, but Spark's WindowExec
+    // RE-AGGREGATES a sliding frame's buffer as both bounds move (no
+    // retraction), paying O(n·avg_band) adds per partition — the most
+    // expensive query in the suite (5.3–5.9 s noop basis) and quadratic-ish
+    // at 100× the data. Re-expressed as union-probe prefix sums: each row
+    // also emits a zero-weight PROBE at v−10000 (the same IEEE double
+    // subtraction Spark/DuckDB perform for the frame bound); ONE growing
+    // cumulative window (unboundedPreceding→currentRow — WindowExec
+    // accumulates these in O(n), never re-scanning) ordered by
+    // (value, weight) so a probe sorts STRICTLY BEFORE tied real rows:
+    // the probe's cum excludes rows AT the bound (band lower edge is
+    // inclusive) while a real row's cum includes all its value-peers.
+    // answer = cum(row) − cum(probe), paired by the unique order key in
+    // one hash aggregate. Cost: 2n window rows + one n-row shuffle —
+    // linear, scale-safe; partition parallelism is still inherently
+    // #priorities, which the declared PARTITION BY fixes.
     Op("win_range_between",
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"))
-          .rangeBetween(-10000L, 0L)
-        T.orders(s, d)
-          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
-          .select(
-            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-            count(lit(1)).over(w).as("n_in_band"),
-            (sum(col("cents")).over(w) / lit(100.0)).as("sum_in_band"))
+        val base = T.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val real = base.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").as("pt"), lit(1).as("w"), col("cents"))
+        val probe = base.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") - lit(10000.0)).as("pt"),
+          lit(0).as("w"), lit(0L).as("cents"))
+        val cw = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("pt"), col("w"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        real.unionByName(probe)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("pt"), col("w"),
+            sum(col("w")).over(cw).as("cum_n"),
+            sum(col("cents")).over(cw).as("cum_c"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(
+            max(when(col("w") === 1, col("pt"))).as("o_totalprice"),
+            (max(when(col("w") === 1, col("cum_n"))) -
+              max(when(col("w") === 0, col("cum_n")))).as("n_in_band"),
+            ((max(when(col("w") === 1, col("cum_c"))) -
+              max(when(col("w") === 0, col("cum_c")))) / lit(100.0))
+              .as("sum_in_band"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            col("n_in_band"), col("sum_in_band"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,

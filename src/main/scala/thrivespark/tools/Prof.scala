@@ -201,9 +201,13 @@ object Prof {
         println(q2.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       case q =>
+        // bench-basis timing: noop-sink write (full-plan evaluation, the
+        // graft.Bench action since r12) — count() would measure a pruned plan
         val fn = thrivespark.Registry.queries(q)
-        time(s"$q run1")(fn(spark, sfDir).count())
-        time(s"$q run2")(fn(spark, sfDir).count())
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        time(s"$q run1 (noop)")(noop(fn(spark, sfDir)))
+        time(s"$q run2 (noop)")(noop(fn(spark, sfDir)))
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }

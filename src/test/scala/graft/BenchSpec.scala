@@ -34,9 +34,49 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("isolated spikes on a clean median stay clean (one-off GC/compaction)") {
-    val ratios = Seq.fill(147)(1.1) ++ Seq.fill(3)(50.0)
+    // spikes SCATTERED through the suite (a true one-off hits one query,
+    // not a run) — clean under both the dispersion and contiguity rules
+    val ratios = (0 until 150).map(i => if (i % 50 == 25) 50.0 else 1.1)
     val (median, over5x, breached) = Bench.ratioVerdict(ratios)
     assert(median < 2.5 && over5x == 3 && !breached)
+    assert(!Bench.contiguityBreach(ratios))
+  }
+
+  test("r12-shaped telemetry (contiguous mid-run CPU-steal window) now labels " +
+      "contaminated via the contiguity rule the dispersion rule cannot see") {
+    // Replay of official BENCH_r12.json (292 s, shipped contaminated:false):
+    // ratios below are the record's per-query seconds over BenchPriors for
+    // the inflated stretch, in suite order — an isolated fn_string spike,
+    // three clean queries, then the contiguous text-family window
+    // (text_repetition..text_filter_pipeline), text_pii_scrub near-clean,
+    // text_fingerprint still hot. Judge's same-box re-run measured the same
+    // stretch at ratio ~1, adjudicating host contention, not code.
+    val window = Seq(
+      5.88,                           // fn_string (7.068 s / 1.203)
+      1.1, 1.1, 1.1,                  // fn_math, bpe_train, bpe_char_train
+      5.88, 19.31, 18.31, 23.73, 7.86, // text_repetition..filter_pipeline
+      1.5,                            // text_pii_scrub
+      4.26)                           // text_fingerprint (13.73 / 3.221)
+    val ratios = Seq.fill(80)(1.07) ++ window ++ Seq.fill(96)(1.07)
+    val (median, over5x, dispersionBreached) = Bench.ratioVerdict(ratios)
+    // the r12 blind spot: median ~1.07, only ~6 queries over 5x — the
+    // dispersion rule (median>2.5 AND quarter of suite over 5x) stays quiet
+    assert(median < 1.5 && over5x < ratios.size / 4 && !dispersionBreached,
+      s"dispersion rule unexpectedly fired: median=$median over5x=$over5x")
+    // the new rule: >=3 consecutive suite-order queries each >4x prior
+    assert(Bench.contiguityBreach(ratios),
+      "r12 window must trip the contiguity rule")
+  }
+
+  test("contiguity rule boundaries: 2 adjacent spikes clean, 3 breach, " +
+      "4.0 exactly does not count") {
+    assert(!Bench.contiguityBreach(Seq.fill(50)(1.0) ++ Seq(9.0, 9.0) ++ Seq.fill(50)(1.0)))
+    assert(Bench.contiguityBreach(Seq.fill(50)(1.0) ++ Seq(4.1, 4.1, 4.1) ++ Seq.fill(50)(1.0)))
+    // threshold is strictly >4: a plateau AT 4.0 is suspicious-but-not-proof
+    assert(!Bench.contiguityBreach(Seq.fill(10)(4.0)))
+    // runs split by a clean query do not concatenate
+    assert(!Bench.contiguityBreach(Seq(9.0, 9.0, 1.0, 9.0, 9.0)))
+    assert(!Bench.contiguityBreach(Nil))
   }
 
   test("empty priors (first run) stay clean") {
