@@ -257,29 +257,33 @@ object Aggs {
       None),
   )
 
-  /** CMS estimate vs driver-side exact counts over `key`. The exact counts
-    * exist only as the sketch's verification surface, and collecting them is
-    * only safe on a tiny closed domain — so the collect is bounded by
-    * limit(maxGroups+1) (the driver can never materialize more) and the
-    * require fails loudly if the op is re-pointed at a high-cardinality
-    * column instead of silently becoming a driver bomb. */
-  def cmsFreq(ev: DataFrame, key: String, maxGroups: Int = 10000): DataFrame = {
+  /** CMS estimate vs exact counts over `key`, both computed DISTRIBUTED
+    * (r13 — the previous shape collected the exact counts to the driver
+    * under a 10k-group ceiling and probed the sketch there; fine for a
+    * closed enum, a driver bomb waiting for anyone who re-points it at a
+    * real key column). Now: one pass builds the sketch (Spark's
+    * count_min_sketch partial-merges across partitions; the only
+    * driver-side materialization is that single constant-size ~100 KB
+    * sketch row), the serialized sketch is BROADCAST, and each reducer of
+    * the exact groupBy probes it locally via a UDF whose transient-lazy
+    * field deserializes the sketch once per task, not per row. No group
+    * ceiling, no driver-proportional state — works unchanged on a
+    * billion-key domain. */
+  private class CmsEstimate(bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends (String => Long) with Serializable {
+    @transient private lazy val cms =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes.value)
+    def apply(t: String): Long = cms.estimateCount(t)
+  }
+  def cmsFreq(ev: DataFrame, key: String): DataFrame = {
     val s = ev.sparkSession
-    import s.implicits._
     val skBytes = ev.agg(count_min_sketch(col(key),
         lit(0.001), lit(0.99), lit(42)).as("sk"))
       .head().getAs[Array[Byte]]("sk")
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
-    val exact = ev.groupBy(col(key).as("event_type"))
+    val est = udf(new CmsEstimate(s.sparkContext.broadcast(skBytes)))
+    ev.groupBy(col(key).as("event_type"))
       .agg(count(lit(1)).as("exact_n"))
-      .limit(maxGroups + 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(exact.length <= maxGroups,
-      s"agg_cms_freq: group domain of '$key' exceeds $maxGroups — the " +
-      "driver-side exact-count verification surface is only valid for small " +
-      "closed domains; use a distributed exact aggregate instead")
-    exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
-      .toDF("event_type", "exact_n", "est_n")
+      .withColumn("est_n", est(col("event_type")))
       .withColumn("overcount", col("est_n") - col("exact_n"))
       .orderBy(col("event_type"))
   }

@@ -242,19 +242,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("cms_freq cardinality guard: high-cardinality key fails loudly, " +
-      "never collects the full domain") {
+  test("cms_freq is de-ceilinged: a high-cardinality key works distributed " +
+      "and the executor-side probes match a driver-side sketch replay") {
     import thrivespark.{Tables => T}
+    // user_id: the domain the old driver-collect shape refused (>10k risk);
+    // the broadcast-sketch shape must handle it with no ceiling
     val ev = T.events(spark, sf001)
       .select(org.apache.spark.sql.functions.col("user_id")
         .cast("string").as("k"))
-    val e = intercept[IllegalArgumentException] {
-      thrivespark.ops.Aggs.cmsFreq(ev, "k", maxGroups = 10)
+    val rows = thrivespark.ops.Aggs.cmsFreq(ev, "k").collect()
+    assert(rows.length > 100, s"expected a wide domain, got ${rows.length}")
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: CMS must never undercount")
+      assert(r.getLong(2) <= r.getLong(1) + (0.001 * total).ceil.toLong,
+        s"${r.getString(0)}: overcount exceeds eps*N")
     }
-    assert(e.getMessage.contains("exceeds 10"), e.getMessage)
-    // and the guarded op itself still works on its closed domain
-    assert(thrivespark.ops.Aggs.cmsFreq(T.events(spark, sf001), "event_type")
-      .count() > 0)
+    // executor-side UDF probe == driver-side probe of the same sketch
+    // (the deserialize-once-per-task path changes nothing numerically)
+    val sk = ev.agg(org.apache.spark.sql.functions.count_min_sketch(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.lit(0.001),
+        org.apache.spark.sql.functions.lit(0.99),
+        org.apache.spark.sql.functions.lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(sk)
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) == cms.estimateCount(r.getString(0)),
+        s"${r.getString(0)}: executor probe diverges from sketch replay")
+    }
   }
 
   test("approx_count_distinct within 2% of exact (#28)") {
