@@ -105,9 +105,14 @@ object Scans {
           s"/tmp/graft_binsrc_${new java.io.File(d).getName}")
         java.nio.file.Files.createDirectories(dir)
         // hermetic fixture: clear stale .ppm files first — a previous
-        // dataset sharing the leaf name must not leak rows into this read
-        java.nio.file.Files.list(dir).forEach { p =>
-          if (p.toString.endsWith(".ppm")) java.nio.file.Files.delete(p)
+        // dataset sharing the leaf name must not leak rows into this read.
+        // Files.list keeps a directory handle open until the stream is
+        // closed — without the finally each run leaks a descriptor.
+        locally {
+          val st = java.nio.file.Files.list(dir)
+          try st.forEach { p =>
+            if (p.toString.endsWith(".ppm")) java.nio.file.Files.delete(p)
+          } finally st.close()
         }
         val ids = T.documents(s, d).select($c("doc_id"))
           .filter($c("doc_id") < 40).collect().map(_.getLong(0))  // bounded ≤40

@@ -25,6 +25,30 @@ object Similarity {
     * codegen instead of interpreted lambdas. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Session-scoped cache of the persisted trimodal manifest (decode-once
+    * stage boundary of pipeline_multimodal_e2e). Memoized by (session,
+    * sfDir) so repeated op invocations reuse ONE persisted frame — the
+    * CacheManager would dedupe identical plans anyway, but this makes the
+    * reuse explicit and gives the storage an owner with a release hook
+    * (same shape as Text.bpeRelease) instead of blocks that live until
+    * session teardown with nothing accountable for them. */
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private def trimodalManifestCached(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    manifestCache.getOrElseUpdate((s, d), {
+      val mm = thrivespark.multimodal.Multimodal
+      mm.extractTrimodalManifest(mm.mediaTrimodalFromDocuments(T.documents(s, d)),
+          everyNth = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  /** Unpersist every cached manifest and drop the registry entries. */
+  def releaseManifestCache(): Unit = {
+    manifestCache.values.foreach(df => df.unpersist(): Unit)
+    manifestCache.clear()
+  }
+
   private val duckDot =
     "list_sum(list_transform(generate_series(1, 64), " +
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -930,10 +954,7 @@ object Similarity {
     // sample/luma functions.
     Op("pipeline_multimodal_e2e",
       (s, d) => {
-        val mm = thrivespark.multimodal.Multimodal
-        val media = mm.mediaTrimodalFromDocuments(T.documents(s, d))
-        val man = mm.extractTrimodalManifest(media, everyNth = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val man = trimodalManifestCached(s, d)
         val gImg = col("img_r_mean_micros") >= 60000000L
         val gAud = col("aud_peak") <= 3996
         val gVid = col("vid_mean_micros") >= 90000000L

@@ -111,7 +111,18 @@ object Text {
     * after unpersist(true)). The trainers therefore record each
     * checkpoint's RDD handles here and `bpeRelease` frees them by
     * handle. Snapshot-diff of getPersistentRDDs is safe: the training
-    * loops are single-threaded within a session. */
+    * loops are single-threaded within a session.
+    *
+    * OWNERSHIP INVARIANT: every frame the BPE trainers return (or
+    * checkpoint internally) is registered here with STRONG references to
+    * its LogicalPlan + RDD handles, held until `bpeRelease(frame)` is
+    * called. Callers MUST route release through bpeRelease — a plain
+    * `frame.unpersist()` releases NOTHING for checkpoint-backed frames
+    * (see above) and leaves both the blocks and this registry's entry
+    * resident for the life of the session. Bench/Verify sessions satisfy
+    * the invariant by construction (the shared training caches are
+    * per-session and torn down with it); long-lived embedding sessions
+    * must pair every train call with a bpeRelease. */
   private val ckStorage = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Seq[org.apache.spark.rdd.RDD[_]]]
@@ -970,12 +981,18 @@ object Shingles {
     * ([1, 0] — not empty like DuckDB's generate_series), so an unguarded
     * transform would call element_at(t, 0) and throw on any short doc;
     * the empty array mirrors the oracle's empty list comprehension
-    * (downstream mins/minhashes become NULL identically). */
+    * (downstream mins/minhashes become NULL identically). A NULL text
+    * propagates NULL explicitly: without the first branch Spark would fall
+    * to `otherwise` (size(NULL) is NULL, not >=3) and return [] where the
+    * DuckDB mirror returns NULL — a latent cross-engine divergence if the
+    * corpus ever gains NULL texts (it has none today, so hashes are
+    * unchanged). */
   def shingles3(text: Column): Column = {
     val t = split(text, " ")
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
       .otherwise(array().cast("array<string>"))
   }
 

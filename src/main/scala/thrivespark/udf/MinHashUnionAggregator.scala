@@ -22,12 +22,14 @@ object MinHashUnionAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Lon
   override def zero: Array[Long] = Empty.clone()
 
   override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
-    // fail loudly on a malformed signature: silently tolerating a short
-    // one would leave Long.MaxValue filler slots in the union — a corrupt
-    // sketch, far harder to trace than an error at the source
-    require(sig != null && sig.length >= NumHashes,
-      s"minhash signature must carry $NumHashes longs, got " +
-        (if (sig == null) "null" else sig.length.toString))
+    // SQL aggregates skip NULL inputs — a NULL signature (e.g. a doc whose
+    // shingle set was empty) is a no-op, not an error. A short NON-null
+    // signature stays a loud failure: silently tolerating it would leave
+    // Long.MaxValue filler slots in the union — a corrupt sketch, far
+    // harder to trace than an error at the source.
+    if (sig == null) return b
+    require(sig.length >= NumHashes,
+      s"minhash signature must carry $NumHashes longs, got ${sig.length}")
     var i = 0
     while (i < NumHashes) {
       if (sig(i) < b(i)) b(i) = sig(i)
