@@ -23,7 +23,7 @@ object Text {
     * order), so oracle equivalence holds at any corpus size, not just while
     * the vocabulary stays under K; OOV tokens contribute NULL→skipped to
     * the sum while still counting in n_tokens, on both sides. */
-  private[ops] def lmScores(docs: DataFrame): DataFrame = {
+  private[thrivespark] def lmScores(docs: DataFrame): DataFrame = {
     val K = 1 << 18
     val tf = docs.select(col("doc_id"), size(col("ts")).as("n_tokens"),
       explode(col("ts")).as("t"))
@@ -380,6 +380,36 @@ object Text {
     sb.toString
   }
 
+  /** Core of text_substring_exact (frame-level so tests can plant docs):
+    * exact maximal shared-span lengths per doc pair from the positional
+    * shared-window index — see the op comment for the method and bounds.
+    * Expects (doc_id, text); returns (a_id, b_id, n_runs,
+    * max_shared_tokens) for pairs sharing at least one K-token window. */
+  def sharedSpanRuns(docs: DataFrame, K: Int = 8): DataFrame = {
+    val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+      i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= K)
+      .select(col("doc_id"), posexplode(wins).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
+    val pairs = occ.select(col("doc_id").as("a_id"), col("i"), col("h"))
+      .join(occ.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
+        Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))
+    pairs
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run_wins"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("run_wins")) + lit(K - 1)).as("max_shared_tokens"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val ops: Seq[Op] = Seq(
     // The real BPE training loop, word-granular (see bpeTrain): 8 merges
     // learned from the deterministic 1-in-5 training slice (see
@@ -649,6 +679,55 @@ object Text {
                            / count(*), 6) AS shared_frac
               FROM occ o LEFT JOIN sh s ON o.h = s.h
               GROUP BY o.doc_id ORDER BY o.doc_id""")),
+
+    // Exact shared-span dedup (r13 — closes the one depth gap left on the
+    // dedup axis): escalate text_substring_dedup's window-granular signal
+    // into EXACT maximal-run reporting per doc pair. Method: every 8-token
+    // window occurrence carries its position; equal windows across two docs
+    // are matches at (i, j), and a shared span of L>=8 tokens appears as
+    // exactly L-7 consecutive matches on one DIAGONAL (i-j constant) — so
+    // maximal shared runs are gaps-and-islands over i within (a, b, diag)
+    // (island = i - row_number, a constant per consecutive run), and the
+    // exact span length is run_windows + 7. This is the positional
+    // inverted-index formulation of the suffix-array substring-dedup
+    // method: candidates come ONLY from the shared-window index (pair
+    // space = sum over windows of df^2 — 26k at sf0.01 vs 125k all-pairs;
+    // no quadratic doc join), and the window partitions are per-(pair,
+    // diagonal), i.e. tiny, at any corpus size. At 100 TB the one skew
+    // risk is a stop-window (an 8-gram with huge df, boilerplate) making
+    // one join bucket quadratic — the production mitigation is a df cap on
+    // the index (drop windows with df > threshold, as Gopher-style
+    // pipelines do); the synthetic corpus has max df 3 so the cap is
+    // omitted rather than dead-coded. MD5 window equality is exact span
+    // equality up to 128-bit collision, same as the oracle's md5. (The
+    // oracle's generate_series(1, 512) is a fixture bound: corpus docs max
+    // 100 tokens at every SF; the Spark side derives positions from
+    // size(ts) with no bound.)
+    Op("text_substring_exact",
+      (s, d) => sharedSpanRuns(T.documents(s, d)),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ o1 JOIN occ o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id),
+              runs AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl
+                FROM pairs),
+              r2 AS (
+                SELECT a_id, b_id, count(*) AS run_wins
+                FROM runs GROUP BY a_id, b_id, diag, isl)
+              SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
+              FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
 
     // Unigram-LM quality score (the statistical tier above the heuristic
     // filters): train token frequencies over the corpus, score each doc by

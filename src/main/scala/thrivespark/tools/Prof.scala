@@ -152,6 +152,28 @@ object Prof {
           thrivespark.Registry.queries("pipeline_corpus_e2e")(spark, sfDir).count())
         time("full op warm")(
           thrivespark.Registry.queries("pipeline_corpus_e2e")(spark, sfDir).count())
+      case "gateprof" =>
+        import thrivespark.ops.{Pipeline, Text}
+        import org.apache.spark.sql.functions._
+        val surv = Pipeline.survivors(spark, sfDir)
+        time("survivors persist")(surv.count())
+        val base = surv.select(col("doc_id"), size(col("ts")).as("n_tokens"),
+          (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
+            / size(col("ts")) > 0.05).as("lang_ok"),
+          (size(col("ts")) >= 20).as("len_ok"))
+        time("base flags")(base.count())
+        val grams = transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))
+        val rep = surv.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        time("rep (bigram explode)")(rep.count())
+        time("lmScores")(Text.lmScores(surv).count())
+        time("gate total")(Pipeline.gatedSurvivorsOf(surv).count())
+        time("full op warm")(
+          thrivespark.Registry.queries("pipeline_corpus_e2e")(spark, sfDir).count())
       case "benchlike" =>
         // mimic graft.Bench's conditions for dedup_ngram_jaccard: run the
         // registry-order predecessors first (shingle persist + similar

@@ -210,4 +210,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cross = out.length - self.length
     assert(cross < nDocs, s"cross-link volume $cross looks all-pairs-ish")
   }
+
+  test("text_substring_exact: planted spans report exact lengths, run counts, " +
+      "and the sub-K overlap stays silent") {
+    import spark.implicits._
+    def toks(r: Range, tag: String = "w") = r.map(tag + _)
+    def doc(id: Long, ts: Seq[String]) = (id, ts.mkString(" "))
+    // unique filler per doc so no accidental 8-gram crosses a boundary
+    def fill(d: Int, n: Int, at: Int) = (0 until n).map(k => s"u${d}_${at}_$k")
+    val docs = Seq(
+      doc(1, toks(0 until 30)),                                   // w0..w29
+      doc(2, fill(2, 5, 0) ++ toks(10 until 26) ++ fill(2, 5, 1)), // 16-token mid-doc copy of doc1
+      doc(3, toks(0 until 8) ++ fill(3, 10, 0)),                  // exactly K=8 shared with doc1 (and doc4)
+      doc(4, toks(0 until 10) ++ fill(4, 12, 0) ++ toks(20 until 30)), // two 10-token runs vs doc1
+      doc(5, toks(0 until 7) ++ fill(5, 10, 0)),                  // 7 < K: must not pair
+      doc(6, fill(6, 3, 0) ++ toks(0 until 8, "p") ++ fill(6, 9, 1) ++
+             toks(0 until 8, "p") ++ fill(6, 3, 2)),              // same 8-gram twice
+      doc(7, fill(7, 4, 0) ++ toks(0 until 8, "p") ++ fill(7, 4, 1))
+    ).toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.sharedSpanRuns(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (1L, 2L) -> (1L, 16L),  // one maximal run, exact span 16
+      (1L, 3L) -> (1L, 8L),   // minimum reportable span
+      (1L, 4L) -> (2L, 10L),  // two separate maximal runs, max 10
+      (3L, 4L) -> (1L, 8L),   // transitively shared prefix w0..w7
+      (6L, 7L) -> (2L, 8L)    // repeated phrase: two diagonals, two runs
+    ), s"got $out")
+  }
 }
