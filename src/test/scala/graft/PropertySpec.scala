@@ -274,6 +274,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text_quality_model: trained NB beats the majority class, stays " +
+      "deterministic, and model_keep composes with the pipeline gate") {
+    // columns: doc_id, f_len, f_stop, f_wlen, log_odds, model_keep, gate_keep
+    val rows = thrivespark.Registry.queries("text_quality_model")(spark, sf001)
+      .collect()
+    val n = rows.length
+    val pos = rows.count(_.getInt(6) == 1)
+    assert(pos > n / 5 && pos < n * 4 / 5,
+      s"label degenerated: $pos/$n positive — supervision must be two-class")
+    val base = math.max(pos, n - pos).toDouble / n
+    val acc = rows.count(r => r.getInt(5) == r.getInt(6)).toDouble / n
+    assert(acc >= base + 0.05,
+      f"no statistical lift: acc=$acc%.3f vs majority base=$base%.3f")
+    // integration: model_keep is a 0/1 gate flag; conjoined with the
+    // pipeline keep it strictly refines the kept set (and never to zero)
+    val both = rows.count(r => r.getInt(5) == 1 && r.getInt(6) == 1)
+    assert(both > 0 && both < pos,
+      s"conjunction should refine the gate set: both=$both gate_pos=$pos")
+    // closed-form training is deterministic: an independent re-run
+    // reproduces every weight-derived output bit-for-bit
+    val again = thrivespark.Registry.queries("text_quality_model")(spark, sf001)
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "re-trained model diverged — training must be closed-form deterministic")
+  }
+
   test("approx_count_distinct within 2% of exact (#28)") {
     val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
     val approx = r.getLong(0).toDouble
