@@ -433,51 +433,70 @@ object Text {
     * gate flag shaped exactly like the pipeline's lang_ok/len_ok/rep_ok/
     * lm_ok so it conjoins into the same keep; `gate_keep` rides along as
     * the label for agreement inspection. */
-  def qualityModelScores(docs: DataFrame): DataFrame = {
+  def qualityModelScores(docs: DataFrame): DataFrame =
+    qualityModelScoresOn(docs, docs)
+
+  /** Train on `trainDocs`, score `scoreDocs` — the oracled op passes the
+    * same frame for both (self-fit, every value seen in training); the
+    * holdout evaluation in PropertySpec trains on a hash split and scores
+    * the rest. A feature value UNSEEN in training falls back to the
+    * Laplace-smoothed zero-count weight (coalesce below) — the same
+    * closed form with pos_v = tot_v = 0, so generalization never throws
+    * and stays deterministic. */
+  def qualityModelScoresOn(scoreDocs: DataFrame, trainDocs: DataFrame): DataFrame = {
     val ts = split(col("text"), " ")
-    val feat = docs.select(col("doc_id"), col("text"), ts.as("ts"))
-      .select(col("doc_id"),
-        least(floor(size(col("ts")) / lit(10)), lit(9))
-          .cast("int").as("f_len"),
-        least(floor((lit(10.0) * size(filter(col("ts"),
-            t => t === "the" || t === "a"))) / size(col("ts"))), lit(9))
-          .cast("int").as("f_stop"),
-        least(floor(length(translate(col("text"), " ", "")).cast("double")
-            / size(col("ts"))), lit(19))
-          .cast("int").as("f_wlen"))
-    val lab = filterFlags(docs.select(col("doc_id"), ts.as("ts")))
-      .select(col("doc_id"), col("keep").as("label"))
-    // one persisted boundary: the joined (features, label) frame feeds the
-    // melt twice (training aggregate + scoring join) — without it the
-    // four-flag gate label derivation would run twice
-    val j = feat.join(lab, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val melted = j.select(col("doc_id"), col("label"),
+    def featLab(docs: DataFrame): DataFrame = {
+      val feat = docs.select(col("doc_id"), col("text"), ts.as("ts"))
+        .select(col("doc_id"),
+          least(floor(size(col("ts")) / lit(10)), lit(9))
+            .cast("int").as("f_len"),
+          least(floor((lit(10.0) * size(filter(col("ts"),
+              t => t === "the" || t === "a"))) / size(col("ts"))), lit(9))
+            .cast("int").as("f_stop"),
+          least(floor(length(translate(col("text"), " ", "")).cast("double")
+              / size(col("ts"))), lit(19))
+            .cast("int").as("f_wlen"))
+      val lab = filterFlags(docs.select(col("doc_id"), ts.as("ts")))
+        .select(col("doc_id"), col("keep").as("label"))
+      // one persisted boundary per frame: (features, label) feeds the melt
+      // twice (training aggregate + scoring join) — without it the
+      // four-flag gate label derivation would run twice
+      feat.join(lab, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def melt(j: DataFrame): DataFrame = j.select(col("doc_id"), col("label"),
       explode(map(
         lit("f_len"), col("f_len"),
         lit("f_stop"), col("f_stop"),
         lit("f_wlen"), col("f_wlen"))).as(Seq("feature", "v")))
+    val jt = featLab(trainDocs)
+    val js = if (scoreDocs eq trainDocs) jt else featLab(scoreDocs)
     val vk = map(lit("f_len"), lit(10), lit("f_stop"), lit(10),
       lit("f_wlen"), lit(20))
-    val totals = j.agg(sum(col("label")).as("n_pos"), count(lit(1)).as("n"))
+    val totals = jt.agg(sum(col("label")).as("n_pos"), count(lit(1)).as("n"))
     def micros(c: Column): Column = round(log(c) * 1e6).cast("long")
-    val w = melted.groupBy(col("feature"), col("v"))
+    def weightOf(posV: Column, totV: Column): Column =
+      micros((posV + 1).cast("double")
+          / (col("n_pos") + element_at(vk, col("feature")))) -
+      micros((totV - posV + 1).cast("double")
+          / (col("n") - col("n_pos") + element_at(vk, col("feature"))))
+    val w = melt(jt).groupBy(col("feature"), col("v"))
       .agg(sum(col("label")).as("pos_v"), count(lit(1)).as("tot_v"))
       .crossJoin(broadcast(totals))
       .select(col("feature"), col("v"),
-        (micros((col("pos_v") + 1).cast("double")
-            / (col("n_pos") + element_at(vk, col("feature")))) -
-         micros((col("tot_v") - col("pos_v") + 1).cast("double")
-            / (col("n") - col("n_pos") + element_at(vk, col("feature")))))
-          .as("w_micros"))
+        weightOf(col("pos_v"), col("tot_v")).as("w_micros"))
     val prior = totals.select(
       micros(col("n_pos").cast("double") / (col("n") - col("n_pos")))
         .as("prior_micros"))
-    melted.join(broadcast(w), Seq("feature", "v"))
+    melt(js).join(broadcast(w), Seq("feature", "v"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("w_micros"),
+          weightOf(lit(0L), lit(0L))).as("w_micros"))
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("w_micros")).as("sw"))
       .crossJoin(broadcast(prior))
-      .join(j.select(col("doc_id"), col("f_len"), col("f_stop"), col("f_wlen")),
+      .join(js.select(col("doc_id"), col("f_len"), col("f_stop"), col("f_wlen")),
         "doc_id")
       .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_wlen"),
         round6((col("prior_micros") + col("sw")).cast("double") / 1e6)
@@ -492,14 +511,32 @@ object Text {
     * shared-window index — see the op comment for the method and bounds.
     * Expects (doc_id, text); returns (a_id, b_id, n_runs,
     * max_shared_tokens) for pairs sharing at least one K-token window. */
-  def sharedSpanRuns(docs: DataFrame, K: Int = 8): DataFrame = {
+  def sharedSpanRuns(docs: DataFrame, K: Int = 8, maxDf: Int = 0): DataFrame = {
     val wins = transform(sequence(lit(1), size(col("ts")) - (K - 1)),
       i => md5(array_join(slice(col("ts"), i, lit(K)), " ")))
-    val occ = docs
+    val occ0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= K)
       .select(col("doc_id"), posexplode(wins).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
+    // Skew valve for boilerplate windows (maxDf > 0): a K-gram occurring
+    // in a huge share of the corpus (license headers, navigation chrome)
+    // turns its join bucket quadratic — the standard production cut is to
+    // DROP windows whose document frequency exceeds the cap before the
+    // self-join, trading away spans composed ONLY of corpus-saturated
+    // boilerplate (which substring-dedup would remove wholesale anyway,
+    // not pairwise). Runs bridged by a dropped window split in two — the
+    // conservative direction (shorter reported spans, never longer).
+    // The oracled op runs uncapped (synthetic corpus max df = 3).
+    val occ =
+      if (maxDf <= 0) occ0
+      else {
+        val dfOk = occ0.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("h"))
+        occ0.join(dfOk, Seq("h"), "left_semi")
+      }
     val pairs = occ.select(col("doc_id").as("a_id"), col("i"), col("h"))
       .join(occ.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
         Seq("h"))

@@ -239,4 +239,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (6L, 7L) -> (2L, 8L)    // repeated phrase: two diagonals, two runs
     ), s"got $out")
   }
+
+  test("text_substring_exact maxDf valve: corpus-saturated boilerplate " +
+      "windows drop out of the index; genuine pair spans survive intact") {
+    import spark.implicits._
+    val boiler = (0 until 8).map("b" + _)        // an 8-gram in EVERY doc
+    val span = (0 until 20).map("s" + _)          // 20-token span in docs 1+2
+    def fill(d: Int, n: Int) = (0 until n).map(k => s"u${d}_$k")
+    val docs = (1L to 12L).map { d =>
+      val body =
+        if (d <= 2) span ++ fill(d.toInt, 4) ++ boiler
+        else fill(d.toInt, 15) ++ boiler
+      (d, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    // uncapped: the boilerplate 8-gram links all 66 doc pairs
+    val full = thrivespark.ops.Text.sharedSpanRuns(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(full.size == 66, s"expected all-pairs via boilerplate: ${full.size}")
+    // capped at df<=2: only the genuine pair remains, exact span preserved;
+    // its boilerplate-run link to the others is gone
+    val capped = thrivespark.ops.Text.sharedSpanRuns(docs, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq == Seq(((1L, 2L), 1L, 20L)), s"got ${capped.toSeq}")
+  }
 }

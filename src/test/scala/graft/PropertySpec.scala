@@ -300,6 +300,34 @@ class PropertySpec extends AnyFunSuite {
       "re-trained model diverged — training must be closed-form deterministic")
   }
 
+  test("text_quality_model holdout: trained on a hash split, the model " +
+      "generalizes to unseen docs above the majority base") {
+    import org.apache.spark.sql.functions.{col, conv, substring, md5}
+    val docs = thrivespark.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    // content-addressed 80/20 split (the analytics_hash_split shape) so
+    // train/holdout are deterministic across engines and partitionings
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val train = docs.filter(bucket < 80)
+    val hold = docs.filter(bucket >= 80)
+    val scored = thrivespark.ops.Text.qualityModelScoresOn(hold, train).collect()
+    val n = scored.length
+    assert(n > 50, s"holdout too small: $n")
+    val pos = scored.count(_.getInt(6) == 1)
+    val base = math.max(pos, n - pos).toDouble / n
+    val acc = scored.count(r => r.getInt(5) == r.getInt(6)).toDouble / n
+    assert(acc >= base,
+      f"holdout generalization collapsed: acc=$acc%.3f < base=$base%.3f")
+    // and the self-fit accuracy on the train slice must show real lift
+    val fit = thrivespark.ops.Text.qualityModelScoresOn(train, train).collect()
+    val fpos = fit.count(_.getInt(6) == 1)
+    val fbase = math.max(fpos, fit.length - fpos).toDouble / fit.length
+    val facc = fit.count(r => r.getInt(5) == r.getInt(6)).toDouble / fit.length
+    assert(facc >= fbase + 0.05,
+      f"train-slice lift vanished: acc=$facc%.3f base=$fbase%.3f")
+  }
+
   test("approx_count_distinct within 2% of exact (#28)") {
     val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
     val approx = r.getLong(0).toDouble

@@ -704,4 +704,72 @@ class ScaleStressSpec extends AnyFunSuite {
       s"replication must add zero new winners: kept $kept13 != 1x $kept1")
     info(f"wall 1x=$w1%.2f s, 13x=$w13%.2f s, ratio=${w13 / w1}%.1f (data 13x)")
   }
+
+  test("family corpus at 5k docs: text_substring_exact reports FULL-doc " +
+      "spans for every identical copy pair and candidates stay " +
+      "sharing-structured, never corpus-quadratic", ScaleStress) {
+    import org.apache.spark.sql.functions._
+    // ~100 families × 50 perturbed copies (same construction as the 50x
+    // LSH test: class c = k % 10 replaces a class-specific 2w-token window
+    // with sentinels, so the 5 copies of each class are IDENTICAL text and
+    // cross-class copies share everything outside the two windows)
+    val base = T.documents(spark, sf01)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 75 && col("doc_id") % 13 === 0)
+      .persist()
+    val nFam = base.count()
+    assert(nFam >= 80, s"corpus changed: $nFam families")
+    val copies = spark.range(0, 50).select(col("id").cast("int").as("k"))
+    val big = base.crossJoin(copies)
+      .withColumn("n", size(col("t")))
+      .withColumn("w", floor(col("n") / 14).cast("int"))
+      .withColumn("c", col("k") % 10)
+      .withColumn("p", col("c") * col("w") + 1)
+      .withColumn("m", col("w") * 2)
+      .withColumn("sent", transform(sequence(lit(1), col("m")),
+        i => concat_ws("_", lit("zz"), col("doc_id"), col("c"), i)))
+      .select(
+        (col("doc_id") * 100 + col("k")).as("doc_id"),
+        concat_ws(" ", concat(
+          slice(col("t"), lit(1), col("p") - 1),
+          col("sent"),
+          slice(col("t"), col("p") + col("m"),
+            col("n") - col("p") - col("m") + 1))).as("text"),
+        col("n"))
+      .persist()
+    val nBig = big.count()
+    assert(nBig == nFam * 50)
+    val t0 = System.nanoTime()
+    val out = thrivespark.ops.Text
+      .sharedSpanRuns(big.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = out.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // candidate structure: pairs reflect SHARED CONTENT (families + the
+    // base corpus's own planted near-dups), not corpus size — far under
+    // the all-pairs space a naive doc×doc formulation would pay
+    val allPairs = nBig * (nBig - 1) / 2
+    assert(total < allPairs / 50,
+      s"pair output $total approaches all-pairs $allPairs — index broke")
+    // exactness at scale: every same-class pair is identical text, so the
+    // reported max span must be the FULL perturbed doc length (which the
+    // sentinel construction keeps equal to the base length) — all
+    // nFam × 10 classes × C(5,2) pairs, each exact
+    val sameClass = out
+      .withColumn("fa", expr("a_id div 100"))
+      .withColumn("fb", expr("b_id div 100"))
+      .filter(col("fa") === col("fb") &&
+        col("a_id") % 10 === col("b_id") % 10)
+      .join(big.select((col("doc_id")).as("a_id"), col("n")), "a_id")
+    val nSame = sameClass.count()
+    assert(nSame == nFam * 10 * 10,
+      s"expected ${nFam * 100} identical-copy pairs, got $nSame")
+    val inexact = sameClass
+      .filter(col("max_shared_tokens") =!= col("n").cast("long")).count()
+    assert(inexact == 0,
+      s"$inexact identical pairs reported a span shorter than the full doc")
+    info(f"families=$nFam docs=$nBig pairs=$total " +
+      f"(all-pairs ${allPairs}) wall=$wall%.1f s")
+    out.unpersist(); big.unpersist(); base.unpersist(): Unit
+  }
 }
