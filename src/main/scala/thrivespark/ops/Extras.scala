@@ -79,6 +79,46 @@ object Extras {
     * any realistic width. The quantile pass is one extra scan of the two
     * pack columns at 100 TB (sub-second at bench scale). An explicit
     * `numParts` override exists for the invariance property test. */
+  /** Core of win_range_between (frame-level so PropertySpec can compare it
+    * against Spark's own sliding RANGE frame on planted tie-heavy data):
+    * per row, count and cents-exact sum of partition peers with value in
+    * [v−10000, v] — computed via union-probe prefix sums instead of the
+    * sliding frame's O(n·band) buffer re-aggregation. Probes order
+    * STRICTLY BEFORE tied real rows ((pt, w) sort) so the inclusive lower
+    * bound keeps rows AT v−10000; a real row's growing frame includes all
+    * its value peers, matching RANGE CURRENT ROW semantics. Expects
+    * (o_orderkey unique, o_orderpriority, o_totalprice); unordered. */
+  def bandPrefixSums(base0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0.select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val real = base.select(
+      col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").as("pt"), lit(1).as("w"), col("cents"))
+    val probe = base.select(
+      col("o_orderkey"), col("o_orderpriority"),
+      (col("o_totalprice") - lit(10000.0)).as("pt"),
+      lit(0).as("w"), lit(0L).as("cents"))
+    val cw = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("pt"), col("w"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    real.unionByName(probe)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("pt"), col("w"),
+        sum(col("w")).over(cw).as("cum_n"),
+        sum(col("cents")).over(cw).as("cum_c"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        max(when(col("w") === 1, col("pt"))).as("o_totalprice"),
+        (max(when(col("w") === 1, col("cum_n"))) -
+          max(when(col("w") === 0, col("cum_n")))).as("n_in_band"),
+        ((max(when(col("w") === 1, col("cum_c"))) -
+          max(when(col("w") === 0, col("cum_c")))) / lit(100.0))
+          .as("sum_in_band"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("n_in_band"), col("sum_in_band"))
+  }
+
   def packSeqIds(toks: org.apache.spark.sql.DataFrame, budget: Int,
       numParts: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -171,36 +211,9 @@ object Extras {
     // linear, scale-safe; partition parallelism is still inherently
     // #priorities, which the declared PARTITION BY fixes.
     Op("win_range_between",
-      (s, d) => {
-        val base = T.orders(s, d).select(
-          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val real = base.select(
-          col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice").as("pt"), lit(1).as("w"), col("cents"))
-        val probe = base.select(
-          col("o_orderkey"), col("o_orderpriority"),
-          (col("o_totalprice") - lit(10000.0)).as("pt"),
-          lit(0).as("w"), lit(0L).as("cents"))
-        val cw = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("pt"), col("w"))
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        real.unionByName(probe)
-          .select(col("o_orderkey"), col("o_orderpriority"), col("pt"), col("w"),
-            sum(col("w")).over(cw).as("cum_n"),
-            sum(col("cents")).over(cw).as("cum_c"))
-          .groupBy(col("o_orderkey"), col("o_orderpriority"))
-          .agg(
-            max(when(col("w") === 1, col("pt"))).as("o_totalprice"),
-            (max(when(col("w") === 1, col("cum_n"))) -
-              max(when(col("w") === 0, col("cum_n")))).as("n_in_band"),
-            ((max(when(col("w") === 1, col("cum_c"))) -
-              max(when(col("w") === 0, col("cum_c")))) / lit(100.0))
-              .as("sum_in_band"))
-          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-            col("n_in_band"), col("sum_in_band"))
-          .orderBy(col("o_orderkey"))
-      },
+      (s, d) => bandPrefixSums(T.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")))
+        .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
                      count(*) OVER w AS n_in_band,
                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0

@@ -328,6 +328,40 @@ class PropertySpec extends AnyFunSuite {
       f"train-slice lift vanished: acc=$facc%.3f base=$fbase%.3f")
   }
 
+  test("win_range_between prefix-sum rewrite == Spark's sliding RANGE frame " +
+      "on tie-heavy band boundaries and pseudo-random values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial values: exact ties AT band edges (v and v-10000 collide
+    // with other rows' values) — where inclusive-bound and peer handling
+    // can silently diverge — plus a pseudo-random spread, 3 rows per value
+    // across 2 partitions
+    val edge = Seq(0.0, 0.01, 9999.99, 10000.0, 10000.01, 10000.02,
+      19999.99, 20000.0, 20000.01, 30000.0)
+    val rand = (0 until 500).map(k => ((k * 2654435761L) % 3000000L) / 100.0)
+    val rows = for {
+      (p, off) <- Seq(("1-URGENT", 0L), ("2-HIGH", 100000L))
+      (v, i) <- (edge ++ rand).zipWithIndex
+      r <- 0 until 3
+    } yield (off + i * 10 + r, p, v)
+    val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+      .rangeBetween(-10000L, 0L)
+    val ref = df
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .select($"o_orderkey",
+        count(lit(1)).over(w).as("n"),
+        (sum($"cents").over(w) / lit(1.0e2)).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = thrivespark.ops.Extras.bandPrefixSums(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == ref.size && got.size == rows.size)
+    val diffs = ref.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"rewrite diverges from the sliding frame on " +
+      s"${diffs.size} keys, e.g. ${diffs.take(3)}")
+  }
+
   test("approx_count_distinct within 2% of exact (#28)") {
     val r = thrivespark.Registry.queries("agg_approx_distinct")(spark, sf001).collect()(0)
     val approx = r.getLong(0).toDouble
