@@ -781,6 +781,110 @@ object Extras {
               JOIN customer ON o_custkey = c_custkey
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
+    // TPC-H Q12 shape (shipping-priority audit): fact⋈orders with
+    // conditional aggregation — the filtered fact shuffles once on its
+    // join key; the CASE buckets fold into the same partial aggregate, so
+    // priority classes cost zero extra passes. (The fixture lacks
+    // l_shipmode/commitdate, so the grouping key is l_linestatus; the
+    // plan shape — date-sliced fact, equi-join, conditional counts — is
+    // Q12's.)
+    Op("q12_priority_lines",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        T.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(count(when(hi, lit(1))).as("high_line_count"),
+            count(when(!hi, lit(1))).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+                     count(*) FILTER (WHERE o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')) AS high_line_count,
+                     count(*) FILTER (WHERE o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH')) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
+    // three OR-arms each constrain BOTH sides of the join, but none of
+    // them is an equi-condition — so the equi-join on partkey runs first
+    // (part broadcasts: it is the dimension) and the disjunction stays a
+    // codegen'd post-join filter. Predicates never block pushdown of the
+    // partkey pruning; a 100 TB planner note: resist the temptation to
+    // union three filtered joins — one join + OR-filter scans the fact
+    // once instead of three times.
+    Op("q19_disjunctive_match",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val arm1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+        val arm2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+        val arm3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(20, 50) && col("l_quantity").between(20, 40)
+        T.lineitem(s, d)
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(round6(sum(dec(rev)).cast("double")).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+                     count(*) AS n_lines
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 20)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                     AND l_quantity BETWEEN 10 AND 30)
+                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+                     AND l_quantity BETWEEN 20 AND 40)""")),
+
+    // TPC-H Q22 shape (idle high-balance customers): a 1-row scalar
+    // threshold (broadcast crossJoin — the positive-balance mean, summed
+    // in DECIMAL so both engines divide the identical exact total once)
+    // gates the dimension map-side, then a LEFT ANTI join drops customers
+    // WITH urgent orders (the NOT EXISTS decorrelation; the fixture's
+    // every customer has orders, so the anti-set keys on the urgent
+    // slice). The anti-join's build side is the filtered orders
+    // projection — at 100 TB the bloom-filter variant of this exact shape
+    // is join_runtime_filter.
+    Op("q22_idle_balance",
+      (s, d) => {
+        val thresh = T.customer(s, d)
+          .filter(col("c_acctbal") > 0.0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("ab"))
+        val urgent = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        T.customer(s, d)
+          .crossJoin(broadcast(thresh))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            round6(sum(dec(col("c_acctbal"))).cast("double")).as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH pos AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS ab
+                FROM customer WHERE c_acctbal > 0.0)
+              SELECT c_mktsegment, count(*) AS numcust,
+                     round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                           AS DOUBLE), 6) AS totacctbal
+              FROM customer, pos
+              WHERE c_acctbal > pos.ab
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ORC source round-trip (third ingestion format next to JSONL/CSV):
     // write a column-pruned orders projection as ORC, read it back (schema
     // rides in the ORC footer — no inference), aggregate per order year.
