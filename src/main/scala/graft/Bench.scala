@@ -12,6 +12,7 @@ object Bench {
     // prefix: r7's broad prefix permanently shielded orphaned dirs of
     // removed stagings (e.g. the old _ord_ variant) from the sweep
     "graft_stream_stage_sf", "graft_stream_stage_flush_sf",
+    "graft_stream_stage_docs_sf",
     "graft_bucketed", "graft_badcsv_", "graft_dpp_")
 
   /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on

@@ -196,6 +196,111 @@ object StreamingOps {
                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Streaming model inference (r13 — train offline, score the firehose):
+    // the batch-trained NB quality model (text_quality_model's exact
+    // closed-form weights, dense over the bin domains) scores a DOCUMENT
+    // STREAM via three stateless stream-static broadcast joins in append
+    // mode — zero state stores, zero shuffles on the stream side. Scoring
+    // is per-row map work, so batch boundaries cannot affect results and
+    // the oracle is the batch scorer's arithmetic verbatim. This is the
+    // production pairing of the trained tier: the model artifact (40
+    // weight rows + 1 prior) rides a broadcast; the stream pays only the
+    // feature projection.
+    Op("stream_score_model",
+      (s, d) => {
+        val stage = stageDocsDir(s, d)
+        val (w, prior) = Text.qualityModelTrain(thrivespark.Tables.documents(s, d))
+        val pm = prior.head().getLong(0) // 1-row trained prior (constant-size)
+        val cp = thrivespark.Scratch.dir("cp_score")
+        thrivespark.streaming.StreamRunner
+          .scoreDocsStream(s, stage, cp, w, pm, s"q_score_${tag(d)}")
+          .select(col("doc_id"),
+            round6(col("score_micros").cast("double") / 1e6).as("log_odds"),
+            (col("score_micros") > 0).cast("int").as("model_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, text, string_split(text, ' ') AS ts
+                FROM documents),
+              feat AS (
+                SELECT doc_id,
+                       CAST(LEAST(floor(len(ts) / 10), 9) AS INTEGER) AS f_len,
+                       CAST(LEAST(floor((10.0 * len(list_filter(ts,
+                              t -> t = 'the' OR t = 'a'))) / len(ts)), 9)
+                            AS INTEGER) AS f_stop,
+                       CAST(LEAST(floor(CAST(len(replace(text, ' ', ''))
+                              AS DOUBLE) / len(ts)), 19) AS INTEGER) AS f_wlen
+                FROM toks),
+              f AS (SELECT t, count(*) AS c
+                    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+              tot0 AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+              lp AS (SELECT t,
+                       CAST(round(ln(c / (SELECT total FROM tot0)) * 1000000)
+                            AS BIGINT) AS lm
+                     FROM f ORDER BY c DESC, t LIMIT 262144),
+              tokd AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS t FROM toks),
+              lmdoc AS (
+                SELECT doc_id,
+                       round(CAST(sum(lm) AS DOUBLE) / (n * 1000000.0), 6)
+                         AS avg_logp
+                FROM tokd JOIN lp USING (t) GROUP BY doc_id, n),
+              gbase AS (
+                SELECT doc_id,
+                       CAST(CAST(len(list_filter(ts, t -> t = 'the' OR t = 'a'))
+                                 AS DOUBLE) / len(ts) > 0.05 AS INTEGER) AS lang_ok,
+                       CAST(len(ts) >= 20 AS INTEGER) AS len_ok
+                FROM toks),
+              grams AS (
+                SELECT doc_id,
+                       unnest([ts[i] || ' ' || ts[i+1]
+                               for i in generate_series(1, len(ts) - 1)]) AS gram
+                FROM toks WHERE len(ts) >= 2),
+              g AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+              rep AS (
+                SELECT doc_id,
+                       CAST(round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
+                            <= 0.2 AS INTEGER) AS rep_ok
+                FROM g GROUP BY doc_id),
+              j AS (SELECT feat.doc_id, feat.f_len, feat.f_stop, feat.f_wlen,
+                           CAST(b.lang_ok = 1 AND b.len_ok = 1
+                                AND coalesce(r.rep_ok, 1) = 1
+                                AND l.avg_logp > -3.6 AS INTEGER) AS label
+                    FROM feat
+                    JOIN gbase b ON feat.doc_id = b.doc_id
+                    LEFT JOIN rep r ON feat.doc_id = r.doc_id
+                    JOIN lmdoc l ON feat.doc_id = l.doc_id),
+              melted AS (
+                SELECT doc_id, label, 'f_len' AS feature, f_len AS v FROM j
+                UNION ALL
+                SELECT doc_id, label, 'f_stop' AS feature, f_stop AS v FROM j
+                UNION ALL
+                SELECT doc_id, label, 'f_wlen' AS feature, f_wlen AS v FROM j),
+              tt AS (SELECT sum(label) AS n_pos, count(*) AS n FROM j),
+              w AS (
+                SELECT feature, v,
+                       CAST(round(ln(CAST(sum(label) + 1 AS DOUBLE)
+                              / ((SELECT n_pos FROM tt)
+                                 + CASE feature WHEN 'f_wlen' THEN 20 ELSE 10 END))
+                            * 1000000) AS BIGINT)
+                     - CAST(round(ln(CAST(count(*) - sum(label) + 1 AS DOUBLE)
+                              / ((SELECT n FROM tt) - (SELECT n_pos FROM tt)
+                                 + CASE feature WHEN 'f_wlen' THEN 20 ELSE 10 END))
+                            * 1000000) AS BIGINT) AS w_micros
+                FROM melted GROUP BY feature, v),
+              prior AS (
+                SELECT CAST(round(ln(CAST(n_pos AS DOUBLE) / (n - n_pos))
+                            * 1000000) AS BIGINT) AS pm FROM tt),
+              sc AS (SELECT m.doc_id, sum(w.w_micros) AS sw
+                     FROM melted m
+                     JOIN w ON m.feature = w.feature AND m.v = w.v
+                     GROUP BY m.doc_id)
+              SELECT sc.doc_id,
+                     round(CAST((SELECT pm FROM prior) + sc.sw AS DOUBLE)
+                           / 1000000.0, 6) AS log_odds,
+                     CAST((SELECT pm FROM prior) + sc.sw > 0 AS INTEGER)
+                       AS model_keep
+              FROM sc ORDER BY sc.doc_id""")),
+
     // #60 — Thrive's incremental bookmark contract as a runnable summary:
     // run twice; the second run must process nothing.
     Op("incremental_bookmark",
@@ -251,6 +356,18 @@ object StreamingOps {
   )
 
   private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")
+
+  /** Stage documents once per sf as a 2-file stream source for the
+    * streaming-inference op (scoring is per-row map-side work, so arrival
+    * order and batch boundaries are irrelevant — hash-split is fine). */
+  private def stageDocsDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_stage_docs_${tag(d)}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      thrivespark.Tables.documents(s, d).repartition(2)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
 
   /** Stage events (µs timestamps) once per sf as a multi-file stream source.
     * Files are hash-split, so each spans the full ts range — batch 2 carries

@@ -436,6 +436,76 @@ object Text {
   def qualityModelScores(docs: DataFrame): DataFrame =
     qualityModelScoresOn(docs, docs)
 
+  /** The three surface-feature bins — a pure projection, so it applies to
+    * batch AND streaming frames identically (stream_score_model scores the
+    * firehose with exactly this map-side shape). */
+  def surfaceFeatures(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    docs.select(col("doc_id"), col("text"), ts.as("ts"))
+      .select(col("doc_id"),
+        least(floor(size(col("ts")) / lit(10)), lit(9))
+          .cast("int").as("f_len"),
+        least(floor((lit(10.0) * size(filter(col("ts"),
+            t => t === "the" || t === "a"))) / size(col("ts"))), lit(9))
+          .cast("int").as("f_stop"),
+        least(floor(length(translate(col("text"), " ", "")).cast("double")
+            / size(col("ts"))), lit(19))
+          .cast("int").as("f_wlen"))
+  }
+
+  /** Fixed bin cardinalities per feature (the Laplace denominators AND the
+    * dense-weight-table domains — every reachable bin value is 0..Vk-1). */
+  private val FeatureBins = Seq(("f_len", 10), ("f_stop", 10), ("f_wlen", 20))
+
+  /** Batch-side NB training: returns (dense weight table, 1-row prior).
+    * The weight table covers the ENTIRE bin domain of every feature (40
+    * rows) — observed (feature, value) pairs carry their closed-form
+    * log-odds, unobserved bins the zero-count Laplace default — so scoring
+    * is a total inner join with no unseen-value branch, which is what lets
+    * the identical table broadcast into a stream-static join. */
+  def qualityModelTrain(trainDocs: DataFrame): (DataFrame, DataFrame) = {
+    val jt = surfaceFeatures(trainDocs)
+      .join(filterFlags(trainDocs.select(col("doc_id"),
+          split(col("text"), " ").as("ts")))
+        .select(col("doc_id"), col("keep").as("label")), "doc_id")
+      // persisted: the melt feeds the totals aggregate and the per-value
+      // counts — without it the four-flag gate label would derive twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val melted = jt.select(col("doc_id"), col("label"),
+      explode(map(
+        lit("f_len"), col("f_len"),
+        lit("f_stop"), col("f_stop"),
+        lit("f_wlen"), col("f_wlen"))).as(Seq("feature", "v")))
+    val vk = map(FeatureBins.flatMap { case (f, n) =>
+      Seq(lit(f), lit(n)) }: _*)
+    val totals = jt.agg(sum(col("label")).as("n_pos"), count(lit(1)).as("n"))
+    def micros(c: Column): Column = round(log(c) * 1e6).cast("long")
+    def weightOf(posV: Column, totV: Column): Column =
+      micros((posV + 1).cast("double")
+          / (col("n_pos") + element_at(vk, col("feature")))) -
+      micros((totV - posV + 1).cast("double")
+          / (col("n") - col("n_pos") + element_at(vk, col("feature"))))
+    val domain = FeatureBins
+      .map { case (f, n) => (f, n) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (f, n)) =>
+        val s = trainDocs.sparkSession
+        import s.implicits._
+        val d = (0 until n).map(v => (f, v)).toDF("feature", "v")
+        Some(acc.fold(d)(_ unionByName d))
+      }.get
+    val observed = melted.groupBy(col("feature"), col("v"))
+      .agg(sum(col("label")).as("pos_v"), count(lit(1)).as("tot_v"))
+    val w = domain.join(observed, Seq("feature", "v"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("feature"), col("v"),
+        weightOf(coalesce(col("pos_v"), lit(0L)),
+          coalesce(col("tot_v"), lit(0L))).as("w_micros"))
+    val prior = totals.select(
+      micros(col("n_pos").cast("double") / (col("n") - col("n_pos")))
+        .as("prior_micros"))
+    (w, prior)
+  }
+
   /** Train on `trainDocs`, score `scoreDocs` — the oracled op passes the
     * same frame for both (self-fit, every value seen in training); the
     * holdout evaluation in PropertySpec trains on a hash split and scores
@@ -444,55 +514,22 @@ object Text {
     * closed form with pos_v = tot_v = 0, so generalization never throws
     * and stays deterministic. */
   def qualityModelScoresOn(scoreDocs: DataFrame, trainDocs: DataFrame): DataFrame = {
-    val ts = split(col("text"), " ")
-    def featLab(docs: DataFrame): DataFrame = {
-      val feat = docs.select(col("doc_id"), col("text"), ts.as("ts"))
-        .select(col("doc_id"),
-          least(floor(size(col("ts")) / lit(10)), lit(9))
-            .cast("int").as("f_len"),
-          least(floor((lit(10.0) * size(filter(col("ts"),
-              t => t === "the" || t === "a"))) / size(col("ts"))), lit(9))
-            .cast("int").as("f_stop"),
-          least(floor(length(translate(col("text"), " ", "")).cast("double")
-              / size(col("ts"))), lit(19))
-            .cast("int").as("f_wlen"))
-      val lab = filterFlags(docs.select(col("doc_id"), ts.as("ts")))
-        .select(col("doc_id"), col("keep").as("label"))
-      // one persisted boundary per frame: (features, label) feeds the melt
-      // twice (training aggregate + scoring join) — without it the
-      // four-flag gate label derivation would run twice
-      feat.join(lab, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    def melt(j: DataFrame): DataFrame = j.select(col("doc_id"), col("label"),
-      explode(map(
-        lit("f_len"), col("f_len"),
-        lit("f_stop"), col("f_stop"),
-        lit("f_wlen"), col("f_wlen"))).as(Seq("feature", "v")))
-    val jt = featLab(trainDocs)
-    val js = if (scoreDocs eq trainDocs) jt else featLab(scoreDocs)
-    val vk = map(lit("f_len"), lit(10), lit("f_stop"), lit(10),
-      lit("f_wlen"), lit(20))
-    val totals = jt.agg(sum(col("label")).as("n_pos"), count(lit(1)).as("n"))
-    def micros(c: Column): Column = round(log(c) * 1e6).cast("long")
-    def weightOf(posV: Column, totV: Column): Column =
-      micros((posV + 1).cast("double")
-          / (col("n_pos") + element_at(vk, col("feature")))) -
-      micros((totV - posV + 1).cast("double")
-          / (col("n") - col("n_pos") + element_at(vk, col("feature"))))
-    val w = melt(jt).groupBy(col("feature"), col("v"))
-      .agg(sum(col("label")).as("pos_v"), count(lit(1)).as("tot_v"))
-      .crossJoin(broadcast(totals))
-      .select(col("feature"), col("v"),
-        weightOf(col("pos_v"), col("tot_v")).as("w_micros"))
-    val prior = totals.select(
-      micros(col("n_pos").cast("double") / (col("n") - col("n_pos")))
-        .as("prior_micros"))
-    melt(js).join(broadcast(w), Seq("feature", "v"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("label"),
-        coalesce(col("w_micros"),
-          weightOf(lit(0L), lit(0L))).as("w_micros"))
+    val (w, prior) = qualityModelTrain(trainDocs)
+    // score-side (features, gate label) boundary — label rides along only
+    // as the gate_keep comparison column
+    val js = surfaceFeatures(scoreDocs)
+      .join(filterFlags(scoreDocs.select(col("doc_id"),
+          split(col("text"), " ").as("ts")))
+        .select(col("doc_id"), col("keep").as("label")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    js.select(col("doc_id"), col("label"),
+        explode(map(
+          lit("f_len"), col("f_len"),
+          lit("f_stop"), col("f_stop"),
+          lit("f_wlen"), col("f_wlen"))).as(Seq("feature", "v")))
+      // the dense table covers every reachable bin, so the inner join is
+      // total — unseen-in-training values hit their Laplace-default row
+      .join(broadcast(w), Seq("feature", "v"))
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("w_micros")).as("sw"))
       .crossJoin(broadcast(prior))

@@ -307,4 +307,42 @@ object StreamRunner {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming model inference (train offline, score the firehose): apply a
+    * batch-trained dense NB weight table to a document stream. The entire
+    * scoring path is stateless map-side work — the surface-feature
+    * projection plus three stream-static BROADCAST joins against the 40-row
+    * weight table (dense over the bin domains, so every join is total) —
+    * running in append mode with zero state stores; at 100 TB/day this is
+    * the shape that scores an ingest firehose with a model artifact a few
+    * hundred bytes big. priorMicros is the 1-row trained prior, passed as a
+    * literal. */
+  def scoreDocsStream(spark: SparkSession, srcDir: String, checkpoint: String,
+      weights: DataFrame, priorMicros: Long, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    // no maxFilesPerTrigger: scoring is stateless per-row work, so batch
+    // boundaries cannot affect results — one trigger avoids paying the
+    // ~1 s micro-batch overhead per staged file (multi-batch replay
+    // mechanics are exercised by the stateful stream ops)
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    def wSide(f: String) = broadcast(
+      weights.filter(col("feature") === f)
+        .select(col("v").as(s"v_$f"), col("w_micros").as(s"w_$f")))
+    val scored = thrivespark.ops.Text.surfaceFeatures(in)
+      .join(wSide("f_len"), col("f_len") === col("v_f_len"))
+      .join(wSide("f_stop"), col("f_stop") === col("v_f_stop"))
+      .join(wSide("f_wlen"), col("f_wlen") === col("v_f_wlen"))
+      .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_wlen"),
+        (lit(priorMicros) + col("w_f_len") + col("w_f_stop") + col("w_f_wlen"))
+          .as("score_micros"))
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 }
