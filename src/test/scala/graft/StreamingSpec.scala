@@ -240,4 +240,20 @@ class StreamingSpec extends AnyFunSuite {
     val d = StreamRunner.dedupWithinWatermark(spark, dir, cp2, "sr_dedup")
     assert(d.count() == 200) // event_id unique in source → nothing dropped
   }
+
+  test("stream_score_model: the streaming scorer equals the batch scorer " +
+      "row for row (stateless inference is batch-boundary-invariant)") {
+    import org.apache.spark.sql.functions.col
+    val streamed = thrivespark.Registry.queries("stream_score_model")(
+        spark, SparkTestBase.sf001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val batch = thrivespark.ops.Text.qualityModelScores(
+        thrivespark.Tables.documents(spark, SparkTestBase.sf001))
+      .select(col("doc_id"), col("log_odds"), col("model_keep"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    val diffs = batch.collect { case (k, v) if streamed(k) != v => k }
+    assert(diffs.isEmpty,
+      s"stream and batch scorers diverge on ${diffs.size} docs, e.g. ${diffs.take(3)}")
+  }
 }
