@@ -383,8 +383,19 @@ object Text {
   /** The four-flag quality gate of text_filter_pipeline, frame-level
     * ((doc_id, ts) in; (doc_id, lang_ok, len_ok, rep_ok, lm_ok, keep)
     * out) — shared by the op and by qualityModelScores, whose classifier
-    * distills this gate. Unordered; callers sort. */
-  def filterFlags(docs: DataFrame): DataFrame = {
+    * distills this gate. Unordered; callers sort.
+    *
+    * The output is PERSISTED (tiny: six ints per doc): three ops derive
+    * from this gate (text_filter_pipeline, text_quality_model,
+    * stream_score_model), and the CacheManager substitutes the cached
+    * flags subtree into each of their plans, so the bigram-explode and
+    * LM-vocabulary work behind the flags runs once per session instead of
+    * once per consumer. */
+  def filterFlags(docs: DataFrame): DataFrame =
+    filterFlagsUncached(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def filterFlagsUncached(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
         / size(col("ts")) > 0.05).cast("int").as("lang_ok"),
