@@ -559,7 +559,18 @@ object Text {
     * shared-window index — see the op comment for the method and bounds.
     * Expects (doc_id, text); returns (a_id, b_id, n_runs,
     * max_shared_tokens) for pairs sharing at least one K-token window. */
-  def sharedSpanRuns(docs: DataFrame, K: Int = 8, maxDf: Int = 0): DataFrame = {
+  def sharedSpanRuns(docs: DataFrame, K: Int = 8, maxDf: Int = 0): DataFrame =
+    spanRuns(docs, K, maxDf)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("c")) + lit(K - 1)).as("max_shared_tokens"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Maximal shared runs at (pair, diagonal, island) grain: one row per
+    * maximal run with its window count `c` (exact span = c + K − 1), the
+    * run's start position in BOTH docs (i0 in a, i0 − diag in b). Shared
+    * by sharedSpanRuns (reporting) and the cut op (span removal). */
+  private def spanRuns(docs: DataFrame, K: Int, maxDf: Int): DataFrame = {
     // position ints explode first, hashes form post-explode in codegen
     // (the text_fingerprint trick) — no interpreted per-doc window array
     val occ0 = docs
@@ -597,11 +608,38 @@ object Text {
       .withColumn("diag", col("i") - col("j"))
       .withColumn("isl", col("i") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run_wins"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_runs"),
-        (max(col("run_wins")) + lit(K - 1)).as("max_shared_tokens"))
-      .orderBy(col("a_id"), col("b_id"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).as("c"))
+      .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c"))
+  }
+
+  /** Core of text_substring_cut (frame-level for planted-doc tests):
+    * REMOVE exact duplicated spans from later documents — the
+    * deduplicating-training-data editing flow. Every maximal shared run of
+    * >= minSpan tokens marks its token positions in the HIGHER doc_id
+    * (first-occurrence-wins, the paragraph-dedup convention); marked
+    * positions are cut and the survivors reassemble in order. One-shot by
+    * design (adjacencies created by a cut are not re-scanned — the
+    * standard single-pass treatment); spans below minSpan are left alone
+    * so incidental phrase overlap doesn't shred documents. */
+  def substringCut(docs: DataFrame, K: Int = 8, minSpan: Int = 15): DataFrame = {
+    val covered = spanRuns(docs, K, 0)
+      .withColumn("span", (col("c") + lit(K - 1)).cast("int"))
+      .filter(col("span") >= minSpan)
+      .select(col("b_id").as("doc_id"),
+        explode(sequence(col("i0") - col("diag"),
+          col("i0") - col("diag") + col("span") - 1)).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
+    toks.join(covered.withColumn("cut", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cut").isNull, 1).otherwise(0)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("cut").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
   }
 
   val ops: Seq[Op] = Seq(
@@ -927,6 +965,53 @@ object Text {
               SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
                      CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
               FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
+
+    // Exact duplicated-span REMOVAL (r13 — the editing counterpart of
+    // text_substring_exact, the deduplicating-training-data flow): every
+    // maximal shared run of >=15 tokens is cut from the later document
+    // (first-occurrence-wins), survivors reassemble in order. See
+    // substringCut for semantics; the oracle recomputes runs, covered
+    // positions and the reassembled text from the identical window set.
+    Op("text_substring_cut",
+      (s, d) => substringCut(T.documents(s, d)),
+      Some("""WITH toks8 AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks8
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ o1 JOIN occ o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id),
+              runs0 AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl, i
+                FROM pairs),
+              runs AS (
+                SELECT b_id, diag, min(i) AS i0, count(*) + 7 AS span
+                FROM runs0 GROUP BY a_id, b_id, diag, isl),
+              covered AS (
+                SELECT DISTINCT b_id AS doc_id, g.p AS pos
+                FROM runs JOIN generate_series(1, 512) AS g(p)
+                  ON g.p >= i0 - diag AND g.p < i0 - diag + span
+                WHERE span >= 15),
+              alltoks AS (
+                SELECT doc_id, s.i AS pos, ts[s.i] AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents)
+                JOIN generate_series(1, 512) AS s(i) ON s.i <= len(ts))
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                                         ' ' ORDER BY t.pos), '') AS new_text
+              FROM alltoks t
+              LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+              GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
     // Unigram-LM quality score (the statistical tier above the heuristic
     // filters): train token frequencies over the corpus, score each doc by

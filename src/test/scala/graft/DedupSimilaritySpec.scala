@@ -262,4 +262,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
     assert(capped.toSeq == Seq(((1L, 2L), 1L, 20L)), s"got ${capped.toSeq}")
   }
+
+  test("text_substring_cut: >=15-token duplicated spans are cut from the " +
+      "LATER doc at exact boundaries; 14-token spans and first occurrences " +
+      "survive untouched; full duplicates empty out") {
+    import spark.implicits._
+    def toks(r: Range, tag: String) = r.map(tag + _)
+    def fill(d: Int, n: Int, at: Int = 0) = (0 until n).map(k => s"u${d}_${at}_$k")
+    val aText = toks(0 until 30, "w").mkString(" ")
+    val docs = Seq(
+      (10L, aText),                                                   // first occurrence — keeps everything
+      (11L, (fill(11, 3) ++ toks(5 until 20, "w") ++ fill(11, 4, 1)).mkString(" ")), // 15 shared tokens → cut
+      (12L, (fill(12, 3) ++ toks(0 until 14, "x") ++ fill(12, 4, 1)).mkString(" ")), // 14-token overlap with 13
+      (13L, (fill(13, 5) ++ toks(0 until 14, "x")).mkString(" ")),    // below minSpan → untouched
+      (14L, aText)                                                    // exact duplicate of 10 → fully cut
+    ).toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.substringCut(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) == (30L, 30L, aText), s"first occurrence mutated: ${out(10L)}")
+    assert(out(11L) == (22L, 7L,
+      (fill(11, 3) ++ fill(11, 4, 1)).mkString(" ")),
+      s"15-token span not cut at exact boundaries: ${out(11L)}")
+    assert(out(12L)._2 == out(12L)._1 && out(13L)._2 == out(13L)._1,
+      s"sub-minSpan overlap must not cut: ${out(12L)} ${out(13L)}")
+    assert(out(14L) == (30L, 0L, ""), s"full duplicate must empty out: ${out(14L)}")
+  }
 }
