@@ -629,17 +629,31 @@ object Text {
         explode(sequence(col("i0") - col("diag"),
           col("i0") - col("diag") + col("span") - 1)).as("pos"))
       .distinct()
-    val toks = docs
+    // Rebuild cost is proportional to the CUT SET, not the corpus: docs
+    // with no covered position pass through unexploded (token-split and
+    // space-rejoin are exact inverses even on non-canonical spacing —
+    // split keeps empty tokens — so the passthrough text equals what a
+    // rebuild would produce); only documents that actually lose a span
+    // pay the explode → anti-mark → ordered reassembly. At 100 TB the
+    // duplicated tail is a small fraction of the corpus, which makes this
+    // the difference between rewriting everything and rewriting the dups.
+    val cutDocs = covered.select(col("doc_id")).distinct()
+    val untouched = docs.join(cutDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_kept"),
+        col("text").as("new_text"))
+    val rebuilt = docs.join(cutDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
-    toks.join(covered.withColumn("cut", lit(1)), Seq("doc_id", "pos"), "left")
+      .join(covered.withColumn("cut", lit(1)), Seq("doc_id", "pos"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("cut").isNull, 1).otherwise(0)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
           when(col("cut").isNull, struct(col("pos"), col("tok"))))),
           x => x.getField("tok")), " ").as("new_text"))
-      .orderBy(col("doc_id"))
+    untouched.unionByName(rebuilt).orderBy(col("doc_id"))
   }
 
   val ops: Seq[Op] = Seq(
