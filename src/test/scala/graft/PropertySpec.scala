@@ -175,7 +175,14 @@ class PropertySpec extends AnyFunSuite {
       // gate's three re-joined aggregations (filter_pipeline), the
       // heavy-hitter broadcast join (q18), and ntile's group-windowed
       // bucket assignment
-      "text_lm_score", "text_filter_pipeline", "q18_large_orders", "win_ntile")
+      "text_lm_score", "text_filter_pipeline", "q18_large_orders", "win_ntile",
+      // r13 ops that are explicitly partition-structured: the union-probe
+      // prefix-sum window (range_between), the shared-window index +
+      // diagonal run merge (substring_exact) and its span-removal
+      // counterpart (substring_cut), the closed-form NB train/score round
+      // trip (quality_model), and the scalar-threshold anti-join (q22)
+      "win_range_between", "text_substring_exact", "text_substring_cut",
+      "text_quality_model", "q22_idle_balance")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
