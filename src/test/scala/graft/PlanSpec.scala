@@ -416,4 +416,54 @@ class PlanSpec extends AnyFunSuite {
     val diff = native.exceptAll(viaUdf).count() + viaUdf.exceptAll(native).count()
     assert(diff == 0, "UDF and native shingle sets differ")
   }
+
+  test("win_range_between: ONE growing window, no sliding RANGE frame") {
+    // the r13 rewrite's load-bearing property: the plan must carry a single
+    // Window whose frame GROWS (unboundedpreceding..currentrow — O(n)
+    // accumulation in WindowExec), never the declared sliding band frame
+    // (rangeBetween(-10000, 0) — O(n·band) buffer re-aggregation)
+    val p = plan("win_range_between").toLowerCase
+    assert(p.sliding("window".length).count(_ == "window") >= 1)
+    assert(p.contains("unboundedpreceding"),
+      s"growing cumulative frame missing:\n$p")
+    assert(!p.contains("-10000"),
+      s"sliding band frame leaked back into the plan:\n$p")
+  }
+
+  test("text_substring_exact + text_substring_cut: candidates ride the " +
+      "window-hash equi-join — no cartesian pair enumeration") {
+    Seq("text_substring_exact", "text_substring_cut").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k must never enumerate doc pairs:\n$p")
+    }
+  }
+
+  test("stream_score_model: the scoring joins broadcast the weight table " +
+      "(stateless stream side, no stream shuffle)") {
+    import org.apache.spark.sql.functions.lit
+    // the stream plan itself is only materialized inside the run; assert on
+    // the equivalent static plan of the scorer joins (same join shapes)
+    val docs = thrivespark.Tables.documents(spark, sf0001)
+    val (w, prior) = thrivespark.ops.Text.qualityModelTrain(docs)
+    val pm = prior.head().getLong(0)
+    def wSide(f: String) = org.apache.spark.sql.functions.broadcast(
+      w.filter(col("feature") === f)
+        .select(col("v").as(s"v_$f"), col("w_micros").as(s"w_$f")))
+    val p = thrivespark.ops.Text.surfaceFeatures(docs)
+      .join(wSide("f_len"), col("f_len") === col("v_f_len"))
+      .join(wSide("f_stop"), col("f_stop") === col("v_f_stop"))
+      .join(wSide("f_wlen"), col("f_wlen") === col("v_f_wlen"))
+      .select(col("doc_id"), (lit(pm) + col("w_f_len") + col("w_f_stop")
+        + col("w_f_wlen")).as("score_micros"))
+      .queryExecution.executedPlan.toString
+    // each of the three weight joins must be a BroadcastHashJoin on its
+    // v_f_* key (the training subplan below the broadcast sides may use
+    // whatever shapes it wants — that's batch-side, run once)
+    Seq("v_f_len", "v_f_stop", "v_f_wlen").foreach { k =>
+      assert(p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains(k)),
+        s"weight join on $k is not broadcast:\n$p")
+    }
+  }
 }
