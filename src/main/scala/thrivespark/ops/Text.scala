@@ -145,6 +145,63 @@ object Text {
     df.unpersist(): Unit
   }
 
+  // -------------------------------------- shared-derivation cache ---
+
+  /** Registry for the persisted SHARED derivations (the four-flag filter
+    * gate, the quality-model train/score boundaries, the positional
+    * window index): frames that ≥2 consumers read per session, persisted
+    * so the work behind them runs once. Storage dedup is the
+    * CacheManager's: persisting an equivalent plan twice creates ONE
+    * cache entry (sameResult match), so registering per-call handles is
+    * harmless — the registry exists so the storage is RELEASABLE
+    * (`releaseSharedCaches`), mirroring the trimodal-manifest registry
+    * (Similarity.releaseManifestCache) instead of pinning blocks for the
+    * session's lifetime. Bench/Verify sessions tear the caches down with
+    * the session; long-lived sessions with changing inputs (e.g. repeated
+    * qualityModelScoresOn holdout splits) call releaseSharedCaches
+    * between generations. */
+  private val sharedCaches = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
+  private def persistShared(df: DataFrame): DataFrame =
+    sharedCaches.getOrElseUpdate(df.queryExecution.logical, {
+      // registry keys are per-call plan objects, but storage is deduped by
+      // the CacheManager's sameResult match — probe it first so re-deriving
+      // the same frame doesn't re-persist (and doesn't WARN)
+      if (df.sparkSession.sharedState.cacheManager.lookupCachedData(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          df.queryExecution.analyzed).isEmpty)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  /** Unpersist every shared derivation and drop the registry entries. */
+  def releaseSharedCaches(): Unit = {
+    sharedCaches.values.foreach(df => df.unpersist(): Unit)
+    sharedCaches.clear()
+  }
+
+  /** The positional shared-window index — THE artifact of the substring
+    * family: one (doc_id, i, h) row per K-token window occurrence, h =
+    * md5 of the window text. Built ONCE per (corpus, K) per session and
+    * persisted via the shared registry: text_substring_dedup, _exact,
+    * _cut, _maxdf and the incremental variant all derive from it (the
+    * exact/cut self-join reads the SAME cache entry on both sides), so
+    * the explode + md5 work — the dominant declared cost of the family —
+    * is paid once per session instead of twice per query times five ops.
+    * At 100 TB this index is the thing a production pipeline materializes
+    * to storage; the session-scoped persist is the single-job analog.
+    * Position ints explode first and hashes form post-explode in codegen
+    * (the text_fingerprint trick) — no interpreted per-doc window array. */
+  private[thrivespark] def windowIndex(docs: DataFrame, K: Int): DataFrame =
+    persistShared(docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= K)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - (K - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ts"), col("i"), lit(K)), " ")).as("h")))
+
   /** Train `iters` merges; returns (iteration, left, right, pair_count) and
     * the final rewritten corpus. One job per iteration: the pair-count
     * argmax is the only action, and it materializes the lazily-persisted
@@ -390,10 +447,10 @@ object Text {
     * stream_score_model), and the CacheManager substitutes the cached
     * flags subtree into each of their plans, so the bigram-explode and
     * LM-vocabulary work behind the flags runs once per session instead of
-    * once per consumer. */
+    * once per consumer. Registered in the shared-cache registry (r14) so
+    * the storage is releasable, not pinned for the session's lifetime. */
   def filterFlags(docs: DataFrame): DataFrame =
-    filterFlagsUncached(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistShared(filterFlagsUncached(docs))
 
   private def filterFlagsUncached(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
@@ -475,13 +532,13 @@ object Text {
     * is a total inner join with no unseen-value branch, which is what lets
     * the identical table broadcast into a stream-static join. */
   def qualityModelTrain(trainDocs: DataFrame): (DataFrame, DataFrame) = {
-    val jt = surfaceFeatures(trainDocs)
+    // persisted (via the releasable shared registry): the melt feeds the
+    // totals aggregate and the per-value counts — without it the
+    // four-flag gate label would derive twice
+    val jt = persistShared(surfaceFeatures(trainDocs)
       .join(filterFlags(trainDocs.select(col("doc_id"),
           split(col("text"), " ").as("ts")))
-        .select(col("doc_id"), col("keep").as("label")), "doc_id")
-      // persisted: the melt feeds the totals aggregate and the per-value
-      // counts — without it the four-flag gate label would derive twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), col("keep").as("label")), "doc_id"))
     val melted = jt.select(col("doc_id"), col("label"),
       explode(map(
         lit("f_len"), col("f_len"),
@@ -527,12 +584,12 @@ object Text {
   def qualityModelScoresOn(scoreDocs: DataFrame, trainDocs: DataFrame): DataFrame = {
     val (w, prior) = qualityModelTrain(trainDocs)
     // score-side (features, gate label) boundary — label rides along only
-    // as the gate_keep comparison column
-    val js = surfaceFeatures(scoreDocs)
+    // as the gate_keep comparison column; persisted via the releasable
+    // shared registry
+    val js = persistShared(surfaceFeatures(scoreDocs)
       .join(filterFlags(scoreDocs.select(col("doc_id"),
           split(col("text"), " ").as("ts")))
-        .select(col("doc_id"), col("keep").as("label")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), col("keep").as("label")), "doc_id"))
     js.select(col("doc_id"), col("label"),
         explode(map(
           lit("f_len"), col("f_len"),
@@ -571,15 +628,10 @@ object Text {
     * run's start position in BOTH docs (i0 in a, i0 − diag in b). Shared
     * by sharedSpanRuns (reporting) and the cut op (span removal). */
   private def spanRuns(docs: DataFrame, K: Int, maxDf: Int): DataFrame = {
-    // position ints explode first, hashes form post-explode in codegen
-    // (the text_fingerprint trick) — no interpreted per-doc window array
-    val occ0 = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= K)
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), size(col("ts")) - (K - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ts"), col("i"), lit(K)), " ")).as("h"))
+    // derive from the SESSION-persisted window index (windowIndex above):
+    // both self-join inputs read the same cache entry, and sibling ops
+    // reuse it — the index is computed once per session, not twice per op
+    val occ0 = windowIndex(docs, K)
     // Skew valve for boilerplate windows (maxDf > 0): a K-gram occurring
     // in a huge share of the corpus (license headers, navigation chrome)
     // turns its join bucket quadratic — the standard production cut is to
@@ -638,10 +690,12 @@ object Text {
     // duplicated tail is a small fraction of the corpus, which makes this
     // the difference between rewriting everything and rewriting the dups.
     val cutDocs = covered.select(col("doc_id")).distinct()
+    // one tokenization for both counts: the staged projection keeps `nt`
+    // a single split+size (CollapseProject won't inline a non-trivial
+    // alias into two consumers), instead of evaluating split(text) twice
     val untouched = docs.join(cutDocs, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        size(split(col("text"), " ")).cast("long").as("n_kept"),
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("nt").as("n_kept"),
         col("text").as("new_text"))
     val rebuilt = docs.join(cutDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
@@ -891,17 +945,12 @@ object Text {
     Op("text_substring_dedup",
       (s, d) => {
         val K = 8
-        // window hashes built POST-explode (r13, the text_fingerprint
-        // trick): a Generate of position ints feeds codegen'd
-        // slice→array_join→md5 instead of an interpreted transform lambda
-        // materializing the per-doc window array first
-        val occ = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .filter(size(col("ts")) >= K)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), size(col("ts")) - (K - 1))).as("i"))
-          .select(col("doc_id"),
-            md5(array_join(slice(col("ts"), col("i"), lit(K)), " ")).as("h"))
+        // the session-persisted positional window index (windowIndex),
+        // projected to (doc_id, h) — this op, the exact/cut pair and the
+        // maxdf/incremental variants all read the SAME cache entry, so
+        // the explode + md5 work runs once per session
+        val occ = windowIndex(T.documents(s, d), K)
+          .select(col("doc_id"), col("h"))
         val shared = occ.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_shared"))
