@@ -138,6 +138,24 @@ object Bench {
     worst >= 3
   }
 
+  /** Host factor (r14): the run's own median prior-ratio, the uniform
+    * component of drift. The r13 same-day builder runs read 139.5/157.3/
+    * 188.5 s on identical-or-better code with medians 0.88/1.12/1.36 and
+    * ZERO localized spikes — a slow-but-clean host shifts EVERY ratio up
+    * uniformly, eroding the contiguity rule's localization (naturally
+    * variant queries at 3.2× genuine ratio read 4.3× and three adjacent
+    * ones fake a contention window). Dividing each ratio by the run's
+    * median re-centers the distribution at 1 before the contiguity rule,
+    * so it measures deviation from the run's OWN typical drift — on a
+    * fast host (median < 1) the same division sharpens ratios upward.
+    * Floored at 0.5: a sub-half median means priors from a far slower
+    * protocol, where full division would 2×+ every ratio and
+    * false-positive on noise. The DISPERSION rule (ratioVerdict) stays
+    * raw on purpose: median drift is half of its breach signature. */
+  private[graft] def hostFactor(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0
+    else math.max(0.5, ratios.sorted.apply(ratios.length / 2))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -257,14 +275,23 @@ object Bench {
     val ratios = results.flatMap { case (n, sec) =>
       BenchPriors.prior.get(n).map(p => n -> sec / p) }
     val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
-    val contiguousBreached = contiguityBreach(ratios.map(_._2))
+    // Contiguity runs on the HOST-NORMALIZED suite-order sequence (r14):
+    // each ratio divided by the run's own median, so uniform host drift
+    // cannot fake (or mask) a contention window; prior-less queries (new
+    // ops before priors regenerate) contribute a NEUTRAL 1.0 instead of
+    // being dropped — dropping them spliced adjacency runs together and
+    // silently weakened the suite-order signal (r13 advisory).
+    val hf = hostFactor(ratios.map(_._2))
+    val orderedNormalized = results.map { case (n, sec) =>
+      BenchPriors.prior.get(n).map(p => (sec / p) / hf).getOrElse(1.0) }
+    val contiguousBreached = contiguityBreach(orderedNormalized)
     // a timed-out OR exception-failed query means part of the suite went
     // unmeasured — either way the record is not a valid total, label it
     val contaminated = probesBreached || ratioBreached || contiguousBreached ||
       nTimeout > 0 || nFailed > 0
     val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
     val midCpuStr = midCpu.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"cpu_mid_sec":$midCpuStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"contiguous_breached":$contiguousBreached,"prior_ratio_median":${ratioMedian}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"cpu_mid_sec":$midCpuStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"contiguous_breached":$contiguousBreached,"prior_ratio_median":${ratioMedian}%.2f,"host_factor":${hf}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")

@@ -81,6 +81,50 @@ class BenchSpec extends AnyFunSuite {
 
   test("empty priors (first run) stay clean") {
     assert(!Bench.ratioVerdict(Nil)._3)
+    assert(Bench.hostFactor(Nil) == 1.0)
+  }
+
+  test("host-factor normalization: uniform slow-host drift cannot fake a " +
+      "contention window (r13 188.5 s telemetry replay)") {
+    // The r13 same-day builder runs: identical code measured 139.5/157.3/
+    // 188.5 s with medians 0.88/1.12/1.36, uniform drift, zero localized
+    // spikes. On the 188.5 s box, three adjacent naturally-variant queries
+    // (genuine ratio ~3.2x) read 4.3-4.6x raw — the RAW contiguity rule
+    // would call that a contention window; normalized by the run's own
+    // median they sit at ~3.2x and the record stays clean.
+    val ratios = Seq.fill(95)(1.36) ++ Seq(4.4, 4.6, 4.3) ++ Seq.fill(93)(1.36)
+    assert(Bench.contiguityBreach(ratios),
+      "raw rule must see the erosion this test exists to remove")
+    val hf = Bench.hostFactor(ratios)
+    assert(math.abs(hf - 1.36) < 1e-9)
+    assert(!Bench.contiguityBreach(ratios.map(_ / hf)),
+      "normalized ratios must read the window as host drift, not contention")
+  }
+
+  test("host-factor normalization keeps the official r13 contiguous window " +
+      "contaminated (real contention survives normalization)") {
+    // Official BENCH_r13.json: median 1.14, contiguous window with
+    // agg_pricing_summary 4.336 s / win_first_last 7.287 / win_sessionize
+    // 4.910 at 5.3-6.6x their clean priors (judge re-measured 0.76/1.37/
+    // 0.74 same-box). Normalized by 1.14 the window still reads 4.6-5.8x:
+    // genuine contention is LOCALIZED, so re-centering the median does not
+    // wash it out.
+    val ratios = Seq.fill(90)(1.14) ++ Seq(5.7, 5.3, 6.6) ++ Seq.fill(101)(1.14)
+    val hf = Bench.hostFactor(ratios)
+    assert(Bench.contiguityBreach(ratios.map(_ / hf)),
+      "official r13 window must stay contaminated after normalization")
+  }
+
+  test("host factor floors at 0.5 and sharpens ratios on a fast host") {
+    // fast host (median 0.88): division INFLATES ratios — a 4.0x raw spike
+    // is genuinely 4.5x relative to the run's own baseline
+    val fast = Seq.fill(90)(0.88) ++ Seq(3.8, 3.8, 3.8) ++ Seq.fill(90)(0.88)
+    assert(!Bench.contiguityBreach(fast), "3.8 < 4: raw rule is blind here")
+    assert(Bench.contiguityBreach(fast.map(_ / Bench.hostFactor(fast))),
+      "fast-host normalization must sharpen the window into view")
+    // sub-half median: priors from a far slower protocol — floor prevents
+    // 2x+ inflation of every ratio
+    assert(Bench.hostFactor(Seq.fill(9)(0.2)) == 0.5)
   }
 
   test("breach needs BOTH median drift and spike mass") {
