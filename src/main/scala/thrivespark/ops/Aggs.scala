@@ -273,7 +273,11 @@ object Aggs {
       extends (String => Long) with Serializable {
     @transient private lazy val cms =
       org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes.value)
-    def apply(t: String): Long = cms.estimateCount(t)
+    // NULL guard (r13 advisory): a NULL key forms its own groupBy group,
+    // and an unguarded estimateCount(null) NPEs executor-side, failing the
+    // whole job. The sketch never counted nulls (count_min_sketch skips
+    // them), so 0 is the honest estimate.
+    def apply(t: String): Long = if (t == null) 0L else cms.estimateCount(t)
   }
   def cmsFreq(ev: DataFrame, key: String): DataFrame = {
     val s = ev.sparkSession

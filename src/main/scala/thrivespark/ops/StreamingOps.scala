@@ -357,14 +357,44 @@ object StreamingOps {
 
   private def tag(d: String): String = new java.io.File(d).getName.replace(".", "_")
 
+  /** Source fingerprint for stage invalidation (r13 advisory): the staged
+    * copies were keyed only on _SUCCESS existence, so a REGENERATED corpus
+    * at the same path silently served stale staged rows while the batch
+    * side and the oracle read the live table — a hard-to-trace
+    * cross-engine mismatch. The fingerprint is the sorted
+    * (name, length, mtime) listing of the source parquet dir, md5'd;
+    * staging re-uses a staged copy only while it matches the marker
+    * written at stage time. */
+  private def srcFingerprint(d: String, table: String): String = {
+    val files = Option(new java.io.File(d, s"$table.parquet").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def stageFresh(dir: String, fp: String): Boolean = {
+    val f = java.nio.file.Paths.get(dir, "_SRC_FP")
+    java.nio.file.Files.exists(f) &&
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim == fp
+  }
+
+  private def markStaged(dir: String, fp: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SRC_FP"),
+      fp.getBytes("UTF-8")): Unit
+  }
+
   /** Stage documents once per sf as a 2-file stream source for the
     * streaming-inference op (scoring is per-row map-side work, so arrival
     * order and batch boundaries are irrelevant — hash-split is fine). */
   private def stageDocsDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = s"/tmp/graft_stream_stage_docs_${tag(d)}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    val fp = srcFingerprint(d, "documents")
+    if (!stageFresh(dir, fp)) {
       thrivespark.Tables.documents(s, d).repartition(2)
         .write.mode("overwrite").parquet(dir)
+      markStaged(dir, fp)
     }
     dir
   }
@@ -375,11 +405,13 @@ object StreamingOps {
     * stream_watermark_late needs to exercise late-drop. */
   private def stageDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = s"/tmp/graft_stream_stage_${tag(d)}"
+    val fp = srcFingerprint(d, "events")
     // two files = two micro-batches: enough to exercise cross-batch state
     // while keeping per-batch checkpoint overhead out of the benchmark
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    if (!stageFresh(dir, fp)) {
       thrivespark.Tables.events(s, d).repartition(2)
         .write.mode("overwrite").parquet(dir)
+      markStaged(dir, fp)
     }
     dir
   }
@@ -402,7 +434,8 @@ object StreamingOps {
       d: String): String = {
     import s.implicits._
     val dir = s"/tmp/graft_stream_stage_flush_${tag(d)}"
-    if (!new java.io.File(s"$dir/_ok").exists()) {
+    val fp = srcFingerprint(d, "events")
+    if (!new java.io.File(s"$dir/_ok").exists() || !stageFresh(dir, fp)) {
       val ev = thrivespark.Tables.events(s, d)
       val r = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
       val cut = new java.sql.Timestamp(
@@ -426,6 +459,8 @@ object StreamingOps {
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
         .coalesce(1)
         .write.mode("append").parquet(dir)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ok"))
+      markStaged(dir, fp)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_ok"))
     }
     dir
