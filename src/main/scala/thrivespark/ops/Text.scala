@@ -623,6 +623,56 @@ object Text {
         (max(col("c")) + lit(K - 1)).as("max_shared_tokens"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Incremental shared-span reporting — the per-batch operational shape
+    * of the substring family (mirrors dedup_incremental at window grain):
+    * a DELTA batch of documents is matched against the STANDING window
+    * index plus itself, and spans are reported ONLY for pairs touching
+    * the delta. The candidate stage is provably delta-proportional: the
+    * delta occurrences sit on one side of every join (delta×standing +
+    * delta×delta), so standing×standing pair work — the part a one-shot
+    * rerun would redo every batch — is never computed. Both probes read
+    * the SAME session-persisted window index (windowIndex) as the rest of
+    * the family: at 100 TB that index is the standing artifact and each
+    * batch appends its windows after reporting. Pair orientation is
+    * canonicalized to a_id < b_id so results are comparable with the
+    * one-shot sharedSpanRuns restricted to delta-touching pairs (the
+    * oracle, and DedupSimilaritySpec's equivalence property). */
+  def sharedSpanRunsIncremental(docs: DataFrame, K: Int = 8,
+      isDelta: Column = col("doc_id") % 5 === 0): DataFrame = {
+    val occ = windowIndex(docs, K)
+    val deltaOcc = occ.filter(isDelta)
+    val standingOcc = occ.filter(!isDelta)
+    // delta×standing: the delta doc may carry the smaller OR larger id —
+    // canonicalize orientation (and with it the i/j roles, so the diagonal
+    // math below is identical to the one-shot path)
+    val lt = col("d_id") < col("s_id")
+    val ds = deltaOcc.select(col("doc_id").as("d_id"), col("i").as("di"), col("h"))
+      .join(standingOcc.select(col("doc_id").as("s_id"), col("i").as("si"), col("h")),
+        Seq("h"))
+      .select(when(lt, col("d_id")).otherwise(col("s_id")).as("a_id"),
+        when(lt, col("s_id")).otherwise(col("d_id")).as("b_id"),
+        when(lt, col("di")).otherwise(col("si")).as("i"),
+        when(lt, col("si")).otherwise(col("di")).as("j"))
+    // delta×delta: both docs are new this batch
+    val dd = deltaOcc.select(col("doc_id").as("a_id"), col("i"), col("h"))
+      .join(deltaOcc.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
+        Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("i"), col("j"))
+    val pairs = ds.unionByName(dd)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))
+    pairs
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("c")) + lit(K - 1)).as("max_shared_tokens"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Maximal shared runs at (pair, diagonal, island) grain: one row per
     * maximal run with its window count `c` (exact span = c + K − 1), the
     * run's start position in BOTH docs (i0 in a, i0 − diag in b). Shared
@@ -1075,6 +1125,42 @@ object Text {
               FROM alltoks t
               LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
               GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // Incremental substring dedup (r14 — the last depth extension on the
+    // dedup axis, the r13 verdict's #4): a DELTA batch (doc_id % 5 == 0,
+    // dedup_incremental's split) is matched against the STANDING window
+    // index + itself; spans are reported only for delta-touching pairs and
+    // the candidate stage never computes standing×standing work (see
+    // sharedSpanRunsIncremental; DedupSimilaritySpec pins both the
+    // delta-proportionality and the equivalence with the one-shot path).
+    // Oracle: the one-shot span-run pipeline restricted to pairs touching
+    // the delta — the incremental path must agree with it exactly.
+    Op("text_substring_incremental",
+      (s, d) => sharedSpanRunsIncremental(T.documents(s, d)),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ o1 JOIN occ o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id
+                WHERE o1.doc_id % 5 = 0 OR o2.doc_id % 5 = 0),
+              runs AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl
+                FROM pairs),
+              r2 AS (
+                SELECT a_id, b_id, count(*) AS run_wins
+                FROM runs GROUP BY a_id, b_id, diag, isl)
+              SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
+              FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
 
     // The df skew valve, ORACLED (r14 — the r13 verdict's #6: maxDf existed
     // and was stress-tested but no oracled query exercised it): the exact

@@ -263,6 +263,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.toSeq == Seq(((1L, 2L), 1L, 20L)), s"got ${capped.toSeq}")
   }
 
+  test("text_substring_incremental: agrees with the one-shot path on " +
+      "delta-touching pairs, and standing-only duplication costs nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def toks(r: Range, tag: String) = r.map(tag + _)
+    def fill(d: Int, n: Int) = (0 until n).map(k => s"u${d}_$k")
+    // standing docs 1..4 (ids not %5): 1+2 share a 16-token span, 3+4 a
+    // 12-token span — STANDING-INTERNAL duplication the incremental path
+    // must neither report nor pay for. Delta docs 5, 10, 15: 5 copies 12
+    // tokens from standing doc 2, 10 and 15 share 20 tokens with each
+    // other (delta×delta), 15 also carries 9 of standing doc 3's tokens.
+    val shared12 = toks(0 until 12, "s")
+    val dd20 = toks(0 until 20, "q")
+    val docs = Seq(
+      (1L, (toks(0 until 16, "w") ++ fill(1, 5)).mkString(" ")),
+      (2L, (fill(2, 4) ++ toks(0 until 16, "w") ++ shared12).mkString(" ")),
+      (3L, (toks(0 until 12, "y") ++ fill(3, 6)).mkString(" ")),
+      (4L, (fill(4, 3) ++ toks(0 until 12, "y")).mkString(" ")),
+      (5L, (fill(5, 6) ++ shared12).mkString(" ")),
+      (10L, (dd20 ++ fill(10, 5)).mkString(" ")),
+      (15L, (fill(15, 4) ++ dd20 ++ toks(0 until 9, "y")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val inc = thrivespark.ops.Text.sharedSpanRunsIncremental(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // equivalence: one-shot runs restricted to delta-touching pairs
+    val oneShot = thrivespark.ops.Text.sharedSpanRuns(docs)
+      .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(inc == oneShot, s"incremental $inc != one-shot-restricted $oneShot")
+    // the expected content: delta×standing (2,5) span 12, (3,15) and
+    // (4,15) span 9 (both standing docs carry the y-run), delta×delta
+    // (10,15) span 20 — and NO standing-internal pair
+    assert(inc == Map((2L, 5L) -> (1L, 12L), (3L, 15L) -> (1L, 9L),
+      (4L, 15L) -> (1L, 9L), (10L, 15L) -> (1L, 20L)), s"got $inc")
+    assert(!inc.keySet.exists { case (a, b) => a % 5 != 0 && b % 5 != 0 },
+      "standing-internal pair leaked into the incremental report")
+    // delta-proportionality, plan-level: with an EMPTY delta the candidate
+    // joins take zero delta rows on one side, so the whole report is empty
+    // even though standing docs 1..4 are heavily duplicated — the
+    // standing×standing space is structurally unreachable, not filtered.
+    val noDelta = thrivespark.ops.Text.sharedSpanRunsIncremental(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    assert(noDelta.count() == 0,
+      "empty delta must produce an empty report at zero pair cost")
+  }
+
   test("text_substring_cut: >=15-token duplicated spans are cut from the " +
       "LATER doc at exact boundaries; 14-token spans and first occurrences " +
       "survive untouched; full duplicates empty out") {
