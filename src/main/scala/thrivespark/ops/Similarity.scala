@@ -103,7 +103,8 @@ object Similarity {
   def probeTopK(q: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
       assigned: org.apache.spark.sql.DataFrame,
-      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): org.apache.spark.sql.DataFrame = {
     val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
     val probes = q.join(broadcast(cent))
       .withColumn("csim", dot(col("q_emb"), col("cent_emb")))
@@ -112,7 +113,9 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     probes.join(assigned, "cell")
-      .filter(col("q_id") =!= col("c_id"))
+      // self-exclusion only when query and corpus share an id space (the
+      // embedding-to-embedding ops); cross-modal retrieval keeps every hit
+      .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .withColumn("cos", dot(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
@@ -711,6 +714,90 @@ object Similarity {
     // only sane plan. Every emitted feature is integer math over the three
     // closed-form planted signals, so one DuckDB query recomputes the whole
     // manifest exactly.
+    // Cross-modal retrieval (r14 — the composition that ties the two mature
+    // axes together): decoded IMAGE features → 64-dim feature vector → ANN
+    // probe against the standing embedding index. This is the retrieval
+    // shape a multimodal training pipeline runs — embed the new modality,
+    // query the existing vector index — and it reuses the IVF machinery
+    // unchanged (ivfCentroids/ivfAssign/probeTopK, self-exclusion off since
+    // media_id and vec_id are different id spaces). The query vector is the
+    // REAL decoded 8×8 grayscale thumbnail (64 cell means, row-major
+    // cj*8+ci), parsed out of the decoder's 64-byte thumb column via
+    // hex-pair → conv — integer cell values are exact in float32, and
+    // vec_dot's sequential double fold matches the oracle's list_sum, so
+    // the whole approximate pipeline keeps an exact oracle (the sim_ann_ivf
+    // determinism argument, extended across modalities). Candidates come
+    // only from probed cells (equi-join on cell) — no cartesian.
+    Op("multimodal_retrieval",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val mm = thrivespark.multimodal.Multimodal
+        val media = mm.mediaPpmFromDocuments(
+          T.documents(s, d).filter(col("doc_id") % 25 === 0))
+        val hexThumb = hex(col("thumb"))
+        val q = mm.extractPpmFeatures(media)
+          .select(col("media_id").as("q_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => conv(hexThumb.substr(i * lit(2) + lit(1), lit(2)), 16, 10)
+                .cast("float")).as("q_emb"))
+        val emb = T.embeddings(s, d)
+        probeTopK(q, ivfCentroids(emb), ivfAssign(emb), k = 5, nprobe = 2,
+            excludeSelf = false)
+          .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rn"))
+      },
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id,
+                       8 + (doc_id % 9) AS w,
+                       8 + (doc_id % 7) AS h
+                FROM documents WHERE doc_id % 25 = 0),
+              px AS (
+                SELECT m.media_id, m.w, m.h, x.x AS x, y.y AS y,
+                       (3 * m.media_id + x.x + 2 * y.y) % 256      AS r,
+                       (3 * m.media_id + x.x + 2 * y.y + 37) % 256 AS g,
+                       (3 * m.media_id + x.x + 2 * y.y + 74) % 256 AS b
+                FROM m
+                JOIN generate_series(0, 15) AS x(x) ON x.x < m.w
+                JOIN generate_series(0, 13) AS y(y) ON y.y < m.h),
+              cells AS (
+                SELECT media_id,
+                       ((y * 8) // h) * 8 + (x * 8) // w AS idx,
+                       SUM(r + g + b) // (3 * COUNT(*)) AS mv
+                FROM px GROUP BY 1, 2),
+              q AS (
+                SELECT media_id AS q_id,
+                       list(CAST(mv AS DOUBLE) ORDER BY idx) AS q_emb
+                FROM cells GROUP BY 1),
+              cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE vec_id % 100 = 0),
+              a1 AS (
+                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c),
+              assigned AS (SELECT c_id, c_emb, cent_id AS cell FROM a1 WHERE arn = 1),
+              p1 AS (
+                SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> q.q_emb[i] * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS crn
+                FROM q CROSS JOIN cent c),
+              probes AS (SELECT q_id, q_emb, cell FROM p1 WHERE crn <= 2),
+              cand AS (
+                SELECT p.q_id, a.c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> p.q_emb[i] * CAST(a.c_emb[i] AS DOUBLE))) AS cos
+                FROM probes p JOIN assigned a ON p.cell = a.cell)
+              SELECT q_id, c_id, round(cos, 6) + 0.0 AS score, rn FROM (
+                SELECT q_id, c_id, cos,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id) AS INTEGER) AS rn
+                FROM cand)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
     Op("multimodal_manifest",
       (s, d) => {
         val mm = thrivespark.multimodal.Multimodal

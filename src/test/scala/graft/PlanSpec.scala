@@ -464,6 +464,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_retrieval: candidates come only from probed cells — the " +
+      "corpus join is an equi-join on cell, never a cartesian enumeration") {
+    val p = plan("multimodal_retrieval")
+    assert(!p.contains("CartesianProduct"),
+      s"cross-modal probe must not enumerate query x corpus:\n$p")
+    // the only nested-loop joins allowed are the broadcast centroid fans
+    // (query x ~N/100 centroids — constant-size build side); the corpus
+    // candidates must ride the cell equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("cell")),
+      s"no cell equi-join found in:\n$p")
+  }
+
   test("stream_score_model: the scoring joins broadcast the weight table " +
       "(stateless stream side, no stream shuffle)") {
     import org.apache.spark.sql.functions.lit
