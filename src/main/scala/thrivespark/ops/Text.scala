@@ -698,7 +698,11 @@ object Text {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") <= maxDf)
           .select(col("h"))
-        occ0.join(dfOk, Seq("h"), "left_semi")
+        // the CAPPED index is itself a shared derivation: without its own
+        // persist the self-join below evaluates the df aggregation + semi
+        // join on BOTH inputs (Spark does not CSE across join branches) —
+        // measured ~1 s of doubled work at sf0.1
+        persistShared(occ0.join(dfOk, Seq("h"), "left_semi"))
       }
     val pairs = occ.select(col("doc_id").as("a_id"), col("i"), col("h"))
       .join(occ.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
