@@ -718,6 +718,44 @@ object Text {
       .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c"))
   }
 
+  /** Pairwise span-coverage report — the CONTAINMENT signal of the
+    * substring family (frame-level for planted tests): for every doc pair
+    * sharing windows, the count of distinct token positions covered by
+    * shared maximal runs on EACH side, the per-doc coverage fractions, and
+    * a `contained` flag when either side is ≥ tau covered. This is the
+    * decision surface near-dup removal actually uses: a pair with one
+    * long span is boilerplate overlap (cut it — text_substring_cut), a
+    * pair where the smaller doc is ~fully covered is a CONTAINED re-crawl
+    * (drop the whole doc). Coverage is the union of runs (distinct
+    * positions), not the max single span, so staggered multi-span
+    * containment is detected. Derives from the same session-persisted
+    * window index as the rest of the family; the containment test uses
+    * the UNROUNDED IEEE division on both engines (round6 only on the
+    * reported fractions). */
+  def substringCoverage(docs: DataFrame, K: Int = 8, tau: Double = 0.9): DataFrame = {
+    val runs = spanRuns(docs, K, 0)
+      .withColumn("span", (col("c") + lit(K - 1)).cast("int"))
+    def cov(posStart: Column, name: String) = runs
+      .select(col("a_id"), col("b_id"),
+        explode(sequence(posStart, posStart + col("span") - 1)).as("p"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as(name))
+    val covA = cov(col("i0"), "cov_a")
+    val covB = cov(col("i0") - col("diag"), "cov_b")
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val fa = col("cov_a").cast("double") / col("n_a")
+    val fb = col("cov_b").cast("double") / col("n_b")
+    covA.join(covB, Seq("a_id", "b_id"))
+      .join(lens.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(lens.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("cov_a"), col("cov_b"),
+        col("n_a"), col("n_b"),
+        round6(fa).as("frac_a"), round6(fb).as("frac_b"),
+        (greatest(fa, fb) >= tau).cast("int").as("contained"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Core of text_substring_cut (frame-level for planted-doc tests):
     * REMOVE exact duplicated spans from later documents — the
     * deduplicating-training-data editing flow. Every maximal shared run of
@@ -1129,6 +1167,60 @@ object Text {
               FROM alltoks t
               LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
               GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // Pairwise span-coverage / containment report (r14): the decision
+    // surface between span CUTTING and whole-doc DROPPING — union-of-runs
+    // coverage per side, coverage fractions, and a contained flag at 90%.
+    // See substringCoverage; same cached window index, candidates still
+    // Σ df², per-pair explode bounded by doc length.
+    Op("text_substring_coverage",
+      (s, d) => substringCoverage(T.documents(s, d)),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ o1 JOIN occ o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id),
+              runs AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl, i
+                FROM pairs),
+              r2 AS (
+                SELECT a_id, b_id, diag, min(i) AS i0, count(*) + 7 AS span
+                FROM runs GROUP BY a_id, b_id, diag, isl),
+              cova AS (
+                SELECT a_id, b_id, count(DISTINCT g.p) AS cov_a
+                FROM r2 JOIN generate_series(1, 512) AS g(p)
+                  ON g.p >= i0 AND g.p < i0 + span
+                GROUP BY a_id, b_id),
+              covb AS (
+                SELECT a_id, b_id, count(DISTINCT g.p) AS cov_b
+                FROM r2 JOIN generate_series(1, 512) AS g(p)
+                  ON g.p >= i0 - diag AND g.p < i0 - diag + span
+                GROUP BY a_id, b_id),
+              lens AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                       FROM documents)
+              SELECT a.a_id, a.b_id,
+                     CAST(a.cov_a AS BIGINT) AS cov_a,
+                     CAST(b.cov_b AS BIGINT) AS cov_b,
+                     la.n AS n_a, lb.n AS n_b,
+                     round(CAST(a.cov_a AS DOUBLE) / la.n, 6) AS frac_a,
+                     round(CAST(b.cov_b AS DOUBLE) / lb.n, 6) AS frac_b,
+                     CAST(greatest(CAST(a.cov_a AS DOUBLE) / la.n,
+                                   CAST(b.cov_b AS DOUBLE) / lb.n) >= 0.9
+                          AS INTEGER) AS contained
+              FROM cova a JOIN covb b ON a.a_id = b.a_id AND a.b_id = b.b_id
+              JOIN lens la ON la.doc_id = a.a_id
+              JOIN lens lb ON lb.doc_id = a.b_id
+              ORDER BY a.a_id, a.b_id""")),
 
     // Incremental substring dedup (r14 — the last depth extension on the
     // dedup axis, the r13 verdict's #4): a DELTA batch (doc_id % 5 == 0,

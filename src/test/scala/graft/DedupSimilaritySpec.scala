@@ -311,6 +311,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "empty delta must produce an empty report at zero pair cost")
   }
 
+  test("text_substring_coverage: union-of-runs coverage detects staggered " +
+      "containment the max-single-span view misses; partial overlap stays " +
+      "below the flag") {
+    import spark.implicits._
+    def toks(r: Range, tag: String) = r.map(tag + _)
+    def fill(d: Int, n: Int, at: Int = 0) = (0 until n).map(k => s"u${d}_${at}_$k")
+    val docs = Seq(
+      // doc 1: 40 tokens; doc 2 (34 tokens) = two STAGGERED 16-token copies
+      // of doc 1's [0,16) and [24,40) split by 2 filler tokens — max single
+      // span is only 16/34 = 0.47 of doc 2, but the union covers 32/34 =
+      // 0.94: containment only the union view can see
+      (1L, (toks(0 until 40, "w")).mkString(" ")),
+      (2L, (toks(0 until 16, "w") ++ fill(2, 2) ++ toks(24 until 40, "w")).mkString(" ")),
+      // doc 3 shares a 10-token run with doc 1 (10/40 and 10/30): partial
+      (3L, (toks(0 until 10, "w") ++ fill(3, 20)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.substringCoverage(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(6), r.getDouble(7), r.getInt(8))).toMap
+    // (1,2): union coverage 32 on both sides; doc 2 is 0.94 covered →
+    // contained, though no single span exceeds 0.47 of it
+    assert(out((1L, 2L)) == (32L, 32L, 0.8, 0.941176, 1), s"got ${out((1L, 2L))}")
+    // (1,3): 10-token overlap, neither side near 0.9 → not contained
+    assert(out((1L, 3L)) == (10L, 10L, 0.25, 0.333333, 0), s"got ${out((1L, 3L))}")
+    // (2,3): doc 3's w0..w9 also matches doc 2's copied prefix
+    assert(out((2L, 3L))._5 == 0, s"got ${out((2L, 3L))}")
+  }
+
   test("text_substring_cut: >=15-token duplicated spans are cut from the " +
       "LATER doc at exact boundaries; 14-token spans and first occurrences " +
       "survive untouched; full duplicates empty out") {
