@@ -710,12 +710,18 @@ object Text {
       .filter(col("a_id") < col("b_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))
-    pairs
+    // the maximal-run table is itself a shared derivation: exact (pair
+    // aggregation), cut (span removal) and coverage (union-of-positions)
+    // all consume the IDENTICAL (a_id, b_id, diag, i0, c) frame — persist
+    // it so the self-join + run merge execute once per session, not once
+    // per consumer (rows are bounded by actual matches, far smaller than
+    // the index)
+    persistShared(pairs
       .withColumn("diag", col("i") - col("j"))
       .withColumn("isl", col("i") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
       .agg(min(col("i")).as("i0"), count(lit(1)).as("c"))
-      .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c"))
+      .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c")))
   }
 
   /** Pairwise span-coverage report — the CONTAINMENT signal of the
