@@ -1022,6 +1022,56 @@ object Extras {
     // the rows a release would have to suppress or generalize because the
     // QI combination re-identifies. One hash aggregation on the QI key;
     // the audit output is group-grain (bounded by QI cardinality, not rows).
+    // Column profiling — the ANALYZE TABLE / data-quality-profiler shape
+    // every ETL framework ships (r14): one pass over the table melted to
+    // (col_name, v_num, v_str) rows, one groupBy computing n_rows, nulls,
+    // distincts and typed min/max per column. The melt costs a bounded 5×
+    // row fan-out but keeps the stats ONE map-side-combinable aggregation
+    // (reaggregatable across partitions/shards — the profile of a 100 TB
+    // table is a per-file profile merge, which this shape gives for free),
+    // instead of 5 separate scans or a multi-distinct Expand. Numeric
+    // min/max ride as DOUBLE (exact column values, no arithmetic);
+    // distincts count the string rendering, identical across engines for
+    // the integer/2-decimal/ASCII domains profiled here.
+    Op("dq_profile",
+      (s, d) => {
+        val ev = T.events(s, d)
+        def m(name: String, num: org.apache.spark.sql.Column,
+            str: org.apache.spark.sql.Column) =
+          struct(lit(name).as("col_name"), num.cast("double").as("v_num"),
+            str.cast("string").as("v_str"))
+        ev.select(explode(array(
+            m("event_id", col("event_id"), col("event_id")),
+            m("user_id", col("user_id"), col("user_id")),
+            m("value", col("value"), col("value")),
+            m("event_type", lit(null), col("event_type")),
+            m("props", lit(null), col("props")))).as("m"))
+          .select(col("m.col_name").as("col_name"), col("m.v_num").as("v_num"),
+            col("m.v_str").as("v_str"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("v_str"))).as("n_null"),
+            countDistinct(col("v_str")).as("n_distinct"),
+            min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
+            min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH m AS (
+                SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS v_num,
+                       CAST(event_id AS VARCHAR) AS v_str FROM events
+                UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE),
+                       CAST(user_id AS VARCHAR) FROM events
+                UNION ALL SELECT 'value', value,
+                       CAST(value AS VARCHAR) FROM events
+                UNION ALL SELECT 'event_type', NULL, event_type FROM events
+                UNION ALL SELECT 'props', NULL, props FROM events)
+              SELECT col_name, count(*) AS n_rows,
+                     CAST(count(*) - count(v_str) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT v_str) AS BIGINT) AS n_distinct,
+                     min(v_num) AS min_num, max(v_num) AS max_num,
+                     min(v_str) AS min_str, max(v_str) AS max_str
+              FROM m GROUP BY col_name ORDER BY col_name""")),
+
     Op("dq_k_anonymity",
       (s, d) => {
         T.documents(s, d)
