@@ -193,7 +193,7 @@ object Text {
     * to storage; the session-scoped persist is the single-job analog.
     * Position ints explode first and hashes form post-explode in codegen
     * (the text_fingerprint trick) — no interpreted per-doc window array. */
-  private[thrivespark] def windowIndex(docs: DataFrame, K: Int): DataFrame =
+  def windowIndex(docs: DataFrame, K: Int): DataFrame =
     persistShared(docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= K)
