@@ -182,7 +182,14 @@ class PropertySpec extends AnyFunSuite {
       // counterpart (substring_cut), the closed-form NB train/score round
       // trip (quality_model), and the scalar-threshold anti-join (q22)
       "win_range_between", "text_substring_exact", "text_substring_cut",
-      "text_quality_model", "q22_idle_balance")
+      "text_quality_model", "q22_idle_balance",
+      // r14 ops that are explicitly partition-structured: the delta-vs-
+      // standing window probe (substring_incremental), the df-capped index
+      // (substring_maxdf), the union-of-runs coverage explode (coverage),
+      // the cross-modal IVF probe (retrieval), and the melted single-pass
+      // profiler (dq_profile)
+      "text_substring_incremental", "text_substring_maxdf",
+      "text_substring_coverage", "multimodal_retrieval", "dq_profile")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = keys.map(k => k -> thrivespark.Registry.queries(k)(spark, sf0001).collect())
