@@ -303,6 +303,45 @@ object Analytics {
                           AS INTEGER) AS matched
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Event-transition matrix (r14): the Markov-chain readout product
+    // analytics runs next to funnels — per user, consecutive event pairs
+    // in (ts, event_id) order become (src, dst) transitions; corpus-wide
+    // counts + per-source probabilities. One lag window over the user
+    // partitioning the funnel/sessionize family already shuffles on, one
+    // map-side-combined count, and the per-src normalizer rides a window
+    // sum (no second shuffle — same partition key). (ts, event_id) is a
+    // total order, so the transition set is deterministic; probability is
+    // one BIGINT/BIGINT IEEE division, round6.
+    Op("analytics_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_type").as("dst"),
+            lag(col("event_type"), 1).over(w).as("src"))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("src"), col("dst"), col("n"),
+            round6(col("n").cast("double") / sum(col("n")).over(wSrc))
+              .as("p"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""WITH seq AS (
+                SELECT user_id, event_type AS dst,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS src
+                FROM events),
+              t AS (
+                SELECT src, dst, count(*) AS n
+                FROM seq WHERE src IS NOT NULL GROUP BY src, dst)
+              SELECT src, dst, n,
+                     round(CAST(n AS DOUBLE)
+                           / sum(n) OVER (PARTITION BY src), 6) AS p
+              FROM t ORDER BY src, dst""")),
+
     Op("analytics_rolling_active",
       (s, d) => {
         val ev = T.events(s, d)

@@ -1174,6 +1174,41 @@ object Text {
               LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
               GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // Corpus-level n-gram statistics (r14): the top-K bigram frequency
+    // table — the corpus artifact repetition/boilerplate thresholds (C4,
+    // Gopher) are calibrated against, where text_repetition is the per-doc
+    // consumer. One explode (bounded ×tokens), one map-side-combined
+    // count, a K-row TakeOrdered on the (count desc, gram asc) total
+    // order — the same distributed-argmax shape as the LM vocab, nothing
+    // driver-side beyond K rows. df (docs containing the gram) rides
+    // along via countDistinct to separate burst repetition within one doc
+    // from corpus-wide boilerplate.
+    Op("text_ngram_topk",
+      (s, d) => {
+        val grams = transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1)))
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy(col("gram"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("n").desc, col("gram")).limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+              g AS (
+                SELECT doc_id,
+                       unnest([ts[i] || ' ' || ts[i+1]
+                               for i in generate_series(1, len(ts) - 1)]) AS gram
+                FROM toks)
+              SELECT gram, count(*) AS n,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM g GROUP BY gram
+              ORDER BY n DESC, gram LIMIT 20""")),
+
     // Pairwise span-coverage / containment report (r14): the decision
     // surface between span CUTTING and whole-doc DROPPING — union-of-runs
     // coverage per side, coverage fractions, and a contained flag at 90%.
