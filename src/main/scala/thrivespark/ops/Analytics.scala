@@ -308,10 +308,13 @@ object Analytics {
     // in (ts, event_id) order become (src, dst) transitions; corpus-wide
     // counts + per-source probabilities. One lag window over the user
     // partitioning the funnel/sessionize family already shuffles on, one
-    // map-side-combined count, and the per-src normalizer rides a window
-    // sum (no second shuffle — same partition key). (ts, event_id) is a
-    // total order, so the transition set is deterministic; probability is
-    // one BIGINT/BIGINT IEEE division, round6.
+    // map-side-combined count; the per-src normalizer window adds an
+    // exchange but over the ALREADY-AGGREGATED |src|x|dst| table
+    // (constant-size), never raw data — pre-partitioning raw rows by src
+    // (event-type cardinality) would funnel the corpus into a handful of
+    // partitions. (ts, event_id) is a total order, so the transition set
+    // is deterministic; probability is one BIGINT/BIGINT IEEE division,
+    // round6.
     Op("analytics_transitions",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
