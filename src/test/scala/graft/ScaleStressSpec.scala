@@ -770,6 +770,30 @@ class ScaleStressSpec extends AnyFunSuite {
       s"$inexact identical pairs reported a span shorter than the full doc")
     info(f"families=$nFam docs=$nBig pairs=$total " +
       f"(all-pairs ${allPairs}) wall=$wall%.1f s")
+
+    // --- incremental path on the same 5k corpus: delta-proportionality ---
+    // delta = the k==29 copy of every family (nFam docs, 2% of corpus).
+    // The incremental report must equal the one-shot report restricted to
+    // delta-touching pairs, and be a small fraction of the full pair
+    // space: the standing-internal mass (the other 98%) is never paid.
+    val isDelta = col("doc_id") % 100 === 29
+    val t1 = System.nanoTime()
+    val inc = thrivespark.ops.Text.sharedSpanRunsIncremental(
+        big.select(col("doc_id"), col("text")), 8, isDelta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nInc = inc.count()
+    val wallInc = (System.nanoTime() - t1) / 1e9
+    val oneShotDelta = out
+      .filter(col("a_id") % 100 === 29 || col("b_id") % 100 === 29)
+    assert(nInc == oneShotDelta.count(),
+      "incremental != one-shot restricted to delta-touching pairs")
+    val mismatch = inc.join(oneShotDelta,
+        Seq("a_id", "b_id", "n_runs", "max_shared_tokens"), "left_anti").count()
+    assert(mismatch == 0, s"$mismatch incremental rows differ from one-shot")
+    assert(nInc < total / 10,
+      s"delta report $nInc not small vs full $total — delta-proportionality broke")
+    info(f"incremental: delta pairs=$nInc of $total wall=$wallInc%.1f s")
+    inc.unpersist(): Unit
     out.unpersist(); big.unpersist(); base.unpersist(): Unit
   }
 }
