@@ -453,10 +453,21 @@ object Dedup {
           .distinct()
         val sa = docs.select(col("doc_id").as("a_id"), col("shl").as("sh_a"))
         val sb = docs.select(col("doc_id").as("b_id"), col("shl").as("sh_b"))
-        cands.join(sa, "a_id").join(sb, "b_id")
+        // Exact-Jaccard verify, STAGED behind a checkpoint: without the
+        // barrier, filter pushdown inlines the jac alias into the
+        // candidate join's condition, where array_intersect — the
+        // dominant per-candidate cost — is evaluated TWICE (numerator and
+        // denominator; observed in the r14 plan). The checkpointed frame
+        // is (a_id, b_id, c, s2) ints at candidate cardinality (tiny —
+        // the filters above already shrank the pair space), so the
+        // barrier costs nothing and the intersect runs once per pair.
+        val verified = cands.join(sa, "a_id").join(sb, "b_id")
           .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("jac", col("c").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+          .select(col("a_id"), col("b_id"), col("c"),
+            (size(col("sh_a")) + size(col("sh_b"))).as("s2"))
+          .localCheckpoint(true)
+        verified
+          .withColumn("jac", col("c").cast("double") / (col("s2") - col("c")))
           .filter(col("jac") > tau)
           .select(col("a_id"), col("b_id"), col("jac"))
           .orderBy(col("a_id"), col("b_id"))
