@@ -206,6 +206,48 @@ object StreamingOps {
     // production pairing of the trained tier: the model artifact (40
     // weight rows + 1 prior) rides a broadcast; the stream pays only the
     // feature projection.
+    // Streaming substring-index maintenance (r14 — the streaming×dedup
+    // composition): documents arrive in micro-batches; each batch's
+    // windows probe the standing occ index (delta-proportional, see
+    // StreamRunner.substringIndexStream), the span report appends, and
+    // the batch's windows join the index parquet — the standing index IS
+    // the persisted artifact, maintained incrementally as the corpus
+    // streams in. Every pair is reported in exactly one batch, so the
+    // union of reports is provably batch-boundary-independent and equals
+    // the one-shot exact-span report — which is the oracle, verbatim.
+    Op("stream_substring_index",
+      (s, d) => {
+        val stage = stageDocsDir(s, d)
+        val cp = thrivespark.Scratch.dir("cp_ssi")
+        val root = thrivespark.Scratch.dir("ssi")
+        thrivespark.streaming.StreamRunner
+          .substringIndexStream(s, stage, cp, s"$root/index", s"$root/report")
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 8),
+              occ AS (
+                SELECT doc_id, g.i AS i,
+                       md5(array_to_string(ts[g.i : g.i+7], ' ')) AS h
+                FROM toks
+                JOIN generate_series(1, 512) AS g(i) ON g.i <= len(ts) - 7),
+              pairs AS (
+                SELECT o1.doc_id AS a_id, o2.doc_id AS b_id, o1.i AS i, o2.i AS j
+                FROM occ o1 JOIN occ o2
+                  ON o1.h = o2.h AND o1.doc_id < o2.doc_id),
+              runs AS (
+                SELECT a_id, b_id, i - j AS diag,
+                       i - row_number() OVER (PARTITION BY a_id, b_id, i - j
+                                              ORDER BY i) AS isl
+                FROM pairs),
+              r2 AS (
+                SELECT a_id, b_id, count(*) AS run_wins
+                FROM runs GROUP BY a_id, b_id, diag, isl)
+              SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
+              FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
+
     Op("stream_score_model",
       (s, d) => {
         val stage = stageDocsDir(s, d)

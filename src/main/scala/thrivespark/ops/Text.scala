@@ -194,13 +194,18 @@ object Text {
     * Position ints explode first and hashes form post-explode in codegen
     * (the text_fingerprint trick) — no interpreted per-doc window array. */
   def windowIndex(docs: DataFrame, K: Int): DataFrame =
-    persistShared(docs
+    persistShared(windowOcc(docs, K))
+
+  /** The uncached index derivation — for one-shot consumers (a streaming
+    * micro-batch's windows) that must not pin registry storage. */
+  private[thrivespark] def windowOcc(docs: DataFrame, K: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= K)
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(1), size(col("ts")) - (K - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ts"), col("i"), lit(K)), " ")).as("h")))
+        md5(array_join(slice(col("ts"), col("i"), lit(K)), " ")).as("h"))
 
   /** Train `iters` merges; returns (iteration, left, right, pair_count) and
     * the final rewritten corpus. One job per iteration: the pair-count
@@ -640,8 +645,15 @@ object Text {
   def sharedSpanRunsIncremental(docs: DataFrame, K: Int = 8,
       isDelta: Column = col("doc_id") % 5 === 0): DataFrame = {
     val occ = windowIndex(docs, K)
-    val deltaOcc = occ.filter(isDelta)
-    val standingOcc = occ.filter(!isDelta)
+    spanReportFromOcc(occ.filter(isDelta), occ.filter(!isDelta), K)
+  }
+
+  /** The delta-proportional span report at occ grain (shared by the batch
+    * incremental op and the streaming index maintainer): spans for pairs
+    * touching `deltaOcc`, with delta occurrences on one side of every
+    * join — standing×standing work is structurally unreachable. */
+  private[thrivespark] def spanReportFromOcc(deltaOcc: DataFrame,
+      standingOcc: DataFrame, K: Int): DataFrame = {
     // delta×standing: the delta doc may carry the smaller OR larger id —
     // canonicalize orientation (and with it the i/j roles, so the diagonal
     // math below is identical to the one-shot path)

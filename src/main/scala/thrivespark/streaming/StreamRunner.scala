@@ -256,6 +256,53 @@ object StreamRunner {
     spark.read.parquet(stateDir)
   }
 
+  /** Streaming maintenance of the positional substring window index (r14):
+    * documents arrive in micro-batches; each batch's 8-token windows are
+    * matched against the STANDING occ index (delta×standing + delta×delta
+    * — the delta-proportional spanReportFromOcc shape, never
+    * standing×standing), the batch's span report is appended to the
+    * result, and the batch's windows are appended to the index parquet —
+    * the index IS the persisted artifact, maintained incrementally. Every
+    * doc pair is reported in exactly ONE batch (the one where its later
+    * member arrives), so the union of per-batch reports equals the
+    * one-shot sharedSpanRuns over the full corpus — an exactness
+    * guarantee independent of batch boundaries, which is what makes this
+    * streaming op fully oracleable by text_substring_exact's SQL. */
+  def substringIndexStream(spark: SparkSession, srcDir: String,
+      checkpoint: String, indexDir: String, reportDir: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+    val K = 8
+    val q = in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // this batch's windows: consumed by the report (both join sides)
+        // and the index append — persist for the batch, release after
+        val occB = thrivespark.ops.Text.windowOcc(batch, K)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val standing =
+          if (new java.io.File(s"$indexDir/_SUCCESS").exists())
+            s.read.parquet(indexDir)
+          else occB.limit(0)
+        thrivespark.ops.Text.spanReportFromOcc(occB, standing, K)
+          .write.mode("append").parquet(reportDir)
+        // index append AFTER the report: the standing read above is lazy,
+        // but the report action has already consumed it by this point
+        occB.write.mode("append").parquet(indexDir)
+        occB.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(reportDir)
+  }
+
   /** Streaming media decode: the multimodal feature-extraction stage running
     * under Structured Streaming. Media files arrive (maxFilesPerTrigger=1 ⇒
     * one micro-batch per staged file), each batch is decoded by the SAME

@@ -241,6 +241,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(d.count() == 200) // event_id unique in source → nothing dropped
   }
 
+  test("stream_substring_index: 3-batch replay equals the one-shot span " +
+      "report — every pair reported exactly once, batch boundaries inert") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def toks(r: Range, tag: String) = r.map(tag + _)
+    def fill(d: Int, n: Int) = (0 until n).map(k => s"u${d}_$k")
+    // pairs within one batch (1,2), across adjacent batches (2,11),
+    // across distant batches (1,21), and a triangle (1,2,21)
+    val docs = Seq(
+      (1L, (toks(0 until 20, "w") ++ fill(1, 4)).mkString(" ")),
+      (2L, (fill(2, 3) ++ toks(0 until 20, "w")).mkString(" ")),
+      (11L, (toks(10 until 20, "w") ++ fill(11, 8)).mkString(" ")),
+      (12L, fill(12, 25).mkString(" ")),
+      (21L, (fill(21, 5) ++ toks(0 until 12, "w")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_ssi_src").toString
+    // three sequentially-written single files => three ordered micro-batches
+    docs.filter(col("doc_id") < 10).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") >= 10 && col("doc_id") < 20).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") >= 20).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val cp = Files.createTempDirectory("graft_ssi_cp").toString
+    val root = Files.createTempDirectory("graft_ssi_state").toString
+    val streamed = StreamRunner.substringIndexStream(spark, dir, cp,
+        s"$root/index", s"$root/report")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val oneShot = thrivespark.ops.Text.sharedSpanRuns(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == oneShot,
+      s"streamed $streamed != one-shot $oneShot")
+    // the expected pair set spans all batch-relation shapes: within-batch
+    // (1,2), adjacent-batch (1,11)/(2,11), distant-batch (1,21)/(2,21);
+    // (11,21) overlaps only 2 tokens < K and must stay silent
+    assert(streamed.keySet == Set((1L, 2L), (1L, 11L), (2L, 11L),
+      (1L, 21L), (2L, 21L)), s"got ${streamed.keySet}")
+    // the index parquet holds every doc's windows after the replay
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.select("doc_id").distinct().count() == 5)
+  }
+
   test("stream_score_model: the streaming scorer equals the batch scorer " +
       "row for row (stateless inference is batch-boundary-invariant)") {
     import org.apache.spark.sql.functions.col
