@@ -289,11 +289,19 @@ object StreamRunner {
           if (new java.io.File(s"$indexDir/_SUCCESS").exists())
             s.read.parquet(indexDir)
           else occB.limit(0)
+        // coalesced appends: at 32 shuffle partitions each batch would
+        // strew 32 tiny files per append (report + index), and the next
+        // batch's standing scan pays the listing — 4 files per batch keeps
+        // the dirs compact without throttling the join parallelism above
+        // (coalesce applies at write, reading the persisted occB)
+        // (repartition, not coalesce: coalesce would merge the join's own
+        // partitions and throttle its parallelism; the report is
+        // aggregate-sized so the extra exchange is free)
         thrivespark.ops.Text.spanReportFromOcc(occB, standing, K)
-          .write.mode("append").parquet(reportDir)
+          .repartition(4).write.mode("append").parquet(reportDir)
         // index append AFTER the report: the standing read above is lazy,
         // but the report action has already consumed it by this point
-        occB.write.mode("append").parquet(indexDir)
+        occB.coalesce(4).write.mode("append").parquet(indexDir)
         occB.unpersist()
         ()
       }
