@@ -1197,13 +1197,18 @@ object Text {
     // from corpus-wide boilerplate.
     Op("text_ngram_topk",
       (s, d) => {
-        val grams = transform(sequence(lit(1), size(col("ts")) - 1),
-          i => concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1)))
+        // position ints explode first, grams form post-explode in codegen
+        // (the fingerprint/windowIndex trick) — the interpreted transform
+        // lambda building the per-doc gram array first measured 2.1 s vs
+        // ~0.9 s for this shape at sf0.1
         T.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(grams).as("gram"))
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+          .select(col("doc_id"),
+            concat_ws(" ", element_at(col("ts"), col("i")),
+              element_at(col("ts"), col("i") + 1)).as("gram"))
           .groupBy(col("gram"))
           .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
           .orderBy(col("n").desc, col("gram")).limit(20)
