@@ -106,10 +106,7 @@ object Pipeline {
       (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
         / size(col("ts")) > 0.05).as("lang_ok"),
       (size(col("ts")) >= 20).as("len_ok"))
-    val grams = transform(sequence(lit(1), size(col("ts")) - 1),
-      i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))
-    val rep = surv.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(grams).as("gram"))
+    val rep = Text.bigramRows(surv)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))

@@ -457,15 +457,27 @@ object Text {
   def filterFlags(docs: DataFrame): DataFrame =
     persistShared(filterFlagsUncached(docs))
 
+  /** Per-doc bigram rows (doc_id, gram) over a (doc_id, ts) frame, built
+    * POST-explode in codegen (the fingerprint/windowIndex trick): position
+    * ints explode first, the gram forms via codegen'd element_at/concat_ws
+    * — an interpreted transform lambda materializing the per-doc gram
+    * array first measured ~2× slower at sf0.1. Shared by the filter gate,
+    * text_repetition, the corpus pipeline's gate stage and
+    * text_ngram_topk. */
+  private[thrivespark] def bigramRows(docs: DataFrame): DataFrame =
+    docs.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ts"), col("i")),
+          element_at(col("ts"), col("i") + 1)).as("gram"))
+
   private def filterFlagsUncached(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       (size(filter(col("ts"), t => t === "the" || t === "a")).cast("double")
         / size(col("ts")) > 0.05).cast("int").as("lang_ok"),
       (size(col("ts")) >= 20).cast("int").as("len_ok"))
-    val grams = transform(sequence(lit(1), size(col("ts")) - 1),
-      i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))
-    val rep = docs.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(grams).as("gram"))
+    val rep = bigramRows(docs)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
@@ -999,16 +1011,11 @@ object Text {
     // ever materialized whole on one node beyond its own row.
     Op("text_repetition",
       (s, d) => {
-        // Materialize the token array ONCE before the gram lambda: split()
-        // referenced inside the lambda body would otherwise re-tokenize the
-        // full text per gram (O(tokens²) regex work per doc — measured 2.8 s
-        // warm vs 0.4 s with this projection at sf0.1).
-        val grams = transform(sequence(lit(1), size(col("ts")) - 1),
-          i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))
-        T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(grams).as("gram"))
+        // bigramRows: token array materialized once, grams built
+        // post-explode in codegen (see bigramRows; the interpreted-lambda
+        // and split-in-lambda variants measured 2-7x slower at sf0.1)
+        bigramRows(T.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("ts")))
           .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
@@ -1197,18 +1204,10 @@ object Text {
     // from corpus-wide boilerplate.
     Op("text_ngram_topk",
       (s, d) => {
-        // position ints explode first, grams form post-explode in codegen
-        // (the fingerprint/windowIndex trick) — the interpreted transform
-        // lambda building the per-doc gram array first measured 2.1 s vs
-        // ~0.9 s for this shape at sf0.1
-        T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
-          .select(col("doc_id"),
-            concat_ws(" ", element_at(col("ts"), col("i")),
-              element_at(col("ts"), col("i") + 1)).as("gram"))
+        // bigramRows: grams form post-explode in codegen (2.1 s → 0.98 s
+        // at sf0.1 vs the interpreted transform-lambda build)
+        bigramRows(T.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("ts")))
           .groupBy(col("gram"))
           .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
           .orderBy(col("n").desc, col("gram")).limit(20)
