@@ -796,4 +796,46 @@ class ScaleStressSpec extends AnyFunSuite {
     inc.unpersist(): Unit
     out.unpersist(); big.unpersist(); base.unpersist(): Unit
   }
+
+  test("streaming index maintenance over 20 micro-batches: report equals " +
+      "one-shot, index grows exactly by each batch's windows", ScaleStress) {
+    import spark.implicits._
+    // 200 docs in 20 single-file batches; docs congruent mod 7 share a
+    // 12-token span (cross-batch pairs at every distance), and docs ≡0
+    // (mod 40) additionally carry one common 10-token block — long-range
+    // repeated content arriving many batches apart
+    def toks(r: Range, tag: String) = r.map(tag + _)
+    val common = toks(0 until 10, "c")
+    val docs = (0 until 200).map { d =>
+      val own = toks(0 until 12, s"w${d % 7}_")
+      val fill = (0 until 8).map(k => s"u${d}_$k")
+      val body = (if (d % 40 == 0) common else Seq.empty[String]) ++ own ++ fill
+      (d.toLong, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssi20_src").toString
+    (0 until 20).foreach { b =>
+      docs.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft_ssi20_cp").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_ssi20_st").toString
+    val streamed = thrivespark.streaming.StreamRunner
+      .substringIndexStream(spark, dir, cp, s"$root/index", s"$root/report")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val oneShot = thrivespark.ops.Text.sharedSpanRuns(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == oneShot, s"20-batch replay diverged from one-shot " +
+      s"(streamed ${streamed.size} pairs, one-shot ${oneShot.size})")
+    assert(streamed.nonEmpty, "planted cross-batch spans must pair")
+    // index growth is exactly the corpus's window count — nothing dropped,
+    // nothing duplicated across the 20 appends
+    val idxRows = spark.read.parquet(s"$root/index").count()
+    val expected = docs
+      .select(sum(greatest(size(split(col("text"), " ")) - 7, lit(0))))
+      .head().getLong(0)
+    assert(idxRows == expected,
+      s"index rows $idxRows != corpus windows $expected")
+  }
 }
