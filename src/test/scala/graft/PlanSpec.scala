@@ -464,6 +464,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_profile: one melted aggregation, no multi-distinct Expand; " +
+      "text_ngram_topk: distributed argmax via TakeOrderedAndProject") {
+    val p = plan("dq_profile")
+    // single distinct column per group ⇒ two-phase distinct aggregate, no
+    // Expand fan-out; the melt is one Generate over one scan
+    assert(!p.contains("Expand"), s"multi-distinct Expand leaked in:\n$p")
+    assert(p.split("Generate").length == 2, s"expected exactly one melt:\n$p")
+    val q = plan("text_ngram_topk")
+    assert(q.contains("TakeOrderedAndProject"),
+      s"top-K must be a distributed TakeOrdered, not a global sort:\n$q")
+  }
+
   test("multimodal_retrieval: candidates come only from probed cells — the " +
       "corpus join is an equi-join on cell, never a cartesian enumeration") {
     val p = plan("multimodal_retrieval")
