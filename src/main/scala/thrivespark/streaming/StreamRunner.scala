@@ -279,29 +279,39 @@ object StreamRunner {
     val q = in.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // this batch's windows: consumed by the report (both join sides)
         // and the index append — persist for the batch, release after
         val occB = thrivespark.ops.Text.windowOcc(batch, K)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // standing = every PRIOR batch's partition. Reading the root with
+        // partition discovery would also pick up a half-written current
+        // partition on crash-replay — enumerate committed prior batches
+        // explicitly instead.
+        val prior = Option(new java.io.File(indexDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+            f.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.getPath)
         val standing =
-          if (new java.io.File(s"$indexDir/_SUCCESS").exists())
-            s.read.parquet(indexDir)
+          if (prior.nonEmpty)
+            s.read.parquet(prior.toIndexedSeq: _*)
+              .select(col("doc_id"), col("i"), col("h"))
           else occB.limit(0)
-        // coalesced appends: at 32 shuffle partitions each batch would
-        // strew 32 tiny files per append (report + index), and the next
-        // batch's standing scan pays the listing — 4 files per batch keeps
-        // the dirs compact without throttling the join parallelism above
-        // (coalesce applies at write, reading the persisted occB)
-        // (repartition, not coalesce: coalesce would merge the join's own
-        // partitions and throttle its parallelism; the report is
-        // aggregate-sized so the extra exchange is free)
+        // IDEMPOTENT per-batch sinks: foreachBatch re-runs a batch after a
+        // crash, so plain appends would double-write it — each batch owns
+        // a batch=<id> partition written with overwrite, making replays
+        // no-ops. Writes are compacted to 4 files per batch (repartition
+        // for the aggregate-sized report so join parallelism is untouched;
+        // coalesce for the cached occB read).
         thrivespark.ops.Text.spanReportFromOcc(occB, standing, K)
-          .repartition(4).write.mode("append").parquet(reportDir)
-        // index append AFTER the report: the standing read above is lazy,
+          .repartition(4).write.mode("overwrite")
+          .parquet(s"$reportDir/batch=$batchId")
+        // index write AFTER the report: the standing read above is lazy,
         // but the report action has already consumed it by this point
-        occB.coalesce(4).write.mode("append").parquet(indexDir)
+        occB.coalesce(4).write.mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
         occB.unpersist()
         ()
       }
@@ -309,6 +319,7 @@ object StreamRunner {
     q.processAllAvailable()
     q.stop()
     spark.read.parquet(reportDir)
+      .select(col("a_id"), col("b_id"), col("n_runs"), col("max_shared_tokens"))
   }
 
   /** Streaming media decode: the multimodal feature-extraction stage running
