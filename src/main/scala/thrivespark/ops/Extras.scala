@@ -443,6 +443,36 @@ object Extras {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Raw-text source/sink round trip (r14 — completes the source-format
+    // matrix: parquet/csv/json/orc/binaryFile/text): the corpus written as
+    // one-document-per-line text (the rawest interchange format LLM
+    // corpora actually ship in), read back with spark.read.text, reduced
+    // to a per-line stats aggregate so the oracle is a compact frame.
+    // FixtureContractSpec guarantees documents are single-line (no \n),
+    // so the line round trip is exact. Line content is not keyed — the
+    // aggregate is over the multiset of lines, duplicates preserved.
+    Op("source_text_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_txt_${new java.io.File(d).getName}"
+        T.documents(s, d).select(col("text"))
+          .write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .select(length(col("value")).as("len"),
+            size(split(col("value"), " ")).as("n_toks"), col("value"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("len")).cast("bigint").as("total_chars"),
+            sum(col("n_toks")).cast("bigint").as("total_tokens"),
+            min(col("value")).as("first_line"),
+            max(col("value")).as("last_line"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+                     CAST(sum(len(text)) AS BIGINT) AS total_chars,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens,
+                     min(text) AS first_line,
+                     max(text) AS last_line
+              FROM documents""")),
+
     Op("source_csv_roundtrip",
       (s, d) => {
         val dir = s"/tmp/graft_csv_${new java.io.File(d).getName}"
