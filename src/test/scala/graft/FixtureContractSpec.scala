@@ -78,6 +78,13 @@ class FixtureContractSpec extends AnyFunSuite {
     val badChars = docs.filter(length(col("text")) =!= col("n_chars")).count()
     assert(badChars == 0,
       s"$badChars docs where n_chars != length(text) — text_stats asserts parity")
+    // r14: source_text_roundtrip writes one document per text LINE — an
+    // embedded newline (or CR) would split a document into two lines and
+    // silently shift every line-multiset statistic
+    val badLines = docs.filter(col("text").rlike("[\\r\\n]")).count()
+    assert(badLines == 0,
+      s"$badLines docs with embedded newlines — the raw-text round trip " +
+      "requires single-line documents")
   }
 
   test("keys joined or grouped by oracles carry no NULLs") {
