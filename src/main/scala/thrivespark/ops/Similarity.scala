@@ -170,6 +170,175 @@ object Similarity {
     probeTopK(q, pCent, assigned, k, nprobe)
   }
 
+  // ------------------------------------------------ k-means training ---
+
+  /** round(x · 1e6) per dimension as BIGINT — the "micro-space" embedding.
+    * Micros are ≤ 1e6 in magnitude (embeddings are L2-normalized), so they
+    * are EXACT in float32 (< 2^24) and every product of two micro values is
+    * exact in double (≤ 1e12 < 2^53, and 64-term sums stay < 2^53). The
+    * whole Lloyd loop below therefore runs in integer arithmetic that both
+    * engines reproduce bit-for-bit: no IEEE mean, no summation-order drift
+    * (the cross-engine avg(double) trap). */
+  private def microArr(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000000d, 0).cast("long"))
+
+  /** Lloyd's k-means over the embedding corpus, in micro-space (r15 — the
+    * r14 verdict's #1: every IVF consumer quantized against SEEDED
+    * centroids; this is the training loop that replaces them).
+    *
+    * Per iteration — the Spark MLlib KMeans shape, which is the only sane
+    * 100 TB plan: centroids are a CONSTANT-SIZE driver array broadcast into
+    * a map-side argmax (no per-vector shuffle), and the update is ONE
+    * map-side-combinable (cell, dim) aggregation whose output is K×64 rows
+    * regardless of corpus size — the collect is codebook-sized, never
+    * data-sized. Determinism: assignment = max micro-dot, tie → lowest
+    * cent_id (the ladder's total order); new centroid = per-dim
+    * Σmicros / n in Long division (truncation toward zero — exactly
+    * DuckDB's integer `//`, verified: -7 // 2 = -3); empty cells keep their
+    * previous centroid. Differential testing is per-iteration, the
+    * text_bpe_train method: the oracle CTE chain is GENERATED by the same
+    * loop bound (kmeansOracleStages) so the two engines cannot drift.
+    *
+    * Returns the trained codebook and one stats row per (iteration,
+    * centroid): members n, Σ dims csum, and L1 shift vs the previous
+    * centroid — the trajectory fingerprint the oracle recomputes. */
+  private val KmeansIters = 3
+  def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int = KmeansIters)
+      : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) = {
+    thrivespark.functions.Register(s)
+    val memb = T.embeddings(s, d)
+      .select(col("vec_id"), col("m"),
+        transform(col("m"), x => x.cast("float")).as("mf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Array[Long])] = memb
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("m")).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val stats = Seq.newBuilder[(Int, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      // constant-size codebook as a literal: micro floats are exact, so the
+      // map-side vec_dot reproduces the integer micro-dot in double
+      val centLit = typedlit(cents.map { case (id, cm) =>
+        (id, cm.map(_.toFloat).toSeq) })
+      val best = array_max(transform(centLit, c =>
+        struct(dot(col("mf"), c.getField("_2")).as("sim"),
+          (-c.getField("_1")).as("negid"))))
+      // ONE shuffle, K×64 rows out of the partial aggregation per partition
+      val sums = memb
+        .select((-best.getField("negid")).as("cell"),
+          posexplode(col("m")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (id, old) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val n = rows.head.getLong(3)
+            val arr = new Array[Long](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / n)
+            val shift = arr.indices.map(i => math.abs(arr(i) - old(i))).sum
+            stats += ((it, id, n, arr.sum, shift))
+            (id, arr)
+          case None =>             // empty cell: centroid unchanged
+            stats += ((it, id, 0L, old.sum, 0L))
+            (id, old)
+        }
+      }
+    }
+    memb.unpersist()
+    (cents, stats.result())
+  }
+
+  /** Session-scoped memo of the trained codebook + per-iteration stats —
+    * training runs ONCE per (session, corpus) and every consumer
+    * (sim_ann_kmeans_train, the trained-centroid recall ops) reads the same
+    * result, exactly like bpeMergesFor. */
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)])]
+  private def kmeansTrained(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) =
+    kmeansCache.getOrElseUpdate((s, d), kmeansTrain(s, d))
+  /** Drop memoized codebooks (tests + long-lived multi-corpus JVMs). */
+  def releaseKmeansCache(): Unit = kmeansCache.clear()
+
+  /** Trained codebook as a broadcastable centroid frame. cent_emb is the
+    * MICRO vector as float (exact): centroid RANKING under a micro-space
+    * dot equals ranking under the real-valued centroid (uniform 1e6 scale
+    * cancels), so probes stay consistent across engines with zero float
+    * rounding anywhere. */
+  def trainedCentroids(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    kmeansTrained(s, d)._1
+      .map { case (id, cm) => (id, cm.map(_.toFloat).toSeq) }
+      .toDF("cent_id", "cent_emb")
+  }
+
+  /** Micro-space IVF assignment: cell = argmax over Σ m_v[i]·m_c[i] (exact
+    * integers both engines), carrying the RAW embedding through as c_emb so
+    * candidate scoring stays in real cosine space. The trained-centroid
+    * counterpart of ivfAssignTo. */
+  def ivfAssignMicro(emb: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+        transform(microArr(col("embedding")), x => x.cast("float")).as("mf"))
+      .join(broadcast(cent))
+      .withColumn("sim", dot(col("mf"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("embedding").as("c_emb")),
+        struct(col("sim"), -col("cent_id"))).as("m"))
+      .select(col("vec_id").as("c_id"), col("m.cell").as("cell"),
+        col("m.c_emb").as("c_emb"))
+  }
+
+  /** The DuckDB mirror of kmeansTrain: micro corpus `kmm`, seed codebook
+    * `kc0`, then per iteration an argmax-assignment CTE, a (cell, dim)
+    * sum CTE, a per-cell new-centroid list CTE and a stats CTE — generated
+    * by the same loop bound as the Spark side (the bpeOracleStages
+    * discipline). Prefixed k* to compose collision-free with the recall
+    * SQL's CTE names. */
+  private def kmeansOracleStages(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH kmm AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+        FROM embeddings),
+      kc0 AS (SELECT vec_id AS cent_id, m AS cm FROM kmm WHERE vec_id % 100 = 0)""")
+    for (t <- 0 until iters) {
+      sb.append(s""",
+      ka$t AS (
+        SELECT vec_id, m, cent_id AS cell FROM (
+          SELECT v.vec_id, v.m, c.cent_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                     i -> v.m[i] * c.cm[i])) DESC, c.cent_id) AS rn
+          FROM kmm v CROSS JOIN kc$t c)
+        WHERE rn = 1),
+      kg$t AS (
+        SELECT cell, i.i AS i, CAST(SUM(m[i.i]) AS BIGINT) AS sv, COUNT(*) AS n
+        FROM ka$t CROSS JOIN generate_series(1, 64) AS i(i)
+        GROUP BY 1, 2),
+      ku$t AS (
+        SELECT cell, list(sv // n ORDER BY i) AS cml, any_value(n) AS n
+        FROM kg$t GROUP BY cell),
+      kc${t + 1} AS (
+        SELECT c.cent_id, COALESCE(u.cml, c.cm) AS cm,
+               COALESCE(u.n, 0) AS n, c.cm AS prev
+        FROM kc$t c LEFT JOIN ku$t u ON u.cell = c.cent_id),
+      ks$t AS (
+        SELECT ${t + 1} AS it, cent_id, CAST(n AS BIGINT) AS n,
+               CAST(list_sum(cm) AS BIGINT) AS csum,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> abs(cm[i] - prev[i]))) AS BIGINT) AS shift
+        FROM kc${t + 1})""")
+    }
+    sb.toString
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_cosine",
       (s, d) => {
