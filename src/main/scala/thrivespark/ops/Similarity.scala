@@ -205,12 +205,22 @@ object Similarity {
   private val KmeansIters = 3
   def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String,
       iters: Int = KmeansIters)
+      : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) =
+    kmeansTrainFrom(T.embeddings(s, d), iters)
+
+  /** kmeansTrain over any (vec_id, embedding) frame — the testable surface
+    * (hand-computed planted corpora in DedupSimilaritySpec). */
+  def kmeansTrainFrom(emb: org.apache.spark.sql.DataFrame, iters: Int = KmeansIters)
       : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) = {
-    thrivespark.functions.Register(s)
-    val memb = T.embeddings(s, d)
-      .select(col("vec_id"), col("m"),
-        transform(col("m"), x => x.cast("float")).as("mf"))
+    thrivespark.functions.Register(emb.sparkSession)
+    // the micro column is DERIVED here (embeddings has only vec_id/
+    // embedding/label) — m for the exact integer update, mf for the
+    // map-side float dot (micros ≤ 1e6 are exact in float32)
+    val memb = emb
+      .select(col("vec_id"), microArr(col("embedding")).as("m"))
+      .withColumn("mf", transform(col("m"), x => x.cast("float")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents: Seq[(Long, Array[Long])] = memb
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id"), col("m")).orderBy(col("vec_id")).collect()
@@ -221,12 +231,14 @@ object Similarity {
       // map-side vec_dot reproduces the integer micro-dot in double
       val centLit = typedlit(cents.map { case (id, cm) =>
         (id, cm.map(_.toFloat).toSeq) })
+      // aliases inside a lambda-built struct are not preserved (fields
+      // arrive as col1/col2): col1 = sim, col2 = -cent_id, so max = best
+      // sim, tie → lowest cent_id
       val best = array_max(transform(centLit, c =>
-        struct(dot(col("mf"), c.getField("_2")).as("sim"),
-          (-c.getField("_1")).as("negid"))))
+        struct(dot(col("mf"), c.getField("_2")), -c.getField("_1"))))
       // ONE shuffle, K×64 rows out of the partial aggregation per partition
       val sums = memb
-        .select((-best.getField("negid")).as("cell"),
+        .select((-best.getField("col2")).as("cell"),
           posexplode(col("m")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -247,8 +259,8 @@ object Similarity {
         }
       }
     }
-    memb.unpersist()
     (cents, stats.result())
+    } finally memb.unpersist(): Unit   // release even when an iteration throws
   }
 
   /** Session-scoped memo of the trained codebook + per-iteration stats —
@@ -259,8 +271,12 @@ object Similarity {
     .empty[(org.apache.spark.sql.SparkSession, String),
       (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)])]
   private def kmeansTrained(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) =
+      : (Seq[(Long, Array[Long])], Seq[(Int, Long, Long, Long, Long)]) = {
+    // prune codebooks of stopped sessions on access (the Tables.cache
+    // discipline) so long-lived multi-session JVMs don't retain dead ones
+    kmeansCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
     kmeansCache.getOrElseUpdate((s, d), kmeansTrain(s, d))
+  }
   /** Drop memoized codebooks (tests + long-lived multi-corpus JVMs). */
   def releaseKmeansCache(): Unit = kmeansCache.clear()
 
@@ -544,6 +560,27 @@ object Similarity {
                      CAST(COALESCE(h.n_hit, 0) * 1000000 // kq.k AS BIGINT) AS recall_micros
               FROM kq LEFT JOIN hit h ON h.q_id = kq.q_id
               ORDER BY kq.q_id""")),
+
+    // Lloyd's k-means training AS AN ORACLED QUERY (r16 — finishes the r15
+    // half-landed trainer): the op emits the per-(iteration, centroid)
+    // trajectory rows — member count n, centroid dim-sum csum, L1 shift vs
+    // the previous centroid — and the DuckDB oracle RE-RUNS the whole
+    // training loop from the same seed via the generated CTE chain
+    // (kmeansOracleStages, the text_bpe_train discipline: the mirror is
+    // generated by the same iteration bound, so the engines cannot drift
+    // silently). Everything is micro-space integer math (see microArr), so
+    // the differential test is exact per iteration, not approximate.
+    Op("sim_ann_kmeans_train",
+      (s, d) => {
+        import s.implicits._
+        val (_, stats) = kmeansTrained(s, d)
+        stats.toDF("it", "cent_id", "n", "csum", "shift")
+          .orderBy(col("it"), col("cent_id"))
+      },
+      Some(kmeansOracleStages(KmeansIters) + "\n" +
+        (0 until KmeansIters).map(t => s"SELECT * FROM ks$t").mkString(
+          "SELECT CAST(it AS INTEGER) AS it, cent_id, n, csum, shift FROM (",
+          " UNION ALL ", ") ORDER BY it, cent_id"))),
 
     // completes the ANN ladder (brute → IVF → sign-LSH → PQ): vectors are
     // encoded as M=8 subspace codes against a per-subspace codebook

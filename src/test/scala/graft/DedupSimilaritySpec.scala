@@ -364,4 +364,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"sub-minSpan overlap must not cut: ${out(12L)} ${out(13L)}")
     assert(out(14L) == (30L, 0L, ""), s"full duplicate must empty out: ${out(14L)}")
   }
+
+  test("kmeansTrainFrom: one hand-computed Lloyd iteration (assignment " +
+      "argmax, dot-tie -> lowest cent_id, integer mean, csum/shift stats)") {
+    // seeds = vec_id % 100 == 0 → ids 0 and 100. Planted micros (float32
+    // values chosen so round(x*1e6) lands on exact multiples of 1e5):
+    //   id 0  (seed c0): ( 1.0,  0.0) → (1000000,       0)
+    //   id 100(seed c1): ( 0.0,  1.0) → (      0, 1000000)
+    //   id 1:            ( 0.8,  0.2) → dot c0 .8  > c1 .2  → cell 0
+    //   id 2:            ( 0.5,  0.5) → dot c0 .5 == c1 .5  → TIE → cell 0
+    //   id 3:            (-0.3, -0.7) → dot c0 -.3 > c1 -.7 → cell 0
+    //   id 101:          ( 0.1,  0.9) → dot c1 .9  > c0 .1  → cell 1
+    // cell 0: n=4, Σ = (2000000, 0)       → c0' = (500000, 0)
+    //   csum = 500000, shift = |500000-1000000| + 0 = 500000
+    // cell 1: n=2, Σ = (100000, 1900000)  → c1' = (50000, 950000)
+    //   csum = 1000000, shift = 50000 + 50000 = 100000
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (100L, Seq(0.0f, 1.0f)),
+      (1L, Seq(0.8f, 0.2f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-0.3f, -0.7f)), (101L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val (cents, stats) = Similarity.kmeansTrainFrom(emb, iters = 1)
+    assert(cents.map { case (id, c) => id -> c.toSeq } ==
+      Seq(0L -> Seq(500000L, 0L), 100L -> Seq(50000L, 950000L)))
+    assert(stats == Seq(
+      (1, 0L, 4L, 500000L, 500000L),
+      (1, 100L, 2L, 1000000L, 100000L)))
+  }
+
+  test("kmeansTrainFrom: negative centroid mean truncates toward zero " +
+      "(Scala Long division == DuckDB // — floor would drift one micro)") {
+    // single seed (id 0); members sum to -100000 over n=3:
+    //   -100000 / 3 = -33333 truncated toward zero (floor gives -33334)
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f)), (1L, Seq(-0.5f)), (2L, Seq(-0.6f))
+    ).toDF("vec_id", "embedding")
+    val (cents, stats) = Similarity.kmeansTrainFrom(emb, iters = 1)
+    assert(cents == Seq(0L -> cents.head._2) && cents.head._2.toSeq == Seq(-33333L))
+    assert(stats == Seq((1, 0L, 3L, -33333L, 1033333L)))
+  }
+
+  test("kmeansTrainFrom: an empty cell keeps its previous centroid and " +
+      "reports n=0, shift=0") {
+    // id 100's vector EQUALS id 0's, so the assignment dot ties and the
+    // tie-break sends every vector (including 100's own) to cell 0 —
+    // cell 100 is empty and must carry its centroid through unchanged.
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (100L, Seq(1.0f, 0.0f)), (1L, Seq(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val (cents, stats) = Similarity.kmeansTrainFrom(emb, iters = 1)
+    val byId = cents.toMap
+    assert(byId(100L).toSeq == Seq(1000000L, 0L), "empty cell centroid moved")
+    assert(stats.find(_._2 == 100L).get == ((1, 100L, 0L, 1000000L, 0L)))
+    assert(stats.find(_._2 == 0L).get._3 == 3L, "all vectors must land in cell 0")
+  }
+
+  test("kmeansTrainFrom releases its persisted working set (try/finally, " +
+      "also on the planted-corpus path)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val emb = Seq((0L, Seq(1.0f)), (1L, Seq(0.5f))).toDF("vec_id", "embedding")
+    Similarity.kmeansTrainFrom(emb, iters = 2): Unit
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"kmeansTrainFrom leaked persistent RDDs: $leaked")
+  }
 }
