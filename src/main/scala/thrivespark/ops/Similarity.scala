@@ -311,6 +311,117 @@ object Similarity {
         col("m.c_emb").as("c_emb"))
   }
 
+  /** nprobe values the recall curve sweeps — shared by the Spark program
+    * and the generated oracle so the two cannot drift. */
+  private val CurveNprobes = Seq(1, 2, 3, 5)
+
+  /** recall@5 vs brute force for each nprobe in CurveNprobes, one pass:
+    * rank all 5 candidate cells once (crn), checkpoint the ranked candidate
+    * set + the exact top-5, then each curve point filters crn <= nprobe. */
+  def recallCurve(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint()                       // consumed once per curve point
+    val cent = ivfCentroids(emb)
+    val maxNp = CurveNprobes.max
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("cent_emb")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= maxNp)
+      .select(col("q_id"), col("q_emb"), col("crn"), col("cent_id").as("cell"))
+    val cand = probes.join(ivfAssign(emb), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .select(col("q_id"), col("c_id"), col("crn"), col("cos"))
+      .localCheckpoint()                       // ranked ONCE, filtered 4×
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    CurveNprobes.map { np =>
+      val approx = cand.filter(col("crn") <= np)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("k_total"), col("n_hit"))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("k_total"), col("n_hit").cast("long").as("n_hit"),
+        (col("n_hit").cast("long") * lit(1000000L)
+          / col("k_total")).cast("long").as("recall_micros"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Generated mirror of recallCurve: shared exact/cent/assigned/cand CTEs,
+    * then one (ap, r) CTE pair per CurveNprobes entry — same loop bound as
+    * the Spark side (the kmeansOracleStages discipline). */
+  private def recallCurveSql: String = {
+    val ddot = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val base = s"""WITH exact AS (
+        SELECT q_id, c_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${ddot("a.embedding", "b.embedding")} DESC,
+                   b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0)
+        WHERE rn <= 5),
+      cent AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 100 = 0),
+      a1 AS (
+        SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${ddot("e.embedding", "c.cent_emb")} DESC,
+                 c.cent_id) AS arn
+        FROM embeddings e CROSS JOIN cent c),
+      assigned AS (SELECT c_id, c_emb, cent_id AS cell FROM a1 WHERE arn = 1),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id % 50 = 0),
+      p1 AS (
+        SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${ddot("q.q_emb", "c.cent_emb")} DESC,
+                 c.cent_id) AS crn
+        FROM q CROSS JOIN cent c),
+      cand AS (
+        SELECT p.q_id, a.c_id, p.crn, ${ddot("p.q_emb", "a.c_emb")} AS cos
+        FROM (SELECT * FROM p1 WHERE crn <= ${CurveNprobes.max}) p
+        JOIN assigned a ON p.cell = a.cell
+        WHERE p.q_id <> a.c_id)"""
+    val perNp = CurveNprobes.map { np =>
+      s""",
+      ap$np AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, c_id) AS rn
+          FROM cand WHERE crn <= $np)
+        WHERE rn <= 5),
+      r$np AS (
+        SELECT $np AS nprobe, count(*) AS k_total, count(x.c_id) AS n_hit
+        FROM exact e LEFT JOIN ap$np x
+          ON e.q_id = x.q_id AND e.c_id = x.c_id)"""
+    }.mkString
+    val union = CurveNprobes.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")
+    s"""$base$perNp
+      SELECT CAST(nprobe AS INTEGER) AS nprobe, CAST(k_total AS BIGINT) AS k_total,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 1000000 // k_total AS BIGINT) AS recall_micros
+      FROM ($union) ORDER BY nprobe"""
+  }
+
   /** The decoded 8×8 grayscale thumbnail of every 25th document as a 64-dim
     * float query vector (row-major cell means, parsed from the decoder's
     * 64-byte thumb column via hex-pair → conv) — the cross-modal query set
@@ -578,6 +689,20 @@ object Similarity {
                      CAST(COALESCE(h.n_hit, 0) * 1000000 // kq.k AS BIGINT) AS recall_micros
               FROM kq LEFT JOIN hit h ON h.q_id = kq.q_id
               ORDER BY kq.q_id""")),
+
+    // The nprobe dial AS AN ORACLED QUERY (r16 — the recall-curve readout a
+    // vector store publishes before picking its probe budget): recall@5 of
+    // the IVF probe vs exact brute force, for nprobe ∈ {1,2,3,5} of the 5%
+    // centroid cells, in ONE pass. Cells are ranked once per query (crn);
+    // each curve point is a FILTER on that ranked candidate set, not a
+    // re-probe — candidates and the exact top-5 are localCheckpoint'd
+    // (consumed 4×, the persisted-stage-boundary rule), so the brute-force
+    // pass and the cell scan each run once. k_total/n_hit are corpus-grain
+    // sums; recall_micros must be non-decreasing in nprobe (pinned in
+    // DedupSimilaritySpec — more probed cells can only add candidates).
+    Op("sim_ann_recall_curve",
+      (s, d) => recallCurve(T.embeddings(s, d)),
+      Some(recallCurveSql)),
 
     // Lloyd's k-means training AS AN ORACLED QUERY (r16 — finishes the r15
     // half-landed trainer): the op emits the per-(iteration, centroid)

@@ -365,6 +365,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(14L) == (30L, 0L, ""), s"full duplicate must empty out: ${out(14L)}")
   }
 
+  test("sim_ann_recall_curve: recall is non-decreasing in nprobe and hits " +
+      "1.0 when every cell is probed (sf0.001 has exactly 5 cells)") {
+    val rows = thrivespark.Registry.queries("sim_ann_recall_curve")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 5), s"curve points: ${rows.toSeq}")
+    val rec = rows.map(_._2).toSeq
+    assert(rec == rec.sorted, s"recall must be monotone in nprobe: $rec")
+    // nprobe=5 probes ALL 5 centroid cells at sf0.001 → the probe IS the
+    // brute force pass → recall exactly 1
+    assert(rec.last == 1000000L, s"all-cells probe must have recall 1: $rec")
+  }
+
   test("kmeansTrainFrom: one hand-computed Lloyd iteration (assignment " +
       "argmax, dot-tie -> lowest cent_id, integer mean, csum/shift stats)") {
     // seeds = vec_id % 100 == 0 → ids 0 and 100. Planted micros (float32
