@@ -407,12 +407,21 @@ object StreamingOps {
     * (name, length, mtime) listing of the source parquet dir, md5'd;
     * staging re-uses a staged copy only while it matches the marker
     * written at stage time. */
-  private def srcFingerprint(d: String, table: String): String = {
-    val files = Option(new java.io.File(d, s"$table.parquet").listFiles())
-      .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(files.mkString("\n").getBytes("UTF-8"))
+  def srcFingerprint(d: String, table: String): String = {   // public: StreamingSpec pins it
+    val src = new java.io.File(d, s"$table.parquet")
+    // a single-FILE parquet source used to fall through listFiles() → null
+    // → the CONSTANT empty-listing hash, which matched its own marker
+    // forever and silently disabled stale-stage invalidation (r15 advisory)
+    val entries: Array[String] =
+      if (src.isFile) Array(s"${src.getName}:${src.length}:${src.lastModified}")
+      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
+    // unreadable/absent source: never match any stored marker (always
+    // stale) so a listing failure re-stages instead of serving stale rows
+    if (entries.isEmpty) s"unlistable:${System.nanoTime()}"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 

@@ -300,4 +300,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty,
       s"stream and batch scorers diverge on ${diffs.size} docs, e.g. ${diffs.take(3)}")
   }
+
+  test("srcFingerprint: single-FILE parquet sources fingerprint their own " +
+      "(name, length, mtime); unlistable sources are always stale") {
+    import thrivespark.ops.StreamingOps
+    val root = Files.createTempDirectory("graft_fp_test").toFile
+    try {
+      // directory source: fingerprint tracks member changes
+      val dir = new java.io.File(root, "t.parquet"); dir.mkdirs()
+      val part = new java.io.File(dir, "part-0.parquet")
+      Files.write(part.toPath, Array[Byte](1, 2, 3))
+      val fpDir1 = StreamingOps.srcFingerprint(root.getPath, "t")
+      Files.write(part.toPath, Array[Byte](1, 2, 3, 4))
+      part.setLastModified(part.lastModified + 5000): Unit
+      assert(StreamingOps.srcFingerprint(root.getPath, "t") != fpDir1,
+        "regenerated member must change the directory fingerprint")
+      // single-file source (pre-fix: constant empty-listing hash — staging
+      // NEVER invalidated): must fingerprint the file itself and move when
+      // the file is rewritten
+      val single = new java.io.File(root, "s.parquet")
+      Files.write(single.toPath, Array[Byte](9))
+      val fpFile1 = StreamingOps.srcFingerprint(root.getPath, "s")
+      assert(!fpFile1.startsWith("unlistable:"), "a real file must hash")
+      Files.write(single.toPath, Array[Byte](9, 9))
+      single.setLastModified(single.lastModified + 5000): Unit
+      assert(StreamingOps.srcFingerprint(root.getPath, "s") != fpFile1,
+        "rewritten single-file source must change fingerprint")
+      // absent/unlistable: two reads never agree → stage marker never
+      // matches → always re-staged instead of serving stale rows
+      val a = StreamingOps.srcFingerprint(root.getPath, "missing")
+      val b = StreamingOps.srcFingerprint(root.getPath, "missing")
+      assert(a != b, "unlistable source must be always-stale")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root): Unit
+  }
 }
