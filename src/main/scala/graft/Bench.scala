@@ -131,11 +131,45 @@ object Bench {
     * spikes one query, maybe two; three ADJACENT queries each >4× their
     * clean prior is a contention window, not noise. Takes ratios in suite
     * order (unlike ratioVerdict, which is order-free). */
-  private[graft] def contiguityBreach(orderedRatios: Seq[Double]): Boolean = {
+  private[graft] def contiguityBreach(orderedRatios: Seq[Double]): Boolean =
+    contiguityBreachOpt(orderedRatios.map(Some(_)))
+
+  /** Option-aware contiguity (r16, closing the r14/r15 advisory): a
+    * prior-less query (new op before priors regenerate) is SKIPPED — it
+    * neither extends nor RESETS the adjacency run. The previous neutral-1.0
+    * injection reset the ≥3 counter exactly in rounds that add new ops,
+    * i.e. the window [5x, new-op, 5x, 5x] read as two short clean runs.
+    * Skipping preserves the suite-order adjacency of the measured queries
+    * on either side of the gap. */
+  private[graft] def contiguityBreachOpt(orderedRatios: Seq[Option[Double]]): Boolean = {
     var run = 0; var worst = 0
-    orderedRatios.foreach { r =>
-      if (r > 4.0) { run += 1; if (run > worst) worst = run } else run = 0 }
+    orderedRatios.foreach {
+      case Some(r) if r > 4.0 => run += 1; if (run > worst) worst = run
+      case Some(_)            => run = 0
+      case None               => ()          // prior-less: carry the run forward
+    }
     worst >= 3
+  }
+
+  /** End-of-suite salvage list (r16): queries whose host-normalized ratio
+    * crossed 5× prior, plus every member of a contiguity window (≥3
+    * adjacent >4×, prior-less skipped) — the queries a contaminated record
+    * cannot adjudicate without a second measurement. Bounded by `cap` so a
+    * fully-poisoned run doesn't double its own wall-clock. Suite order in,
+    * suite order out. */
+  private[graft] def retryCandidates(named: Seq[(String, Option[Double])],
+      cap: Int = 8): Seq[String] = {
+    val over5 = named.collect { case (n, Some(r)) if r > 5.0 => n }
+    val windows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var run = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = { if (run.size >= 3) windows ++= run; run.clear() }
+    named.foreach {
+      case (n, Some(r)) if r > 4.0 => run += n
+      case (_, None)               => ()     // carry forward, like the breach rule
+      case _                       => flush()
+    }
+    flush()
+    (windows ++ over5).distinct.take(cap).toSeq
   }
 
   /** Host factor (r14): the run's own median prior-ratio, the uniform
@@ -277,21 +311,44 @@ object Bench {
     val (ratioMedian, over5x, ratioBreached) = ratioVerdict(ratios.map(_._2))
     // Contiguity runs on the HOST-NORMALIZED suite-order sequence (r14):
     // each ratio divided by the run's own median, so uniform host drift
-    // cannot fake (or mask) a contention window; prior-less queries (new
-    // ops before priors regenerate) contribute a NEUTRAL 1.0 instead of
-    // being dropped — dropping them spliced adjacency runs together and
-    // silently weakened the suite-order signal (r13 advisory).
+    // cannot fake (or mask) a contention window. Prior-less queries (new
+    // ops before priors regenerate) are SKIPPED, carrying the adjacency
+    // run across the gap (r16 — the earlier neutral-1.0 injection RESET
+    // the ≥3 counter exactly in rounds that add ops). Both the raw and the
+    // normalized verdicts are recorded; the normalized one gates.
     val hf = hostFactor(ratios.map(_._2))
-    val orderedNormalized = results.map { case (n, sec) =>
-      BenchPriors.prior.get(n).map(p => (sec / p) / hf).getOrElse(1.0) }
-    val contiguousBreached = contiguityBreach(orderedNormalized)
+    val orderedRaw: Seq[(String, Option[Double])] = results.map { case (n, sec) =>
+      n -> BenchPriors.prior.get(n).map(p => sec / p) }
+    val contiguousRaw = contiguityBreachOpt(orderedRaw.map(_._2))
+    val orderedNormalized = orderedRaw.map { case (n, r) => n -> r.map(_ / hf) }
+    val contiguousBreached = contiguityBreachOpt(orderedNormalized.map(_._2))
+    // End-of-suite salvage (r16): re-measure the spiked/windowed queries
+    // once, AFTER the post-run probes bracket the official suite. The
+    // retry never changes the total or the verdict — it gives the record
+    // the in-run second opinion that adjudicates "host noise on untouched
+    // code" (r15's win_first_last 2.6×) vs "this query really regressed"
+    // without waiting a round for a judge re-run.
+    val firstBySec = results.toMap
+    val retried = retryCandidates(orderedNormalized).map { name =>
+      val t0 = System.nanoTime()
+      QueryGuard.timed(spark, name, 300L) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      } match {
+        case Left(reason) => System.err.println(s"[bench] retry $name failed: $reason")
+        case Right(_) => ()
+      }
+      name -> (firstBySec(name), (System.nanoTime() - t0) / 1e9)
+    }
+    val retriedStr = retried.map { case (n, (a, b)) =>
+      f""""$n":[$a%.3f,$b%.3f]""" }.mkString("{", ",", "}")
     // a timed-out OR exception-failed query means part of the suite went
     // unmeasured — either way the record is not a valid total, label it
     val contaminated = probesBreached || ratioBreached || contiguousBreached ||
       nTimeout > 0 || nFailed > 0
     val midStr = midIo.map(v => f"$v%.3f").mkString("[", ",", "]")
     val midCpuStr = midCpu.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"cpu_mid_sec":$midCpuStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"contiguous_breached":$contiguousBreached,"prior_ratio_median":${ratioMedian}%.2f,"host_factor":${hf}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
+    val calib = f""""calibration_sec":[${calPre}%.3f,${calPost}%.3f],"io_sec":[${ioPre}%.3f,${ioPost}%.3f],"io_mid_sec":$midStr,"cpu_mid_sec":$midCpuStr,"contaminated":$contaminated,"ratio_breached":$ratioBreached,"contiguous_breached":$contiguousBreached,"contiguous_breached_raw":$contiguousRaw,"retried":$retriedStr,"prior_ratio_median":${ratioMedian}%.2f,"host_factor":${hf}%.2f,"n_over_5x_prior":$over5x,"n_timeout":$nTimeout,"n_failed":$nFailed,"cleaned_tmp":$cleaned"""
     if (ratios.nonEmpty) {
       val worst = ratios.sortBy(-_._2).take(8)
         .map { case (n, r) => f""""$n":${r}%.1f""" }.mkString("{", ",", "}")
@@ -306,7 +363,9 @@ object Bench {
     // must fit inside that window or BENCH_r{N}.json records parsed:null
     // (which is what happened in rounds 1-3). Keep the slowest queries up to
     // a fixed char budget and summarize the omitted fast tail.
-    val budget = 1300
+    // retried entries ride inside calib on the final line too — shrink the
+    // per-query keep budget so the line stays inside the driver's window
+    val budget = math.max(400, 1300 - retriedStr.length)
     val byCost = results.sortBy { case (k, v) => (-v, k) }
     var used = 0
     val keep = scala.collection.mutable.HashSet.empty[String]

@@ -136,6 +136,46 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.ratioVerdict(tail)._3)
   }
 
+  test("prior-less queries carry the contiguity run forward instead of " +
+      "resetting it (the r14/r15 advisory hole: a new op spliced into a " +
+      "contention window hid the breach)") {
+    // [5x, NEW-OP, 5x, 5x]: three measured adjacent spikes with a
+    // prior-less gap. The old neutral-1.0 injection read this as two short
+    // clean runs; the Option-aware rule must breach.
+    val window = Seq(Some(5.0), None, Some(5.0), Some(5.0))
+    val seq = Seq.fill[Option[Double]](40)(Some(1.0)) ++ window ++
+      Seq.fill[Option[Double]](40)(Some(1.0))
+    assert(Bench.contiguityBreachOpt(seq), "gap must not reset the run")
+    // replaying what the 1.0 injection did: breach disappears — the exact
+    // false-clean this change removes
+    assert(!Bench.contiguityBreach(seq.map(_.getOrElse(1.0))))
+    // prior-less entries alone are not evidence of anything
+    assert(!Bench.contiguityBreachOpt(Seq.fill[Option[Double]](20)(None)))
+    // a CLEAN measured query between spikes still splits the run
+    assert(!Bench.contiguityBreachOpt(
+      Seq(Some(5.0), Some(0.9), Some(5.0), None, Some(5.0))))
+  }
+
+  test("retryCandidates isolates the r15 official record's spikes: " +
+      "isolated under-5x drifts are NOT retried; true spikes and window " +
+      "members are, bounded by cap, in suite order") {
+    // r15 shape: win_first_last 2.6x and agg_approx_distinct 2.0x —
+    // isolated, under 5x → nothing to salvage (they were adjudicated
+    // host-noise only a round later; the retry list is for queries the
+    // record CANNOT adjudicate alone)
+    val r15 = Seq("a" -> Some(1.0), "win_first_last" -> Some(2.6),
+      "agg_approx_distinct" -> Some(2.0), "b" -> Some(0.9))
+    assert(Bench.retryCandidates(r15).isEmpty)
+    // a genuine over-5x spike is retried; so is every member of a >=3
+    // adjacent >4x window (prior-less gap skipped, like the breach rule)
+    val mixed = Seq("w1" -> Some(4.2), "new_op" -> None, "w2" -> Some(4.5),
+      "w3" -> Some(4.1), "ok" -> Some(1.0), "spike" -> Some(7.0))
+    assert(Bench.retryCandidates(mixed) == Seq("w1", "w2", "w3", "spike"))
+    // cap bounds a fully-poisoned run
+    val poisoned = (1 to 50).map(i => s"q$i" -> Some(6.0))
+    assert(Bench.retryCandidates(poisoned).size == 8)
+  }
+
   test("QueryGuard: success passes through, a hung query is cancelled and " +
       "the session survives") {
     val spark = SparkTestBase.spark
