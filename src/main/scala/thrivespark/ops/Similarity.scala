@@ -84,9 +84,27 @@ object Similarity {
         col("m.c_emb").as("c_emb"))
   }
 
-  /** Default deterministic centroid rule: vec_id % 100 == 0. */
+  /** Coarse-codebook size cap. The seed rule below yields AT MOST IvfK
+    * centroids no matter how large the corpus grows — the same discipline
+    * sim_ann_pq applies to its K=64 product codebook ("the codebook must
+    * stay a constant-size broadcast at 100 TB"). Without the cap the old
+    * `vec_id % 100 == 0` rule grew K linearly with the corpus, which at
+    * 100 TB is a scale-killer three ways: the centroid broadcast grows as
+    * n/100, per-vector assignment is O(K)=O(n/100) (quadratic total), and
+    * the k-means seed collect is O(n) on the driver. With the cap all
+    * three are constants. At the shipped SFs (max vec_id 1999) the cap
+    * never bites, so every ANN oracle is unchanged by construction;
+    * ScaleStressSpec synthesizes a corpus past the cap and pins K flat. */
+  val IvfK = 64
+  val IvfSeedCap: Long = IvfK * 100L
+  /** SQL mirror of the coarse seed rule — interpolated into every ANN
+    * oracle so the two engines share ONE rule and cannot drift. */
+  val IvfSeedSql: String = s"vec_id % 100 = 0 AND vec_id < $IvfSeedCap"
+
+  /** Default deterministic centroid rule: vec_id % 100 == 0, capped at
+    * IvfK seeds (vec_id < IvfSeedCap). */
   def ivfCentroids(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    emb.filter(col("vec_id") % 100 === 0)
+    emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < IvfSeedCap)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
   /** IVF coarse assignment over any (vec_id, embedding) frame with the
@@ -221,8 +239,10 @@ object Similarity {
       .withColumn("mf", transform(col("m"), x => x.cast("float")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // codebook-sized collect: the IvfSeedCap bounds this at IvfK rows
+    // regardless of corpus size (never an O(n) driver pull)
     var cents: Seq[(Long, Array[Long])] = memb
-      .filter(col("vec_id") % 100 === 0)
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < IvfSeedCap)
       .select(col("vec_id"), col("m")).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
     val stats = Seq.newBuilder[(Int, Long, Long, Long, Long)]
@@ -378,7 +398,7 @@ object Similarity {
         WHERE rn <= 5),
       cent AS (
         SELECT vec_id AS cent_id, embedding AS cent_emb
-        FROM embeddings WHERE vec_id % 100 = 0),
+        FROM embeddings WHERE $IvfSeedSql),
       a1 AS (
         SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
@@ -448,11 +468,11 @@ object Similarity {
     * SQL's CTE names. */
   private def kmeansOracleStages(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append("""WITH kmm AS (
+    sb.append(s"""WITH kmm AS (
         SELECT vec_id, list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
         FROM embeddings),
-      kc0 AS (SELECT vec_id AS cent_id, m AS cm FROM kmm WHERE vec_id % 100 = 0)""")
+      kc0 AS (SELECT vec_id AS cent_id, m AS cm FROM kmm WHERE $IvfSeedSql)""")
     for (t <- 0 until iters) {
       sb.append(s""",
       ka$t AS (
@@ -517,9 +537,9 @@ object Similarity {
     // recall vs brute force is measured separately in DedupSimilaritySpec.
     Op("sim_ann_ivf",
       (s, d) => annTopK(s, d),
-      Some("""WITH cent AS (
+      Some(s"""WITH cent AS (
                 SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE $IvfSeedSql),
               a1 AS (
                 SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -562,9 +582,9 @@ object Similarity {
     // delta's % 3 = 0 slice.
     Op("sim_ann_incremental",
       (s, d) => annIncremental(s, d),
-      Some("""WITH cent AS (
+      Some(s"""WITH cent AS (
                 SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE vec_id % 100 = 0 AND vec_id % 7 <> 3),
+                FROM embeddings WHERE $IvfSeedSql AND vec_id % 7 <> 3),
               a1 AS (
                 SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -634,7 +654,7 @@ object Similarity {
               / col("k").cast("long")).cast("long").as("recall_micros"))
           .orderBy(col("q_id"))
       },
-      Some("""WITH exact AS (
+      Some(s"""WITH exact AS (
                 SELECT q_id, c_id FROM (
                   SELECT a.vec_id AS q_id, b.vec_id AS c_id,
                          row_number() OVER (PARTITION BY a.vec_id
@@ -646,7 +666,7 @@ object Similarity {
                 WHERE rn <= 5),
               cent AS (
                 SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE $IvfSeedSql),
               a1 AS (
                 SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -1086,7 +1106,7 @@ object Similarity {
             excludeSelf = false)
           .select(col("q_id"), col("c_id"), col("cos").as("score"), col("rn"))
       },
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
                 SELECT doc_id AS media_id,
                        8 + (doc_id % 9) AS w,
                        8 + (doc_id % 7) AS h
@@ -1110,7 +1130,7 @@ object Similarity {
                 FROM cells GROUP BY 1),
               cent AS (
                 SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE $IvfSeedSql),
               a1 AS (
                 SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -1174,7 +1194,7 @@ object Similarity {
               / col("k").cast("long")).cast("long").as("recall_micros"))
           .orderBy(col("q_id"))
       },
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
                 SELECT doc_id AS media_id,
                        8 + (doc_id % 9) AS w,
                        8 + (doc_id % 7) AS h
@@ -1207,7 +1227,7 @@ object Similarity {
                 WHERE rn <= 5),
               cent AS (
                 SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE $IvfSeedSql),
               a1 AS (
                 SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
                        row_number() OVER (PARTITION BY e.vec_id

@@ -426,30 +426,46 @@ class ScaleStressSpec extends AnyFunSuite {
     bigDocs.unpersist(); base.unpersist()
   }
 
-  test("10x embeddings: IVF cells stay balanced so a probe scans a bounded " +
-      "corpus fraction; the ANN query completes end-to-end", ScaleStress) {
+  test("10x embeddings: IVF coarse codebook is CAPPED at IvfK — broadcast " +
+      "size and per-vector assignment cost stay constant as the corpus " +
+      "grows; the ANN query completes end-to-end", ScaleStress) {
     val emb = T.embeddings(spark, sf01)
-    val copies = spark.range(0, 10).select(col("id").as("k"))
-    // id = old*10+k keeps the op's own conventions meaningful at 10x:
-    // centroids (id%100==0) = 200, queries (id%50==0) = 400
-    val big = emb.crossJoin(copies)
-      .select((col("vec_id") * 10 + col("k")).as("vec_id"), col("embedding"))
-      .persist()
+    def grow(factor: Int) = {
+      val copies = spark.range(0, factor.toLong).select(col("id").as("k"))
+      // id = old*factor+k keeps the op's own conventions meaningful at
+      // scale: queries (id%50==0) = 200*factor; centroid SEEDS (id%100==0)
+      // would be 20*factor uncapped — the IvfSeedCap bounds them at IvfK
+      emb.crossJoin(copies)
+        .select((col("vec_id") * factor + col("k")).as("vec_id"),
+          col("embedding"))
+    }
+    // the scale law itself: centroid count (= broadcast rows = per-vector
+    // assignment candidates) is FLAT at IvfK past the cap, not n/100
+    val k1  = Similarity.ivfCentroids(emb).count()       // 2 000 ids → uncapped
+    val k10 = Similarity.ivfCentroids(grow(10)).count()  // 20 000 ids → capped
+    val k30 = Similarity.ivfCentroids(grow(30)).count()  // 60 000 ids → capped
+    assert(k1 == 20, s"sf0.1 corpus: expected 20 uncapped seeds, got $k1")
+    assert(k10 == Similarity.IvfK && k30 == Similarity.IvfK,
+      s"codebook must stay flat at IvfK=${Similarity.IvfK} past the cap " +
+      s"(got 10x=$k10, 30x=$k30) — unbounded K is the 100 TB scale-killer")
+
+    val big = grow(10).persist()
     val nBig = big.count()
     assert(nBig == 20000)
-
     val cells = Similarity.ivfAssign(big)
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       .agg(max(col("sz")), count(lit(1))).head()
     val (maxCell, nCells) = (cells.getLong(0), cells.getLong(1))
-    assert(nCells >= 150, s"degenerate quantizer: only $nCells cells used")
+    assert(nCells == Similarity.IvfK,
+      s"degenerate quantizer: only $nCells of ${Similarity.IvfK} cells used")
     // a query scans nprobe=2 cells: bound the worst-case scanned fraction
     assert(maxCell * 2 <= nBig / 10,
       s"max cell $maxCell: one probe pair would scan >10% of the corpus")
 
     val topk = Similarity.annTopKFrom(big).count()
     assert(topk == 400L * 5, s"expected 2000 result rows, got $topk")
-    info(s"nBig=$nBig cells=$nCells maxCell=$maxCell")
+    info(s"nBig=$nBig cells=$nCells maxCell=$maxCell K(1x,10x,30x)=" +
+      s"($k1,$k10,$k30)")
     big.unpersist()
   }
 
