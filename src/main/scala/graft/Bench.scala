@@ -12,7 +12,7 @@ object Bench {
     // prefix: r7's broad prefix permanently shielded orphaned dirs of
     // removed stagings (e.g. the old _ord_ variant) from the sweep
     "graft_stream_stage_sf", "graft_stream_stage_flush_sf",
-    "graft_stream_stage_docs_sf",
+    "graft_stream_stage_docs_sf", "graft_stream_stage_emb_sf",
     "graft_bucketed", "graft_badcsv_", "graft_dpp_")
 
   /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on
@@ -141,35 +141,59 @@ object Bench {
     * i.e. the window [5x, new-op, 5x, 5x] read as two short clean runs.
     * Skipping preserves the suite-order adjacency of the measured queries
     * on either side of the gap. */
+  /** How many consecutive PRIOR-LESS entries an adjacency run may be
+    * carried across (r17, closing the r16 advisory): skipping gaps
+    * unboundedly lets two spikes separated by MANY consecutive new ops —
+    * real wall-clock apart — count as adjacent, over-labeling records in
+    * rounds that add several ops (the opposite bias of the old neutral-1.0
+    * reset). Two is enough to bridge a new op or two spliced into a
+    * window while keeping "adjacent" temporally meaningful. */
+  private val MaxCarryGap = 2
+
   private[graft] def contiguityBreachOpt(orderedRatios: Seq[Option[Double]]): Boolean = {
-    var run = 0; var worst = 0
+    var run = 0; var worst = 0; var gap = 0
     orderedRatios.foreach {
-      case Some(r) if r > 4.0 => run += 1; if (run > worst) worst = run
-      case Some(_)            => run = 0
-      case None               => ()          // prior-less: carry the run forward
+      case Some(r) if r > 4.0 => run += 1; gap = 0; if (run > worst) worst = run
+      case Some(_)            => run = 0; gap = 0
+      case None               => // prior-less: carry the run across short gaps only
+        gap += 1; if (gap > MaxCarryGap) run = 0
     }
     worst >= 3
   }
 
-  /** End-of-suite salvage list (r16): queries whose host-normalized ratio
-    * crossed 5× prior, plus every member of a contiguity window (≥3
-    * adjacent >4×, prior-less skipped) — the queries a contaminated record
-    * cannot adjudicate without a second measurement. Bounded by `cap` so a
-    * fully-poisoned run doesn't double its own wall-clock. Suite order in,
-    * suite order out. */
-  private[graft] def retryCandidates(named: Seq[(String, Option[Double])],
+  /** End-of-suite salvage list: queries a contaminated-or-suspect record
+    * cannot adjudicate without a second measurement. Three triggers on the
+    * host-normalized suite-order sequence:
+    *  (1) ratio > 5× prior (r16);
+    *  (2) member of a contiguity window — ≥3 adjacent >4×, prior-less
+    *      carried across ≤ MaxCarryGap entries (r16/r17);
+    *  (3) ratio > 2× AND absolute regression > 1.5 s (r17 — the r16 record's
+    *      stream_stream_join 2.0× (+3.1 s) and stream_dedup_state 2.05×
+    *      (+1.8 s) doubled without qualifying under (1)/(2) and had to wait
+    *      a full round for adjudication).
+    * `deltaSec` is the RAW sec − prior (not normalized: the threshold is
+    * about real wall-clock at stake). Bounded by `cap` so a fully-poisoned
+    * run doesn't double its own wall-clock; the keep-set is built first and
+    * then filtered in suite order, so the cap drops the LATEST-in-suite
+    * candidates, never an earlier spike in favor of a later window member. */
+  private[graft] def retryCandidates(
+      named: Seq[(String, Option[Double], Option[Double])],
       cap: Int = 8): Seq[String] = {
-    val over5 = named.collect { case (n, Some(r)) if r > 5.0 => n }
-    val windows = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    named.foreach { case (n, r, d) =>
+      if (r.exists(_ > 5.0)) keep += n
+      if (r.exists(_ > 2.0) && d.exists(_ > 1.5)) keep += n
+    }
     var run = scala.collection.mutable.ArrayBuffer.empty[String]
-    def flush(): Unit = { if (run.size >= 3) windows ++= run; run.clear() }
+    var gap = 0
+    def flush(): Unit = { if (run.size >= 3) keep ++= run; run.clear() }
     named.foreach {
-      case (n, Some(r)) if r > 4.0 => run += n
-      case (_, None)               => ()     // carry forward, like the breach rule
-      case _                       => flush()
+      case (n, Some(r), _) if r > 4.0 => run += n; gap = 0
+      case (_, None, _)               => gap += 1; if (gap > MaxCarryGap) flush()
+      case _                          => gap = 0; flush()
     }
     flush()
-    (windows ++ over5).distinct.take(cap).toSeq
+    named.collect { case (n, _, _) if keep(n) => n }.take(cap).toSeq
   }
 
   /** Host factor (r14): the run's own median prior-ratio, the uniform
@@ -329,7 +353,12 @@ object Bench {
     // code" (r15's win_first_last 2.6×) vs "this query really regressed"
     // without waiting a round for a judge re-run.
     val firstBySec = results.toMap
-    val retried = retryCandidates(orderedNormalized).map { name =>
+    // normalized ratio drives the relative triggers; the raw sec − prior
+    // delta drives the absolute one (real wall-clock at stake)
+    val retryInput = results.map { case (n, sec) =>
+      val p = BenchPriors.prior.get(n)
+      (n, p.map(sec / _ / hf), p.map(sec - _)) }
+    val retried = retryCandidates(retryInput).map { name =>
       val t0 = System.nanoTime()
       QueryGuard.timed(spark, name, 300L) {
         SparkEntry.queries(name)(spark, sfDir)

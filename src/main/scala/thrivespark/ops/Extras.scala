@@ -1056,10 +1056,15 @@ object Extras {
     // every ETL framework ships (r14): one pass over the table melted to
     // (col_name, v_num, v_str) rows, one groupBy computing n_rows, nulls,
     // distincts and typed min/max per column. The melt costs a bounded 5×
-    // row fan-out but keeps the stats ONE map-side-combinable aggregation
-    // (reaggregatable across partitions/shards — the profile of a 100 TB
-    // table is a per-file profile merge, which this shape gives for free),
-    // instead of 5 separate scans or a multi-distinct Expand. Numeric
+    // row fan-out but keeps the stats one aggregation instead of 5
+    // separate scans or a multi-distinct Expand. Honest scale note (r17):
+    // count/null/min/max are map-side-combinable AND reaggregatable across
+    // shards (a 100 TB profile can merge per-file profiles of those), but
+    // n_distinct here is an EXACT countDistinct, which is NOT mergeable —
+    // merging per-shard exact distinct counts over-counts values present
+    // in several shards. This op trades shard-mergeability for exactness
+    // (and an exact oracle); dq_profile_hll below is the shard-mergeable
+    // variant — HLL sketches merge losslessly, at ±2% error. Numeric
     // min/max ride as DOUBLE (exact column values, no arithmetic);
     // distincts count the string rendering, identical across engines for
     // the integer/2-decimal/ASCII domains profiled here.
@@ -1101,6 +1106,40 @@ object Extras {
                      min(v_num) AS min_num, max(v_num) AS max_num,
                      min(v_str) AS min_str, max(v_str) AS max_str
               FROM m GROUP BY col_name ORDER BY col_name""")),
+
+    // The shard-mergeable profile (r17 — the 100 TB path): identical melt
+    // and stats, but n_distinct is approx_count_distinct (HLL++, rsd 1%).
+    // HLL registers merge losslessly across partitions/files/shards, so a
+    // 100 TB table's profile really is a per-file profile merge — the
+    // property the exact variant above documents itself as lacking.
+    // Sketch estimates are engine-specific ⇒ rows-only (R5, like
+    // agg_approx_distinct); ExtrasSpec pins the estimate within ±2% of
+    // the exact profile's n_distinct, per column, plus exact equality on
+    // every mergeable stat.
+    Op("dq_profile_hll",
+      (s, d) => {
+        val ev = T.events(s, d)
+        def m(name: String, num: org.apache.spark.sql.Column,
+            str: org.apache.spark.sql.Column) =
+          struct(lit(name).as("col_name"), num.cast("double").as("v_num"),
+            str.cast("string").as("v_str"))
+        ev.select(explode(array(
+            m("event_id", col("event_id"), col("event_id")),
+            m("user_id", col("user_id"), col("user_id")),
+            m("value", col("value"), col("value")),
+            m("event_type", lit(null), col("event_type")),
+            m("props", lit(null), col("props")))).as("m"))
+          .select(col("m.col_name").as("col_name"), col("m.v_num").as("v_num"),
+            col("m.v_str").as("v_str"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("v_str"))).as("n_null"),
+            approx_count_distinct(col("v_str"), 0.01).as("n_distinct"),
+            min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
+            min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
+          .orderBy(col("col_name"))
+      },
+      None),
 
     Op("dq_k_anonymity",
       (s, d) => {

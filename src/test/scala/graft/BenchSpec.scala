@@ -154,26 +154,67 @@ class BenchSpec extends AnyFunSuite {
     // a CLEAN measured query between spikes still splits the run
     assert(!Bench.contiguityBreachOpt(
       Seq(Some(5.0), Some(0.9), Some(5.0), None, Some(5.0))))
+    // r17 (r16 advisory): the carry is CAPPED — spikes separated by many
+    // consecutive prior-less entries are real wall-clock apart, not
+    // adjacent. A 2-gap still bridges; a 3-gap resets the run.
+    assert(Bench.contiguityBreachOpt(
+      Seq(Some(5.0), None, None, Some(5.0), Some(5.0))),
+      "a <=2 prior-less gap must still bridge the window")
+    assert(!Bench.contiguityBreachOpt(
+      Seq(Some(5.0), None, None, None, Some(5.0), Some(5.0))),
+      "3+ consecutive new ops between spikes = not temporally adjacent")
   }
 
   test("retryCandidates isolates the r15 official record's spikes: " +
       "isolated under-5x drifts are NOT retried; true spikes and window " +
       "members are, bounded by cap, in suite order") {
-    // r15 shape: win_first_last 2.6x and agg_approx_distinct 2.0x —
-    // isolated, under 5x → nothing to salvage (they were adjudicated
-    // host-noise only a round later; the retry list is for queries the
-    // record CANNOT adjudicate alone)
-    val r15 = Seq("a" -> Some(1.0), "win_first_last" -> Some(2.6),
-      "agg_approx_distinct" -> Some(2.0), "b" -> Some(0.9))
+    // r15 shape: win_first_last 2.6x (tiny query, delta 0.25 s) and
+    // agg_approx_distinct 2.0x (delta 0.4 s) — isolated, under 5x, and
+    // under the absolute-delta floor → nothing to salvage (they were
+    // adjudicated host-noise only a round later; the retry list is for
+    // queries the record CANNOT adjudicate alone)
+    val r15 = Seq(("a", Some(1.0), Some(0.0)),
+      ("win_first_last", Some(2.6), Some(0.25)),
+      ("agg_approx_distinct", Some(2.0), Some(0.4)),
+      ("b", Some(0.9), Some(-0.1)))
     assert(Bench.retryCandidates(r15).isEmpty)
     // a genuine over-5x spike is retried; so is every member of a >=3
     // adjacent >4x window (prior-less gap skipped, like the breach rule)
-    val mixed = Seq("w1" -> Some(4.2), "new_op" -> None, "w2" -> Some(4.5),
-      "w3" -> Some(4.1), "ok" -> Some(1.0), "spike" -> Some(7.0))
+    val mixed = Seq(("w1", Some(4.2), Some(1.0)), ("new_op", None, None),
+      ("w2", Some(4.5), Some(1.1)), ("w3", Some(4.1), Some(1.0)),
+      ("ok", Some(1.0), Some(0.0)), ("spike", Some(7.0), Some(2.0)))
     assert(Bench.retryCandidates(mixed) == Seq("w1", "w2", "w3", "spike"))
     // cap bounds a fully-poisoned run
-    val poisoned = (1 to 50).map(i => s"q$i" -> Some(6.0))
+    val poisoned = (1 to 50).map(i => (s"q$i", Some(6.0), Some(3.0)))
     assert(Bench.retryCandidates(poisoned).size == 8)
+    // suite order survives the cap (r16 advisory): an early spike must not
+    // be dropped in favor of later window members — keep-set first, then
+    // one ordered filter
+    val early = ("early_spike", Some(9.0), Some(4.0))
+    val lateWin = (1 to 9).map(i => (s"w$i", Some(4.5), Some(1.0)))
+    val ordered = Bench.retryCandidates(early +: lateWin, cap = 8)
+    assert(ordered.head == "early_spike" && ordered.size == 8,
+      s"early spike must survive the cap in suite position: $ordered")
+  }
+
+  test("retryCandidates r17 trigger: ratio >2x AND absolute delta >1.5 s — " +
+      "replaying the r16 record's stream pair selects exactly them") {
+    // BENCH_r16: stream_stream_join 3.15->6.25 s (2.0x, +3.1 s) and
+    // stream_dedup_state 1.75->3.58 s (2.05x, +1.8 s) doubled without
+    // qualifying under the >5x / window triggers and had to wait a full
+    // round for adjudication. The absolute-delta trigger catches both;
+    // small-query drift of the same ratio (r15's win_first_last) does not.
+    val r16 = Seq(("ok1", Some(0.92), Some(-0.1)),
+      ("stream_stream_join", Some(2.17), Some(3.10)),   // 2.0x / host 0.92
+      ("mid", Some(1.0), Some(0.0)),
+      ("stream_dedup_state", Some(2.23), Some(1.83)),
+      ("ok2", Some(0.9), Some(-0.05)))
+    assert(Bench.retryCandidates(r16) ==
+      Seq("stream_stream_join", "stream_dedup_state"))
+    // ratio alone (big delta, mild ratio) or delta alone (big ratio on a
+    // sub-second query) must NOT trigger — both legs are required
+    assert(Bench.retryCandidates(Seq(("slow_but_mild", Some(1.8), Some(9.0)))).isEmpty)
+    assert(Bench.retryCandidates(Seq(("tiny_spike", Some(3.0), Some(0.8)))).isEmpty)
   }
 
   test("QueryGuard: success passes through, a hung query is cancelled and " +

@@ -383,6 +383,27 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.02, s"approx=$approx exact=$exact")
   }
 
+  test("dq_profile_hll: per-column HLL n_distinct within 2% of the exact " +
+      "profile; every mergeable stat identical") {
+    // the shard-mergeable profile must agree with the exact one on the
+    // stats that merge losslessly (count/null/min/max) and track the
+    // non-mergeable one within the sketch's error budget
+    val exact = thrivespark.Registry.queries("dq_profile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hll = thrivespark.Registry.queries("dq_profile_hll")(spark, sf001).collect()
+    assert(hll.length == exact.size, "profiles must cover the same columns")
+    hll.foreach { r =>
+      val e = exact(r.getString(0))
+      (1 to 2).foreach(i => assert(r.getLong(i) == e.getLong(i),
+        s"${r.getString(0)} mergeable stat $i diverged: $r vs $e"))
+      (4 to 7).foreach(i => assert(r.get(i) == e.get(i),
+        s"${r.getString(0)} min/max $i diverged: $r vs $e"))
+      val (a, x) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(a - x) / x <= 0.02,
+        s"${r.getString(0)}: hll n_distinct $a vs exact $x off by >2%")
+    }
+  }
+
   test("gini aggregator matches direct computation") {
     import thrivespark.udf.GiniAggregator
     val xs = List(10.0, 20.0, 30.0, 40.0)
