@@ -248,6 +248,38 @@ object StreamingOps {
                      CAST(max(run_wins) + 7 AS BIGINT) AS max_shared_tokens
               FROM r2 GROUP BY a_id, b_id ORDER BY a_id, b_id""")),
 
+    // Streaming ANN ingest (r17 — the streaming counterpart of
+    // sim_ann_incremental): the standing centroid table is persisted ONCE
+    // (the deterministic capped seed rule over the corpus — the "existing
+    // cells"), then vectors stream in and each micro-batch is assigned to
+    // those cells map-side and appended idempotently (batch=<id>
+    // overwrite partitions). Assignment against a FIXED codebook is
+    // stateless per-row work, so the drained index provably equals the
+    // one-shot assignment of everything — which is the oracle, exact.
+    Op("stream_ann_ingest",
+      (s, d) => {
+        val stage = stageEmbDir(s, d)
+        val cp = thrivespark.Scratch.dir("cp_annig")
+        val root = thrivespark.Scratch.dir("annig")
+        val centDir = s"$root/centroids"
+        Similarity.ivfCentroids(T.embeddings(s, d))
+          .write.mode("overwrite").parquet(centDir)
+        thrivespark.streaming.StreamRunner
+          .annIngestStream(s, stage, cp, centDir, s"$root/index")
+      },
+      Some(s"""WITH cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE ${Similarity.IvfSeedSql}),
+              a1 AS (
+                SELECT e.vec_id AS c_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c)
+              SELECT c_id, cent_id AS cell FROM a1 WHERE arn = 1
+              ORDER BY c_id""")),
+
     Op("stream_score_model",
       (s, d) => {
         val stage = stageDocsDir(s, d)
@@ -411,18 +443,34 @@ object StreamingOps {
     val src = new java.io.File(d, s"$table.parquet")
     // a single-FILE parquet source used to fall through listFiles() → null
     // → the CONSTANT empty-listing hash, which matched its own marker
-    // forever and silently disabled stale-stage invalidation (r15 advisory)
-    val entries: Array[String] =
-      if (src.isFile) Array(s"${src.getName}:${src.length}:${src.lastModified}")
-      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isFile)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
-    // unreadable/absent source: never match any stored marker (always
-    // stale) so a listing failure re-stages instead of serving stale rows
-    if (entries.isEmpty) s"unlistable:${System.nanoTime()}"
-    else java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    // forever and silently disabled stale-stage invalidation (r15 advisory).
+    // The walk is RECURSIVE (r17, closing the r16 advisory): a partitioned
+    // parquet source keeps its part files in key=value subdirectories, so
+    // a top-level-only listing saw zero files and fingerprinted the dir as
+    // unlistable:<nanoTime> — indistinguishable from a failed listing and
+    // re-staged on every access forever. Nested files are keyed by their
+    // RELATIVE path so a row moving between partitions flips the hash.
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isFile) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+    val entries: Option[Seq[String]] =
+      if (src.isFile) Some(Seq(s"${src.getName}:${src.length}:${src.lastModified}"))
+      else if (!src.isDirectory) None          // absent or unreadable root
+      else Some(walk(src, "").sorted)
+    entries match {
+      // absent/unreadable source: never match any stored marker (always
+      // stale) so a listing failure re-stages instead of serving stale rows
+      case None => s"unlistable:${System.nanoTime()}"
+      // exists-but-no-files-yet (a not-yet-populated stream source) is a
+      // DETERMINISTIC state, not a failure: a stable marker avoids the
+      // perpetual-re-stage loop, and the hash flips as soon as files arrive
+      case Some(es) if es.isEmpty => "empty-dir"
+      case Some(es) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(es.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+    }
   }
 
   private def stageFresh(dir: String, fp: String): Boolean = {
@@ -444,6 +492,21 @@ object StreamingOps {
     val fp = srcFingerprint(d, "documents")
     if (!stageFresh(dir, fp)) {
       thrivespark.Tables.documents(s, d).repartition(2)
+        .write.mode("overwrite").parquet(dir)
+      markStaged(dir, fp)
+    }
+    dir
+  }
+
+  /** Stage embeddings once per sf as a 3-file stream source for the
+    * streaming ANN ingest (assignment is per-row map-side work against a
+    * fixed codebook, so arrival order and batch boundaries are
+    * irrelevant — hash-split is fine; 3 files = 3 micro-batches). */
+  private def stageEmbDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_stage_emb_${tag(d)}"
+    val fp = srcFingerprint(d, "embeddings")
+    if (!stageFresh(dir, fp)) {
+      thrivespark.Tables.embeddings(s, d).repartition(3)
         .write.mode("overwrite").parquet(dir)
       markStaged(dir, fp)
     }

@@ -322,6 +322,51 @@ object StreamRunner {
       .select(col("a_id"), col("b_id"), col("n_runs"), col("max_shared_tokens"))
   }
 
+  /** Streaming ANN ingest (r17 — the streaming counterpart of
+    * sim_ann_incremental, composing its standing-index discipline with the
+    * substringIndexStream sink pattern): vectors arrive in micro-batches
+    * (maxFilesPerTrigger=1 ⇒ one batch per staged file) and each batch is
+    * assigned to the EXISTING IVF cells — the centroid table persisted at
+    * `centDir` BEFORE the stream starts (the standing index) — via ONE
+    * broadcast map-side argmax over the batch only (ivfAssignTo). No
+    * re-clustering, no state store, no shuffle on the stream side: at
+    * 100 TB the standing centroids are a constant-size broadcast (capped
+    * at IvfK) and each micro-batch pays O(batch) work. Batch appends are
+    * IDEMPOTENT (each batch owns a batch=<id> partition written with
+    * overwrite, so a crash-replay is a no-op — the substringIndexStream
+    * sink contract). Assignment is stateless per-row work against a fixed
+    * codebook, so batch boundaries cannot affect results: the drained
+    * index equals the one-shot assignment of everything against the same
+    * centroids — which is the oracle, and StreamingSpec replays the same
+    * corpus at different staging splits to pin boundary-independence. */
+  def annIngestStream(spark: SparkSession, srcDir: String, checkpoint: String,
+      centDir: String, idxDir: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cent = s.read.parquet(centDir)   // standing cells, never rebuilt
+        thrivespark.ops.Similarity.ivfAssignTo(batch, cent)
+          .select(col("c_id"), col("cell"))
+          .coalesce(2).write.mode("overwrite")
+          .parquet(s"$idxDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // read AFTER the stream drains: every batch=<id> partition is committed
+    spark.read.parquet(idxDir)
+      .select(col("c_id"), col("cell"))
+      .orderBy(col("c_id"))
+  }
+
   /** Streaming media decode: the multimodal feature-extraction stage running
     * under Structured Streaming. Media files arrive (maxFilesPerTrigger=1 ⇒
     * one micro-batch per staged file), each batch is decoded by the SAME

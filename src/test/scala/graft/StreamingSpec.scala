@@ -301,6 +301,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream and batch scorers diverge on ${diffs.size} docs, e.g. ${diffs.take(3)}")
   }
 
+  test("stream_ann_ingest: drained index equals one-shot assignment " +
+      "whatever the staging split — batch boundaries cannot move a vector's " +
+      "cell; crash-replay of a batch is a no-op") {
+    import thrivespark.ops.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = Files.createTempDirectory("graft_annig_test").toString
+    val centDir = s"$root/centroids"
+    Similarity.ivfCentroids(emb).write.mode("overwrite").parquet(centDir)
+    val oneShot = Similarity.ivfAssignTo(emb, spark.read.parquet(centDir))
+      .select(col("c_id"), col("cell")).orderBy(col("c_id")).collect().toSeq
+    // same corpus staged at different splits ⇒ different micro-batch
+    // boundaries (1 batch vs 5); both drains must equal the one-shot
+    Seq(1, 5).foreach { nFiles =>
+      val stage = s"$root/stage$nFiles"
+      emb.repartition(nFiles).write.mode("overwrite").parquet(stage)
+      val out = StreamRunner.annIngestStream(spark, stage,
+          s"$root/cp$nFiles", centDir, s"$root/idx$nFiles")
+        .collect().toSeq
+      assert(out == oneShot,
+        s"$nFiles-file staging diverged from the one-shot assignment")
+    }
+    // idempotent sink: re-running a committed batch (the foreachBatch
+    // crash-replay contract) overwrites its own partition — the standing
+    // index still equals the one-shot result, not a double-write
+    val idx5 = s"$root/idx5"
+    val replayed = spark.read.parquet(s"$idx5/batch=0")
+    replayed.write.mode("overwrite").parquet(s"$root/replay_tmp")
+    spark.read.parquet(s"$root/replay_tmp").coalesce(2)
+      .write.mode("overwrite").parquet(s"$idx5/batch=0")
+    val after = spark.read.parquet(idx5).select(col("c_id"), col("cell"))
+      .orderBy(col("c_id")).collect().toSeq
+    assert(after == oneShot, "batch replay must be a no-op on the index")
+  }
+
   test("srcFingerprint: single-FILE parquet sources fingerprint their own " +
       "(name, length, mtime); unlistable sources are always stale") {
     import thrivespark.ops.StreamingOps
@@ -331,6 +365,35 @@ class StreamingSpec extends AnyFunSuite {
       val a = StreamingOps.srcFingerprint(root.getPath, "missing")
       val b = StreamingOps.srcFingerprint(root.getPath, "missing")
       assert(a != b, "unlistable source must be always-stale")
+      // PARTITIONED source (r17, closing the r16 advisory): part files in
+      // key=value subdirectories were invisible to the top-level listing —
+      // the dir read as unlistable and re-staged on every access forever.
+      // Nested files must fingerprint (stable across reads) and a nested
+      // rewrite must flip the hash.
+      val pdir = new java.io.File(root, "p.parquet")
+      val kdir = new java.io.File(pdir, "k=1"); kdir.mkdirs()
+      val npart = new java.io.File(kdir, "part-0.parquet")
+      Files.write(npart.toPath, Array[Byte](7, 7))
+      val fpNested = StreamingOps.srcFingerprint(root.getPath, "p")
+      assert(!fpNested.startsWith("unlistable:"),
+        "nested-only dir must fingerprint its nested files, not read as unlistable")
+      assert(StreamingOps.srcFingerprint(root.getPath, "p") == fpNested,
+        "unchanged partitioned source must be stable across reads")
+      Files.write(npart.toPath, Array[Byte](7, 7, 7))
+      npart.setLastModified(npart.lastModified + 5000): Unit
+      assert(StreamingOps.srcFingerprint(root.getPath, "p") != fpNested,
+        "regenerated nested member must change the fingerprint")
+      // exists-but-empty: a deterministic state (not-yet-populated stream
+      // source), NOT a failure — stable marker, flips when files arrive
+      val edir = new java.io.File(root, "e.parquet"); edir.mkdirs()
+      val fpEmpty = StreamingOps.srcFingerprint(root.getPath, "e")
+      assert(fpEmpty == StreamingOps.srcFingerprint(root.getPath, "e") &&
+        !fpEmpty.startsWith("unlistable:"),
+        "empty-but-existing dir must fingerprint deterministically")
+      val efile = new java.io.File(edir, "part-0.parquet")
+      Files.write(efile.toPath, Array[Byte](5))
+      assert(StreamingOps.srcFingerprint(root.getPath, "e") != fpEmpty,
+        "files arriving in a previously-empty source must flip the hash")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root): Unit
   }
 }
