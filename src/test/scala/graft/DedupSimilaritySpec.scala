@@ -61,6 +61,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == pq, "PQ result not deterministic across runs")
   }
 
+  test("sim_ann_ivfpq: 5 per query, candidates only from probed cells, " +
+      "recall vs brute force is sane") {
+    val ivfpq = thrivespark.Registry.queries("sim_ann_ivfpq")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = thrivespark.Registry.queries("sim_topk_cosine")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perQuery = ivfpq.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 5), s"expected 5 per query: $perQuery")
+    assert(perQuery.keySet == brute.map(_._1).groupBy(identity).keySet)
+    // IVFADC compounds BOTH approximations (nprobe cell pruning × residual
+    // PQ scoring) on near-random vectors, so the floor is the product-ish
+    // of the two ladders' modest recalls — structural soundness and
+    // containment are the invariants; fidelity is the oracle's job.
+    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"recall collapsed: $recall")
+    info(f"IVFADC recall@5 (nprobe=2, residual PQ): $recall%.2f")
+    // every returned candidate must come from one of the query's 2 probed
+    // cells — the structural claim that makes IVFADC sub-linear
+    val emb = thrivespark.Tables.embeddings(spark, sf001)
+    val cent = Similarity.ivfCentroids(emb)
+    val cells = Similarity.ivfAssignTo(emb, cent)
+      .select(col("c_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val centArr = cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    val probed: Map[Long, Set[Long]] = qs.map { case (qid, qe) =>
+      qid -> centArr.sortBy { case (cid, ce) => (-dotd(qe, ce), cid) }
+        .take(2).map(_._1).toSet
+    }.toMap
+    ivfpq.foreach { case (qid, cid) =>
+      assert(probed(qid).contains(cells(cid)),
+        s"candidate $cid for query $qid came from unprobed cell ${cells(cid)}")
+    }
+  }
+
   test("dedup_ngram_jaccard (inverted index) equals the LSH+verify pair set") {
     // Both pipelines emit exact Jaccard>0.6 pairs; the inverted-index path
     // must find the identical set the banding path finds (recall 1 check on

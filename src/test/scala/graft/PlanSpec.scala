@@ -489,6 +489,20 @@ class PlanSpec extends AnyFunSuite {
       s"no cell equi-join found in:\n$p")
   }
 
+  test("sim_ann_ivfpq: candidate scoring rides the cell equi-join — no " +
+      "cartesian anywhere; codebook joins are broadcast") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVFADC must never enumerate query x corpus:\n$p")
+    // probe side: candidates come only from probed cells via the cell
+    // equi-join; build side: the residual codebook rides broadcast joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("cell")),
+      s"no cell equi-join found in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"codebook joins must broadcast (constant-size build side):\n$p")
+  }
+
   test("stream_score_model: the scoring joins broadcast the weight table " +
       "(stateless stream side, no stream shuffle)") {
     import org.apache.spark.sql.functions.lit
