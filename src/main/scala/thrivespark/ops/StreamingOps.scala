@@ -280,6 +280,62 @@ object StreamingOps {
               SELECT c_id, cent_id AS cell FROM a1 WHERE arn = 1
               ORDER BY c_id""")),
 
+    // Streaming ANN query (r17 — completes the streaming index story:
+    // annIngestStream maintains the index, this serves it): retrieval
+    // requests stream in, each micro-batch probes the standing index with
+    // a codebook-bounded probed-cell set pushed as a partition filter on
+    // the cell-partitioned assignment table — per batch the standing scan
+    // touches only probed partitions, preserving the sub-linear probe at
+    // any corpus size. Union of per-batch results ≡ one-shot probe of all
+    // queries = sim_ann_ivf's oracle verbatim.
+    Op("stream_ann_query",
+      (s, d) => {
+        val stage = stageEmbDir(s, d)
+        val cp = thrivespark.Scratch.dir("cp_annq")
+        val root = thrivespark.Scratch.dir("annq")
+        val emb = T.embeddings(s, d)
+        val cent = Similarity.ivfCentroids(emb)
+        cent.write.mode("overwrite").parquet(s"$root/centroids")
+        Similarity.ivfAssignTo(emb, cent)
+          .write.partitionBy("cell").mode("overwrite").parquet(s"$root/index")
+        thrivespark.streaming.StreamRunner.annQueryStream(s, stage, cp,
+          s"$root/centroids", s"$root/index", s"$root/results")
+      },
+      Some(s"""WITH cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE ${Similarity.IvfSeedSql}),
+              a1 AS (
+                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c),
+              assigned AS (SELECT c_id, cent_id AS cell, c_emb FROM a1 WHERE arn = 1),
+              q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 50 = 0),
+              probes AS (
+                SELECT q_id, q_emb, cell FROM (
+                  SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                           c.cent_id) AS crn
+                  FROM q CROSS JOIN cent c)
+                WHERE crn <= 2),
+              cand AS (
+                SELECT p.q_id, a.c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) AS cos
+                FROM probes p JOIN assigned a ON p.cell = a.cell
+                WHERE a.c_id <> p.q_id)
+              SELECT q_id, c_id, round(cos, 6) + 0.0 AS cos, rn
+              FROM (SELECT q_id, c_id, cos,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, c_id) AS INTEGER) AS rn
+                    FROM cand)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
     Op("stream_score_model",
       (s, d) => {
         val stage = stageDocsDir(s, d)

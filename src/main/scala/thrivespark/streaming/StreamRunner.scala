@@ -367,6 +367,63 @@ object StreamRunner {
       .orderBy(col("c_id"))
   }
 
+  /** Streaming ANN query (r17 — the query-side complement of
+    * annIngestStream): retrieval requests arrive as a vector stream and
+    * each micro-batch probes the STANDING index — centroids at `centDir`
+    * (constant-size broadcast under the capped codebook), assignments at
+    * `idxDir` written PARTITIONED BY cell. The batch first ranks cells
+    * map-side against the broadcast codebook, collects its distinct
+    * probed-cell set — bounded by IvfK regardless of batch size, a
+    * codebook-sized driver pull, never data-sized — and pushes it as an
+    * IN filter on the static read, so the per-batch scan touches ONLY the
+    * probed cells' partitions (partition pruning on the standing table:
+    * the sub-linear probe property, preserved under streaming). Results
+    * append idempotently (batch=<id> overwrite). Each query is processed
+    * in exactly one batch and scoring is stateless against a fixed index,
+    * so the union of batch results equals the one-shot probe of every
+    * query — sim_ann_ivf's oracle, verbatim. */
+  def annQueryStream(spark: SparkSession, srcDir: String, checkpoint: String,
+      centDir: String, idxDir: String, outDir: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .filter(col("vec_id") % 50 === 0)        // the query slice of the feed
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val q = in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cent = s.read.parquet(centDir)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val wCell = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
+          // ≤ IvfK distinct cells whatever the batch size — codebook-bounded
+          val cells = b.join(broadcast(cent))
+            .withColumn("csim", thrivespark.ops.Similarity.dot(col("q_emb"), col("cent_emb")))
+            .withColumn("crn", row_number().over(wCell))
+            .filter(col("crn") <= 2)
+            .select(col("cent_id")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val assigned = s.read.parquet(idxDir)
+            .filter(col("cell").isin(cells: _*))   // partition pruning
+            .select(col("c_id"), col("cell").cast("long").as("cell"), col("c_emb"))
+          thrivespark.ops.Similarity.probeTopK(b, cent, assigned, k = 5, nprobe = 2)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+        } finally b.unpersist(): Unit
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Streaming media decode: the multimodal feature-extraction stage running
     * under Structured Streaming. Media files arrive (maxFilesPerTrigger=1 ⇒
     * one micro-batch per staged file), each batch is decoded by the SAME

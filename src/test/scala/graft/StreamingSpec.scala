@@ -335,6 +335,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == oneShot, "batch replay must be a no-op on the index")
   }
 
+  test("stream_ann_query: union of per-batch probes equals the one-shot " +
+      "sim_ann_ivf result; the per-batch standing scan is partition-pruned " +
+      "to the probed cells") {
+    val streamed = Registry.queries("stream_ann_query")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val oneShot = Registry.queries("sim_ann_ivf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(streamed == oneShot,
+      s"streamed probe diverged from one-shot (${streamed.size} vs ${oneShot.size} rows)")
+    // the scale property: an IN filter on the partition column reaches the
+    // scan as a PartitionFilter — the standing table is cell-partitioned,
+    // so a batch reads only its probed cells' partitions
+    import thrivespark.ops.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Files.createTempDirectory("graft_annq_idx").toString
+    val cent = Similarity.ivfCentroids(emb)
+    Similarity.ivfAssignTo(emb, cent)
+      .write.partitionBy("cell").mode("overwrite").parquet(idx)
+    val pruned = spark.read.parquet(idx)
+      .filter(col("cell").isin(0L, 100L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+        plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+          l.contains("cell") && !l.contains("PartitionFilters: []")),
+      s"cell IN filter must prune partitions of the standing index:\n$plan")
+  }
+
   test("srcFingerprint: single-FILE parquet sources fingerprint their own " +
       "(name, length, mtime); unlistable sources are always stale") {
     import thrivespark.ops.StreamingOps
