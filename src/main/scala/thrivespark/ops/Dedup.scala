@@ -301,6 +301,83 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** Power-iteration count for graph_pagerank — bound shared by the Spark
+    * loop and the generated oracle below. */
+  private val PagerankIters = 3
+
+  /** Generated per-iteration PageRank oracle (the kmeansOracleStages /
+    * text_bpe_train method): the CTE chain is emitted by the same loop
+    * bound the Spark program runs, so the two engines share one
+    * definition of every iterate. Sums are CAST back to BIGINT (DuckDB
+    * widens sum(BIGINT) to HUGEINT, which fetchdf would render as
+    * float). */
+  private def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      paras AS (SELECT doc_id, unnest([md5(array_to_string(ts[i*10+1 : i*10+10], ' '))
+                for i in generate_series(0, (len(ts)-1)//10)]) AS h FROM toks),
+      ph AS (SELECT DISTINCT doc_id, h FROM paras),
+      und AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id),
+      e AS (SELECT a_id AS src, b_id AS dst FROM und
+            UNION ALL SELECT b_id, a_id FROM und),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      pr0 AS (SELECT src AS id, deg, 1000000 // (SELECT n FROM nn) AS r FROM deg)""")
+    for (t <- 1 to iters) sb.append(s""",
+      c$t AS (SELECT e.dst, CAST(sum(p.r // p.deg) AS BIGINT) AS cs
+              FROM e JOIN pr${t - 1} p ON e.src = p.id GROUP BY e.dst),
+      pr$t AS (SELECT d.src AS id, d.deg,
+                 150000 // (SELECT n FROM nn)
+                   + (85 * coalesce(c.cs, 0)) // 100 AS r
+               FROM deg d LEFT JOIN c$t c ON d.src = c.dst)""")
+    val rCols = (1 to iters)
+      .map(t => s"CAST(p$t.r AS BIGINT) AS r$t").mkString(",\n             ")
+    val joins = (2 to iters)
+      .map(t => s"JOIN pr$t p$t ON p${t - 1}.id = p$t.id").mkString("\n           ")
+    sb.append(s"""
+      SELECT p1.id AS doc_id, p1.deg AS deg,
+             $rCols
+      FROM pr1 p1 $joins
+      ORDER BY doc_id""")
+    sb.toString
+  }
+
+  /** The PageRank power iteration over an undirected pair frame
+    * (a_id, b_id) — the testable surface (hand-computed path graph in
+    * DedupSimilaritySpec). Returns (doc_id, deg, r1..r_iters). */
+  def pagerankFrom(und: DataFrame, iters: Int = PagerankIters): DataFrame = {
+    val edges = und.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(und.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)            // node table: read every iteration
+    val n = deg.count()                 // driver holds ONE scalar, never ranks
+    var cur = deg.select(col("src").as("id"), col("deg"),
+      lit(1000000L / n).as("r"))
+    val trajectory = Seq.newBuilder[DataFrame]
+    for (t <- 1 to iters) {
+      val contrib = edges.join(cur, col("src") === col("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      cur = deg.join(contrib, col("src") === col("dst"), "left")
+        .select(col("src").as("id"), col("deg"),
+          (lit(150000L / n) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)          // constant plan size per round
+      trajectory += cur.select(col("id"), col("r").as(s"r$t"))
+    }
+    val ranks = trajectory.result()
+    val out = ranks.tail.foldLeft(
+        deg.select(col("src").as("id"), col("deg")).join(ranks.head, Seq("id")))(
+        (acc, rt) => acc.join(rt, Seq("id")))
+      .select((col("id").as("doc_id") +: col("deg") +:
+        (1 to iters).map(t => col(s"r$t"))): _*)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)            // eager: safe to release edges now
+    edges.unpersist()
+    out
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact",
       (s, d) => T.documents(s, d)
@@ -371,6 +448,41 @@ object Dedup {
                 SELECT src, dst FROM walk UNION SELECT src, src FROM edges)
               SELECT src AS doc_id, min(dst) AS cluster_id
               FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // PageRank over the boilerplate-sharing graph (r17 — the iterative
+    // graph discipline beyond label propagation): nodes = documents that
+    // share at least one identical 10-token paragraph with another doc
+    // (text_paragraph_dedup's primitive), edges = sharing pairs, and the
+    // rank is 3 damped power iterations — the template-centrality score a
+    // curation pipeline uses to pick a dup cluster's canonical
+    // representative (or to down-weight template farms). Scale shape: the
+    // candidate pair space is Σ df² over shared paragraph hashes (df ≤ 6
+    // on this corpus — an inverted index, never all-pairs), and each
+    // iteration is ONE edge-keyed join + ONE node-keyed aggregate with
+    // lineage truncated per round, the dedup_clusters discipline.
+    // Determinism: ALL arithmetic is Long micros — r0 = 1e6/N, base =
+    // 150000/N, contribution r/deg and damping 85·c/100 in integral
+    // division (truncation; every quantity non-negative so Spark `div` ≡
+    // DuckDB `//`) — and the oracle's CTE chain is GENERATED by the same
+    // loop bound, so the engines cannot drift (the kmeans/BPE method).
+    // Output: one row per graph node with degree and the full per-
+    // iteration trajectory (r1..r3).
+    Op("graph_pagerank",
+      (s, d) => {
+        val P = 10
+        val lastPara = floor((size(col("ts")) - 1) / lit(P)).cast("int")
+        val paras = transform(sequence(lit(0), lastPara),
+          i => md5(array_join(slice(col("ts"), i * lit(P) + lit(1), lit(P)), " ")))
+        val ph = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(paras).as("h"))
+          .distinct()
+        val und = ph.join(ph.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+          .filter(col("doc_id") < col("b_id"))
+          .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+        pagerankFrom(und, PagerankIters)
+      },
+      Some(pagerankOracle(PagerankIters))),
 
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);
     // DedupSpec verifies against brute-force hamming at small scale.

@@ -474,6 +474,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(stats.find(_._2 == 0L).get._3 == 3L, "all vectors must land in cell 0")
   }
 
+  test("graph_pagerank: hand-computed 3-node path — damped integer-micro " +
+      "power iteration, truncation and all") {
+    // path 1–2–3: N=3, r0 = 1e6/3 = 333333 each, base = 150000/3 = 50000.
+    // it1: c(1)=333333 div 2=166666 → r=50000+(85·166666) div 100=191666;
+    //      c(2)=333333+333333      → r=50000+566666=616666; r(3)=191666.
+    // it2: c(1)=616666 div 2=308333 → 312083; c(2)=191666·2 → 375832.
+    // it3: c(1)=375832 div 2=187916 → 209728; c(2)=312083·2 → 580541.
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.pagerankFrom(und, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 191666L, 312083L, 209728L),
+      (2L, 2L, 616666L, 375832L, 580541L),
+      (3L, 1L, 191666L, 312083L, 209728L)), s"got ${out.toSeq}")
+  }
+
   test("kmeans positive control: on a corpus WITH cluster structure the " +
       "trained codebook beats the seeded one on nprobe=1 recall@5") {
     // The r16 honest negative said 3 Lloyd iterations don't move recall on
