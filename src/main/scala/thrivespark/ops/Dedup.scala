@@ -304,6 +304,11 @@ object Dedup {
   /** Power-iteration count for graph_pagerank — bound shared by the Spark
     * loop and the generated oracle below. */
   private val PagerankIters = 3
+  /** df valve for the paragraph-sharing edge build: hashes in more than
+    * this many docs are boilerplate, dropped before the df² self-join.
+    * Shared with the oracle; local corpus dfs max out at 6 so the cap
+    * never bites at test scale — it bounds the 100 TB pair space. */
+  private val PagerankMaxDf = 100
 
   /** Generated per-iteration PageRank oracle (the kmeansOracleStages /
     * text_bpe_train method): the CTE chain is emitted by the same loop
@@ -316,7 +321,11 @@ object Dedup {
     sb.append("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       paras AS (SELECT doc_id, unnest([md5(array_to_string(ts[i*10+1 : i*10+10], ' '))
                 for i in generate_series(0, (len(ts)-1)//10)]) AS h FROM toks),
-      ph AS (SELECT DISTINCT doc_id, h FROM paras),
+      ph0 AS (SELECT DISTINCT doc_id, h FROM paras),
+      keep AS (SELECT h FROM ph0 GROUP BY h HAVING count(*) <= """)
+    sb.append(PagerankMaxDf)
+    sb.append("""),
+      ph AS (SELECT p.doc_id, p.h FROM ph0 p JOIN keep k ON p.h = k.h),
       und AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
               FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id),
       e AS (SELECT a_id AS src, b_id AS dst FROM und
@@ -477,7 +486,18 @@ object Dedup {
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .select(col("doc_id"), explode(paras).as("h"))
           .distinct()
-        val und = ph.join(ph.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+        // df valve (the text_substring_maxdf discipline): a paragraph so
+        // common it appears in >PagerankMaxDf docs is corpus boilerplate
+        // carrying no linkage signal, and its df² pair fan-out is exactly
+        // what would blow the join up on a boilerplate-heavy 100 TB
+        // corpus — cap df BEFORE the self-join so the candidate space
+        // stays bounded at Σ min(df, cap)². Local dfs max out at 6, so
+        // the cap changes nothing here; it exists for the corpus where
+        // it must.
+        val keep = ph.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= PagerankMaxDf).select(col("h"))
+        val phv = ph.join(keep, Seq("h"))
+        val und = phv.join(phv.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
           .filter(col("doc_id") < col("b_id"))
           .select(col("doc_id").as("a_id"), col("b_id")).distinct()
         pagerankFrom(und, PagerankIters)
