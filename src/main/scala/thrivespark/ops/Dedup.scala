@@ -352,6 +352,33 @@ object Dedup {
     sb.toString
   }
 
+  /** Undirected doc pairs sharing at least one identical 10-token
+    * paragraph, via an inverted index on paragraph hash — candidate space
+    * Σ df², never all-pairs. The df valve (text_substring_maxdf's
+    * discipline) drops hashes in more than `maxDf` docs BEFORE the
+    * self-join: such paragraphs are corpus boilerplate carrying no
+    * linkage signal, and their df² fan-out is exactly what would blow the
+    * join up on a boilerplate-heavy 100 TB corpus. Local dfs max out at
+    * 6, so the cap changes nothing at test scale (DedupSimilaritySpec
+    * plants a >cap clique to prove it bites when it must). Takes any
+    * (doc_id, text) frame — the testable surface. */
+  def paragraphShareEdges(docs: DataFrame, maxDf: Int): DataFrame = {
+    val P = 10
+    val lastPara = floor((size(col("ts")) - 1) / lit(P)).cast("int")
+    val paras = transform(sequence(lit(0), lastPara),
+      i => md5(array_join(slice(col("ts"), i * lit(P) + lit(1), lit(P)), " ")))
+    val ph = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(paras).as("h"))
+      .distinct()
+    val keep = ph.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val phv = ph.join(keep, Seq("h"))
+    phv.join(phv.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+  }
+
   /** The PageRank power iteration over an undirected pair frame
     * (a_id, b_id) — the testable surface (hand-computed path graph in
     * DedupSimilaritySpec). Returns (doc_id, deg, r1..r_iters). */
@@ -477,31 +504,8 @@ object Dedup {
     // Output: one row per graph node with degree and the full per-
     // iteration trajectory (r1..r3).
     Op("graph_pagerank",
-      (s, d) => {
-        val P = 10
-        val lastPara = floor((size(col("ts")) - 1) / lit(P)).cast("int")
-        val paras = transform(sequence(lit(0), lastPara),
-          i => md5(array_join(slice(col("ts"), i * lit(P) + lit(1), lit(P)), " ")))
-        val ph = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .select(col("doc_id"), explode(paras).as("h"))
-          .distinct()
-        // df valve (the text_substring_maxdf discipline): a paragraph so
-        // common it appears in >PagerankMaxDf docs is corpus boilerplate
-        // carrying no linkage signal, and its df² pair fan-out is exactly
-        // what would blow the join up on a boilerplate-heavy 100 TB
-        // corpus — cap df BEFORE the self-join so the candidate space
-        // stays bounded at Σ min(df, cap)². Local dfs max out at 6, so
-        // the cap changes nothing here; it exists for the corpus where
-        // it must.
-        val keep = ph.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= PagerankMaxDf).select(col("h"))
-        val phv = ph.join(keep, Seq("h"))
-        val und = phv.join(phv.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
-          .filter(col("doc_id") < col("b_id"))
-          .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-        pagerankFrom(und, PagerankIters)
-      },
+      (s, d) => pagerankFrom(
+        paragraphShareEdges(T.documents(s, d), PagerankMaxDf), PagerankIters),
       Some(pagerankOracle(PagerankIters))),
 
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);

@@ -491,6 +491,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 1L, 191666L, 312083L, 209728L)), s"got ${out.toSeq}")
   }
 
+  test("paragraphShareEdges df valve: a planted boilerplate clique is " +
+      "dropped, genuine sharing pairs survive") {
+    import spark.implicits._
+    // 120 docs all sharing one identical 10-token paragraph (a >cap
+    // boilerplate clique: 7140 potential pairs) + 2 docs sharing a rare
+    // paragraph. With maxDf=100 the clique hash is dropped and ONLY the
+    // genuine pair remains; without the valve the clique would dominate.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = ((0 until 120).map(i => (i.toLong, boiler + " filler" + i)) ++
+      Seq((200L, rare + " x"), (201L, rare + " y"))).toDF("doc_id", "text")
+    val withValve = Dedup.paragraphShareEdges(docs, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withValve == Set((200L, 201L)),
+      s"valve must drop the 120-doc boilerplate clique: $withValve")
+    val without = Dedup.paragraphShareEdges(docs, maxDf = 1000).count()
+    assert(without == 120L * 119 / 2 + 1,
+      s"sanity: uncapped clique is the df^2 blow-up the valve prevents ($without)")
+  }
+
   test("kmeans positive control: on a corpus WITH cluster structure the " +
       "trained codebook beats the seeded one on nprobe=1 recall@5") {
     // The r16 honest negative said 3 Lloyd iterations don't move recall on
