@@ -389,6 +389,8 @@ object Dedup {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)            // node table: read every iteration
     val n = deg.count()                 // driver holds ONE scalar, never ranks
+    require(n > 0, "pagerankFrom: empty graph (no sharing pairs) — " +
+      "rank is undefined; check the edge build / df valve upstream")
     var cur = deg.select(col("src").as("id"), col("deg"),
       lit(1000000L / n).as("r"))
     val trajectory = Seq.newBuilder[DataFrame]
