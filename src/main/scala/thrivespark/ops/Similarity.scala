@@ -504,6 +504,121 @@ object Similarity {
     sb.toString
   }
 
+  /** The IVFADC program (shared by sim_ann_ivfpq and its recall readout).
+    * See the sim_ann_ivfpq Op comment for the full design. */
+  def ivfpqTopK(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+      thrivespark.functions.Register(s)
+      val M = 8; val SUB = 8; val nprobe = 2
+      val emb = T.embeddings(s, d)
+      val cent = ivfCentroids(emb)
+      // coarse assignment + residual against the owning centroid (the
+      // build stage: one broadcast argmax + one broadcast diff, map-side)
+      val resid = ivfAssignTo(emb, cent)
+        .join(broadcast(cent), col("cell") === col("cent_id"))
+        .select(col("c_id"), col("cell"),
+          zip_with(col("c_emb"), col("cent_emb"), (a, b) => a - b).as("res"))
+      def subSlices(v: Column): Column = explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), slice(v, m * SUB + 1, SUB).as("sub"))): _*))
+      val subs = resid.select(col("c_id"), col("cell"), subSlices(col("res")).as("x"))
+        .select(col("c_id"), col("cell"), col("x.m").as("m"), col("x.sub").as("sub"))
+      // fixed-size RESIDUAL codebook: K = 64 seed residuals regardless of
+      // corpus size (the constant-broadcast discipline of sim_ann_pq)
+      val seedSubs = resid.filter(col("c_id") % 25 === 0 && col("c_id") < 1600)
+        .select(col("c_id").as("s_id"), subSlices(col("res")).as("x"))
+        .select(col("s_id"), col("x.m").as("sm"), col("x.sub").as("s_sub"))
+      val d2 = dot(col("sub"), col("sub")) + dot(col("s_sub"), col("s_sub")) -
+        lit(2) * dot(col("sub"), col("s_sub"))
+      val codes = subs.join(broadcast(seedSubs), col("m") === col("sm"))
+        .withColumn("d2", d2)
+        .groupBy(col("c_id"), col("cell"), col("m"))
+        .agg(min_by(col("s_id"), struct(col("d2"), col("s_id"))).as("code"))
+      val recon = codes.join(broadcast(seedSubs),
+          col("m") === col("sm") && col("code") === col("s_id"))
+        .groupBy(col("c_id"), col("cell"))
+        .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("s_sub")))),
+          x => x.getField("s_sub"))).as("rres"))
+      // query side: rank cells once, probe nprobe of them, ADC-score the
+      // probed cells' codes only — an equi-join on cell, never a cartesian
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
+      val probes = q.join(broadcast(cent))
+        .withColumn("csim", dot(col("q_emb"), col("cent_emb")))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"), col("csim"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
+      probes.join(recon, "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("approx", col("csim") + dot(col("q_emb"), col("rres")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), round6(col("approx")).as("approx_cos"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+  }
+
+  private def ivfpqCtes: String = s"""cent AS (
+                SELECT vec_id AS cent_id, embedding AS cent_emb
+                FROM embeddings WHERE $IvfSeedSql),
+              a1 AS (
+                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                         c.cent_id) AS arn
+                FROM embeddings e CROSS JOIN cent c),
+              resid AS (
+                SELECT a.c_id, a.cent_id AS cell,
+                       list_transform(generate_series(1, 64),
+                         i -> a.c_emb[i] - c.cent_emb[i]) AS res
+                FROM a1 a JOIN cent c ON a.cent_id = c.cent_id
+                WHERE a.arn = 1),
+              ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+              subs AS (
+                SELECT r.c_id, r.cell, ms.m, r.res[8*ms.m+1 : 8*ms.m+8] AS sub
+                FROM resid r CROSS JOIN ms),
+              ssubs AS (
+                SELECT r.c_id AS s_id, ms.m AS sm,
+                       r.res[8*ms.m+1 : 8*ms.m+8] AS s_sub
+                FROM resid r CROSS JOIN ms
+                WHERE r.c_id % 25 = 0 AND r.c_id < 1600),
+              enc1 AS (
+                SELECT v.c_id, v.cell, v.m, ss.s_id,
+                       row_number() OVER (PARTITION BY v.c_id, v.m ORDER BY
+                         (list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(v.sub[i] AS DOUBLE)))
+                          + list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(ss.s_sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))
+                          - 2 * list_sum(list_transform(generate_series(1, 8),
+                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))) ASC,
+                         ss.s_id) AS rn
+                FROM subs v JOIN ssubs ss ON v.m = ss.sm),
+              recon AS (
+                SELECT c.c_id, c.cell, flatten(list(ss.s_sub ORDER BY c.m)) AS rres
+                FROM enc1 c JOIN ssubs ss ON c.m = ss.sm AND c.s_id = ss.s_id
+                WHERE c.rn = 1
+                GROUP BY c.c_id, c.cell),
+              q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 50 = 0),
+              probes AS (
+                SELECT q_id, q_emb, cell, csim FROM (
+                  SELECT q.q_id, q.q_emb, c.cent_id AS cell,
+                         list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) AS csim,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
+                           c.cent_id) AS crn
+                  FROM q CROSS JOIN cent c)
+                WHERE crn <= 2),
+              ivfpq_cand AS (
+                SELECT p.q_id, r.c_id,
+                       p.csim + list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(r.rres[i] AS DOUBLE))) AS approx
+                FROM probes p JOIN recon r ON p.cell = r.cell
+                WHERE r.c_id <> p.q_id)"""
+
   val ops: Seq[Op] = Seq(
     Op("sim_topk_cosine",
       (s, d) => {
@@ -852,122 +967,74 @@ object Similarity {
     // operator still gets an exact SQL oracle (rule R2); recall vs brute
     // force is measured in DedupSimilaritySpec.
     Op("sim_ann_ivfpq",
-      (s, d) => {
-        thrivespark.functions.Register(s)
-        val M = 8; val SUB = 8; val nprobe = 2
-        val emb = T.embeddings(s, d)
-        val cent = ivfCentroids(emb)
-        // coarse assignment + residual against the owning centroid (the
-        // build stage: one broadcast argmax + one broadcast diff, map-side)
-        val resid = ivfAssignTo(emb, cent)
-          .join(broadcast(cent), col("cell") === col("cent_id"))
-          .select(col("c_id"), col("cell"),
-            zip_with(col("c_emb"), col("cent_emb"), (a, b) => a - b).as("res"))
-        def subSlices(v: Column): Column = explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), slice(v, m * SUB + 1, SUB).as("sub"))): _*))
-        val subs = resid.select(col("c_id"), col("cell"), subSlices(col("res")).as("x"))
-          .select(col("c_id"), col("cell"), col("x.m").as("m"), col("x.sub").as("sub"))
-        // fixed-size RESIDUAL codebook: K = 64 seed residuals regardless of
-        // corpus size (the constant-broadcast discipline of sim_ann_pq)
-        val seedSubs = resid.filter(col("c_id") % 25 === 0 && col("c_id") < 1600)
-          .select(col("c_id").as("s_id"), subSlices(col("res")).as("x"))
-          .select(col("s_id"), col("x.m").as("sm"), col("x.sub").as("s_sub"))
-        val d2 = dot(col("sub"), col("sub")) + dot(col("s_sub"), col("s_sub")) -
-          lit(2) * dot(col("sub"), col("s_sub"))
-        val codes = subs.join(broadcast(seedSubs), col("m") === col("sm"))
-          .withColumn("d2", d2)
-          .groupBy(col("c_id"), col("cell"), col("m"))
-          .agg(min_by(col("s_id"), struct(col("d2"), col("s_id"))).as("code"))
-        val recon = codes.join(broadcast(seedSubs),
-            col("m") === col("sm") && col("code") === col("s_id"))
-          .groupBy(col("c_id"), col("cell"))
-          .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("s_sub")))),
-            x => x.getField("s_sub"))).as("rres"))
-        // query side: rank cells once, probe nprobe of them, ADC-score the
-        // probed cells' codes only — an equi-join on cell, never a cartesian
-        val q = emb.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val wCell = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cent_id"))
-        val probes = q.join(broadcast(cent))
-          .withColumn("csim", dot(col("q_emb"), col("cent_emb")))
-          .withColumn("crn", row_number().over(wCell))
-          .filter(col("crn") <= nprobe)
-          .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"), col("csim"))
-        val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id"))
-        probes.join(recon, "cell")
-          .filter(col("q_id") =!= col("c_id"))
-          .withColumn("approx", col("csim") + dot(col("q_emb"), col("rres")))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("c_id"), round6(col("approx")).as("approx_cos"), col("rn"))
-          .orderBy(col("q_id"), col("rn"))
-      },
-      Some(s"""WITH cent AS (
-                SELECT vec_id AS cent_id, embedding AS cent_emb
-                FROM embeddings WHERE $IvfSeedSql),
-              a1 AS (
-                SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_sum(list_transform(generate_series(1, 64),
-                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
-                         c.cent_id) AS arn
-                FROM embeddings e CROSS JOIN cent c),
-              resid AS (
-                SELECT a.c_id, a.cent_id AS cell,
-                       list_transform(generate_series(1, 64),
-                         i -> a.c_emb[i] - c.cent_emb[i]) AS res
-                FROM a1 a JOIN cent c ON a.cent_id = c.cent_id
-                WHERE a.arn = 1),
-              ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-              subs AS (
-                SELECT r.c_id, r.cell, ms.m, r.res[8*ms.m+1 : 8*ms.m+8] AS sub
-                FROM resid r CROSS JOIN ms),
-              ssubs AS (
-                SELECT r.c_id AS s_id, ms.m AS sm,
-                       r.res[8*ms.m+1 : 8*ms.m+8] AS s_sub
-                FROM resid r CROSS JOIN ms
-                WHERE r.c_id % 25 = 0 AND r.c_id < 1600),
-              enc1 AS (
-                SELECT v.c_id, v.cell, v.m, ss.s_id,
-                       row_number() OVER (PARTITION BY v.c_id, v.m ORDER BY
-                         (list_sum(list_transform(generate_series(1, 8),
-                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(v.sub[i] AS DOUBLE)))
-                          + list_sum(list_transform(generate_series(1, 8),
-                            i -> CAST(ss.s_sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))
-                          - 2 * list_sum(list_transform(generate_series(1, 8),
-                            i -> CAST(v.sub[i] AS DOUBLE) * CAST(ss.s_sub[i] AS DOUBLE)))) ASC,
-                         ss.s_id) AS rn
-                FROM subs v JOIN ssubs ss ON v.m = ss.sm),
-              recon AS (
-                SELECT c.c_id, c.cell, flatten(list(ss.s_sub ORDER BY c.m)) AS rres
-                FROM enc1 c JOIN ssubs ss ON c.m = ss.sm AND c.s_id = ss.s_id
-                WHERE c.rn = 1
-                GROUP BY c.c_id, c.cell),
-              q AS (SELECT vec_id AS q_id, embedding AS q_emb
-                    FROM embeddings WHERE vec_id % 50 = 0),
-              probes AS (
-                SELECT q_id, q_emb, cell, csim FROM (
-                  SELECT q.q_id, q.q_emb, c.cent_id AS cell,
-                         list_sum(list_transform(generate_series(1, 64),
-                           i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) AS csim,
-                         row_number() OVER (PARTITION BY q.q_id
-                           ORDER BY list_sum(list_transform(generate_series(1, 64),
-                             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE))) DESC,
-                           c.cent_id) AS crn
-                  FROM q CROSS JOIN cent c)
-                WHERE crn <= 2),
-              cand AS (
-                SELECT p.q_id, r.c_id,
-                       p.csim + list_sum(list_transform(generate_series(1, 64),
-                         i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(r.rres[i] AS DOUBLE))) AS approx
-                FROM probes p JOIN recon r ON p.cell = r.cell
-                WHERE r.c_id <> p.q_id)
+      (s, d) => ivfpqTopK(s, d),
+      Some(s"""WITH $ivfpqCtes
               SELECT q_id, c_id, round(approx, 6) + 0.0 AS approx_cos, rn
               FROM (SELECT q_id, c_id, approx,
                            CAST(row_number() OVER (PARTITION BY q_id
                              ORDER BY approx DESC, c_id) AS INTEGER) AS rn
-                    FROM cand)
+                    FROM ivfpq_cand)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // Recall@5 of the IVFADC probe vs exact brute force, AS A QUERY (the
+    // sim_ann_recall discipline applied to the r17 composition): the
+    // compounded approximation — coarse pruning × residual-PQ scoring —
+    // gets its dashboard number differentially tested, not sampled. The
+    // exact side is the one honest brute-force pass; the IVFADC side
+    // reuses the same deterministic chain as sim_ann_ivfpq (one shared
+    // generated CTE block, so the two keys cannot drift).
+    Op("sim_ann_ivfpq_recall",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val approx = ivfpqTopK(s, d).select(col("q_id"), col("c_id"))
+        exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).cast("int").as("k"),
+            sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+          .select(col("q_id"), col("k"), col("n_hit"),
+            (col("n_hit").cast("long") * lit(1000000L)
+              / col("k").cast("long")).cast("long").as("recall_micros"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH exact AS (
+                SELECT q_id, c_id FROM (
+                  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) DESC,
+                           b.vec_id) AS rn
+                  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id % 50 = 0)
+                WHERE rn <= 5),
+              $ivfpqCtes,
+              approx AS (
+                SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY approx DESC, c_id) AS rn
+                  FROM ivfpq_cand)
+                WHERE rn <= 5),
+              hit AS (
+                SELECT e.q_id, COUNT(*) AS n_hit
+                FROM exact e JOIN approx x ON e.q_id = x.q_id AND e.c_id = x.c_id
+                GROUP BY 1),
+              kq AS (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY 1)
+              SELECT kq.q_id, CAST(kq.k AS INTEGER) AS k,
+                     CAST(COALESCE(h.n_hit, 0) AS INTEGER) AS n_hit,
+                     CAST(COALESCE(h.n_hit, 0) * 1000000 // kq.k AS BIGINT) AS recall_micros
+              FROM kq LEFT JOIN hit h ON h.q_id = kq.q_id
+              ORDER BY kq.q_id""")),
+
 
     // The NAIVE all-pairs formulation — no blocking in the user's query.
     // SimilarityJoinRewrite (optimizer rule) injects exact projection-bucket
