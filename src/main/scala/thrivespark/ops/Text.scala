@@ -1202,6 +1202,58 @@ object Text {
     // driver-side beyond K rows. df (docs containing the gram) rides
     // along via countDistinct to separate burst repetition within one doc
     // from corpus-wide boilerplate.
+    // Per-document keyword extraction by tf-idf (r17 — the classic
+    // corpus-analysis scorer, and the retrieval-side sibling of
+    // text_ngram_topk's corpus-grain table): tf from one (doc, tok)
+    // aggregation, df from one token-grain aggregation, idf as ln(N/df)
+    // ROUNDED TO INTEGER MICROS (the text_lm_score discipline — ln micros
+    // match across engines; N/df ≥ 1 so every value is non-negative and
+    // round half-up ≡ half-away), score = tf·idf_micros in exact Long
+    // arithmetic, top-5 per doc with the (score desc, token) total order.
+    // Scale shape: two map-side-combinable aggregations + one broadcast
+    // join of the token-grain idf table + one doc-partitioned window —
+    // no all-pairs anything, output is 5 rows per doc.
+    Op("text_tfidf_topk",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val n = docs.count()              // ONE driver scalar (corpus size)
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val idf = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .select(col("tok"),
+            round(log(lit(n.toDouble) / col("df")) * lit(1000000L))
+              .cast("long").as("idf_micros"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micros").desc, col("tok"))
+        tf.join(broadcast(idf), "tok")
+          .withColumn("score_micros", col("tf") * col("idf_micros"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("tok"), col("tf"), col("idf_micros"),
+            col("score_micros"), col("rn"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM documents),
+              idf AS (SELECT tok,
+                        CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df)
+                               * 1000000) AS BIGINT) AS idf_micros
+                      FROM df),
+              sc AS (SELECT t.doc_id, t.tok, CAST(t.tf AS BIGINT) AS tf,
+                            i.idf_micros,
+                            CAST(t.tf * i.idf_micros AS BIGINT) AS score_micros
+                     FROM tf t JOIN idf i ON t.tok = i.tok)
+              SELECT doc_id, tok, tf, idf_micros, score_micros, rn
+              FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_micros DESC, tok) AS INTEGER) AS rn FROM sc)
+              WHERE rn <= 5 ORDER BY doc_id, rn""")),
+
     Op("text_ngram_topk",
       (s, d) => {
         // bigramRows: grams form post-explode in codegen (2.1 s → 0.98 s
