@@ -317,8 +317,23 @@ object Dedup {
     * widens sum(BIGINT) to HUGEINT, which fetchdf would render as
     * float). */
   private def pagerankOracle(iters: Int): String = {
+    val rCols = (1 to iters)
+      .map(t => s"CAST(p$t.r AS BIGINT) AS r$t").mkString(",\n             ")
+    val joins = (2 to iters)
+      .map(t => s"JOIN pr$t p$t ON p${t - 1}.id = p$t.id").mkString("\n           ")
+    s"""WITH ${pagerankCtes(iters)}
+      SELECT p1.id AS doc_id, p1.deg AS deg,
+             $rCols
+      FROM pr1 p1 $joins
+      ORDER BY doc_id"""
+  }
+
+  /** The shared CTE chain (no WITH prefix, no final SELECT) — consumed by
+    * graph_pagerank and dedup_canonical_rank so the edge build, valve and
+    * iterates have exactly one definition. */
+  private def pagerankCtes(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sb.append("""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       paras AS (SELECT doc_id, unnest([md5(array_to_string(ts[i*10+1 : i*10+10], ' '))
                 for i in generate_series(0, (len(ts)-1)//10)]) AS h FROM toks),
       ph0 AS (SELECT DISTINCT doc_id, h FROM paras),
@@ -340,15 +355,6 @@ object Dedup {
                  150000 // (SELECT n FROM nn)
                    + (85 * coalesce(c.cs, 0)) // 100 AS r
                FROM deg d LEFT JOIN c$t c ON d.src = c.dst)""")
-    val rCols = (1 to iters)
-      .map(t => s"CAST(p$t.r AS BIGINT) AS r$t").mkString(",\n             ")
-    val joins = (2 to iters)
-      .map(t => s"JOIN pr$t p$t ON p${t - 1}.id = p$t.id").mkString("\n           ")
-    sb.append(s"""
-      SELECT p1.id AS doc_id, p1.deg AS deg,
-             $rCols
-      FROM pr1 p1 $joins
-      ORDER BY doc_id""")
     sb.toString
   }
 
@@ -509,6 +515,54 @@ object Dedup {
       (s, d) => pagerankFrom(
         paragraphShareEdges(T.documents(s, d), PagerankMaxDf), PagerankIters),
       Some(pagerankOracle(PagerankIters))),
+
+    // Canonical-representative selection per sharing cluster (r17 — the
+    // composition graph_pagerank's comment promises): connected components
+    // over the SAME paragraph-sharing edges give the cluster, the rank's
+    // final iterate gives the centrality, and each cluster's canonical is
+    // the argmax rank (tie → lowest doc_id) — the doc a dedup pass keeps
+    // when it collapses a template family. One edge set, materialized
+    // once, feeds both the O(log diameter) label propagation and the
+    // 3-iteration rank; the cluster-grain argmax is an aggregate-sized
+    // max_by. Oracle = the shared generated rank CTEs + the recursive
+    // transitive closure (dedup_clusters' walk) + a windowed argmax.
+    Op("dedup_canonical_rank",
+      (s, d) => {
+        val und = paragraphShareEdges(T.documents(s, d), PagerankMaxDf)
+          .localCheckpoint(true)          // two consumers: CC + rank
+        val labels = connectedComponents(und)           // (id, label)
+        val ranks = pagerankFrom(und, PagerankIters)    // (doc_id, deg, r1..r3)
+        labels.join(ranks, col("id") === col("doc_id"))
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("doc_id"),
+              struct(col(s"r$PagerankIters"), -col("doc_id"))).as("canonical_doc"),
+            max(col(s"r$PagerankIters")).as("top_rank"))
+          .select(col("cluster_id"), col("canonical_doc"),
+            col("n_members"), col("top_rank"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${pagerankCtes(PagerankIters)},
+              walk(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT w.src, x.dst FROM walk w JOIN e x ON w.dst = x.src),
+              reach AS (
+                SELECT src, dst FROM walk UNION SELECT src, src FROM e),
+              comp AS (
+                SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src),
+              j AS (SELECT c.cluster_id, p.id AS doc_id,
+                           CAST(p.r AS BIGINT) AS r
+                    FROM comp c JOIN pr$PagerankIters p ON c.doc_id = p.id),
+              m AS (SELECT cluster_id, count(*) AS n_members
+                    FROM comp GROUP BY 1)
+              SELECT r.cluster_id, r.doc_id AS canonical_doc,
+                     m.n_members, r.r AS top_rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY r DESC, doc_id) AS rn FROM j) r
+              JOIN m ON r.cluster_id = m.cluster_id
+              WHERE r.rn = 1 ORDER BY r.cluster_id""")),
 
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);
     // DedupSpec verifies against brute-force hamming at small scale.
