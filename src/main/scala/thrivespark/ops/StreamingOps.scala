@@ -506,14 +506,18 @@ object StreamingOps {
     // unlistable:<nanoTime> — indistinguishable from a failed listing and
     // re-staged on every access forever. Nested files are keyed by their
     // RELATIVE path so a row moving between partitions flips the hash.
-    def walk(f: java.io.File, rel: String): Seq[String] =
+    // depth-capped: parquet layouts are ≤ a few partition levels deep, and
+    // the cap keeps a symlink cycle from recursing forever
+    def walk(f: java.io.File, rel: String, depth: Int): Seq[String] =
       if (f.isFile) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else if (depth <= 0) Seq(s"$rel:<depth-capped>:${f.lastModified}")
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-        .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+        .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}",
+          depth - 1))
     val entries: Option[Seq[String]] =
       if (src.isFile) Some(Seq(s"${src.getName}:${src.length}:${src.lastModified}"))
       else if (!src.isDirectory) None          // absent or unreadable root
-      else Some(walk(src, "").sorted)
+      else Some(walk(src, "", 8).sorted)
     entries match {
       // absent/unreadable source: never match any stored marker (always
       // stale) so a listing failure re-stages instead of serving stale rows
