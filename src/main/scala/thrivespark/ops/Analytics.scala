@@ -40,7 +40,77 @@ object Analytics {
       .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
   }
 
+  /** Association scores over a DISTINCT (okey, brand) basket frame — the
+    * testable surface of analytics_market_basket (AnalyticsSpec plants
+    * baskets with hand-computed lift). Pair space is per-basket basket²;
+    * item counts and the basket total are aggregate-sized broadcasts. */
+  def basketAffinityFrom(ob: org.apache.spark.sql.DataFrame,
+      minSupport: Long): org.apache.spark.sql.DataFrame = {
+    val tot = ob.agg(countDistinct(col("okey")).as("n_orders"))
+    val item = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
+      .join(ob.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    pairs
+      .join(broadcast(item.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(item.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("pair_n"),
+        col("n_a"), col("n_b"),
+        expr("(1000000 * pair_n) div n_a").as("conf_ab_micro"),
+        expr("(1000000 * pair_n) div n_b").as("conf_ba_micro"),
+        expr("(1000000 * pair_n * n_orders) div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("pair_n").desc, col("brand_a"), col("brand_b"))
+  }
+
   val ops: Seq[Op] = Seq(
+    // Market-basket association mining over order baskets (r17): brand
+    // co-occurrence with support, directional confidence and lift — the
+    // affinity readout merchandising/recsys pipelines compute at scale.
+    // Shape: baskets = DISTINCT (order, brand) after the part-dim join
+    // (one shuffle); the pair space is per-order basket² (baskets are
+    // tiny — a handful of lines each — so the self-join on okey fans out
+    // a bounded constant per order, never cross-order); pair counts
+    // combine map-side; item counts and the order total are aggregate-
+    // sized and broadcast back onto the 300-row pair table. All ratios
+    // are integer micros in truncating division (non-negative ⇒ Spark
+    // `div` ≡ DuckDB `//`), so the oracle is exact. At 100 TB the lift
+    // numerator 1e6·pair_n·n_orders needs DECIMAL headroom — the
+    // ordering of operations is pinned here so both engines overflow (or
+    // not) identically, and the micro discipline moves to DECIMAL(38,0)
+    // before LONG saturates (~1.8e13 order-pairs).
+    Op("analytics_market_basket",
+      (s, d) => {
+        val ob = T.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey"))
+          .join(T.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("okey"), col("p_brand").as("brand")).distinct()
+          .localCheckpoint(true)        // three consumers: pairs, items, total
+        basketAffinityFrom(ob, minSupport = 5)
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+              tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+              item AS (SELECT brand, count(*) AS n FROM ob GROUP BY brand),
+              pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                               count(*) AS pair_n
+                        FROM ob a JOIN ob b
+                          ON a.okey = b.okey AND a.brand < b.brand
+                        GROUP BY 1, 2 HAVING count(*) >= 5)
+              SELECT p.brand_a, p.brand_b, p.pair_n, ia.n AS n_a, ib.n AS n_b,
+                     (1000000 * p.pair_n) // ia.n AS conf_ab_micro,
+                     (1000000 * p.pair_n) // ib.n AS conf_ba_micro,
+                     (1000000 * p.pair_n * (SELECT n_orders FROM tot))
+                       // (ia.n * ib.n) AS lift_micro
+              FROM pairs p JOIN item ia ON p.brand_a = ia.brand
+                           JOIN item ib ON p.brand_b = ib.brand
+              ORDER BY p.pair_n DESC, p.brand_a, p.brand_b""")),
+
     // Staged conversion funnel view → click → purchase, each step within
     // 1 hour of the previous step's FIRST completion (the strict
     // earliest-continuation semantics — deterministic, and expressible in

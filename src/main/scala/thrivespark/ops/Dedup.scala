@@ -328,24 +328,33 @@ object Dedup {
       ORDER BY doc_id"""
   }
 
-  /** The shared CTE chain (no WITH prefix, no final SELECT) — consumed by
-    * graph_pagerank and dedup_canonical_rank so the edge build, valve and
-    * iterates have exactly one definition. */
-  private def pagerankCtes(iters: Int): String = {
-    val sb = new StringBuilder
-    sb.append("""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  /** The sharing-GRAPH CTE chain (no WITH prefix): paragraph hashing, df
+    * valve, undirected pairs `und`, directed edges `e` and degrees `deg`.
+    * ONE definition consumed by every graph oracle (pagerank, canonical
+    * rank, triangle count, common neighbors) so the edge build cannot
+    * drift between ops. */
+  private def shareGraphCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       paras AS (SELECT doc_id, unnest([md5(array_to_string(ts[i*10+1 : i*10+10], ' '))
                 for i in generate_series(0, (len(ts)-1)//10)]) AS h FROM toks),
       ph0 AS (SELECT DISTINCT doc_id, h FROM paras),
-      keep AS (SELECT h FROM ph0 GROUP BY h HAVING count(*) <= """)
-    sb.append(PagerankMaxDf)
-    sb.append("""),
+      keep AS (SELECT h FROM ph0 GROUP BY h HAVING count(*) <= """ +
+      PagerankMaxDf +
+      """),
       ph AS (SELECT p.doc_id, p.h FROM ph0 p JOIN keep k ON p.h = k.h),
       und AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
               FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id),
       e AS (SELECT a_id AS src, b_id AS dst FROM und
             UNION ALL SELECT b_id, a_id FROM und),
-      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)"""
+
+  /** The rank CTE chain (no WITH prefix, no final SELECT) — consumed by
+    * graph_pagerank and dedup_canonical_rank so the edge build, valve and
+    * iterates have exactly one definition. */
+  private def pagerankCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(shareGraphCtes)
+    sb.append(""",
       nn AS (SELECT count(*) AS n FROM deg),
       pr0 AS (SELECT src AS id, deg, 1000000 // (SELECT n FROM nn) AS r FROM deg)""")
     for (t <- 1 to iters) sb.append(s""",
@@ -420,6 +429,64 @@ object Dedup {
       .localCheckpoint(true)            // eager: safe to release edges now
     edges.unpersist()
     out
+  }
+
+  /** Per-node triangle count + local clustering coefficient (integer
+    * micros) over an undirected pair frame (a_id, b_id) with a_id < b_id —
+    * the testable surface (hand-computed graphs in DedupSimilaritySpec).
+    * Triangles a<b<c are enumerated exactly once: every edge is stored
+    * low→high, so (a,b)⋈(b,c)⋈(a,c) is the ordered-wedge closure and no
+    * triangle is double-counted. Cost is the wedge space Σ deg² over the
+    * ordered edge list — the df valve upstream bounds deg, so the join
+    * never approaches all-pairs. Returns (doc_id, deg, n_tri, clust_micro)
+    * where clust_micro = 2e6·n_tri / (deg·(deg−1)) in truncating integer
+    * division (every quantity non-negative ⇒ Spark `div` ≡ DuckDB `//`). */
+  def triangleCountsFrom(und: DataFrame): DataFrame = {
+    val e = und.select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)            // four consumers: wedge legs, closure, deg
+    // (a,b) ⋈ (b,c) on the shared middle node, then close with (a,c)
+    val ab = e.select(col("a_id").as("a"), col("b_id").as("b"))
+    val bc = e.select(col("a_id").as("b"), col("b_id").as("c"))
+    val ac = e.select(col("a_id").as("a"), col("b_id").as("c"))
+    val tri = ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a_id").as("doc_id"))
+      .unionAll(e.select(col("b_id").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clust_micro", expr(
+        "CASE WHEN deg > 1 THEN (2000000 * n_tri) div (deg * (deg - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Link-prediction scores for NON-adjacent 2-hop pairs: common-neighbor
+    * count and neighborhood-Jaccard (integer micros) — the candidate-
+    * expansion primitive a dedup pass uses to find "documents that share
+    * templates with the same third parties but not (yet) with each other".
+    * Pair space = the wedge space Σ deg(v)² (df-valved upstream), pruned
+    * by an anti-join against the existing edge set. All arithmetic is
+    * integral ⇒ exact cross-engine. */
+  def commonNeighborsFrom(und: DataFrame): DataFrame = {
+    val e = und.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(und.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)            // consumers: two wedge legs + deg
+    val cn = e.select(col("src"), col("dst").as("u"))
+      .join(e.select(col("src"), col("dst").as("w")), Seq("src"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("common"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    cn.join(und, col("u") === col("a_id") && col("w") === col("b_id"), "left_anti")
+      .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("src").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .withColumn("jaccard_micro", expr(
+        "(1000000 * common) div (deg_u + deg_w - common)"))
+      .select(col("u").as("a_id"), col("w").as("b_id"), col("common"),
+        col("jaccard_micro"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   val ops: Seq[Op] = Seq(
@@ -563,6 +630,62 @@ object Dedup {
                       ORDER BY r DESC, doc_id) AS rn FROM j) r
               JOIN m ON r.cluster_id = m.cluster_id
               WHERE r.rn = 1 ORDER BY r.cluster_id""")),
+
+    // Per-node triangle count + local clustering coefficient over the
+    // paragraph-sharing graph (r17): the community-density readout that
+    // separates TEMPLATE FARMS (high clustering — every doc shares with
+    // every other, the dup cluster is a clique) from HUB pages (high
+    // degree, near-zero clustering — one doc quoting many unrelated
+    // sources). Triangles are enumerated once each via the ordered-wedge
+    // closure on the low→high edge list; cost is the df-valved wedge space
+    // Σ deg², never all-pairs. clust_micro is truncating integer division
+    // (non-negative ⇒ Spark `div` ≡ DuckDB `//`), so the oracle is exact.
+    Op("graph_triangle_count",
+      (s, d) => triangleCountsFrom(
+        paragraphShareEdges(T.documents(s, d), PagerankMaxDf)),
+      Some(s"""WITH $shareGraphCtes,
+              tri AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+                      FROM und e1 JOIN und e2 ON e1.b_id = e2.a_id
+                      JOIN und e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+              pn AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri),
+              tc AS (SELECT doc_id, count(*) AS n_tri FROM pn GROUP BY doc_id)
+              SELECT d.src AS doc_id, d.deg,
+                     CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                     CASE WHEN d.deg > 1
+                          THEN (2000000 * COALESCE(t.n_tri, 0))
+                               // (d.deg * (d.deg - 1))
+                          ELSE CAST(0 AS BIGINT) END AS clust_micro
+              FROM deg d LEFT JOIN tc t ON d.src = t.doc_id
+              ORDER BY doc_id""")),
+
+    // Link prediction over the same graph (r17): for every NON-adjacent
+    // pair within 2 hops, the common-neighbor count and neighborhood
+    // Jaccard — the candidate-expansion scores a dedup pass uses to
+    // surface "shares templates with the same third parties" pairs that
+    // direct paragraph matching missed (near-identical docs whose shared
+    // paragraph was individually perturbed in each copy still co-occur
+    // with the same neighbors). Wedge space Σ deg(v)², df-valved; the
+    // anti-join against `und` removes already-known edges. Integral
+    // arithmetic ⇒ exact oracle.
+    Op("graph_common_neighbors",
+      (s, d) => commonNeighborsFrom(
+        paragraphShareEdges(T.documents(s, d), PagerankMaxDf)),
+      Some(s"""WITH $shareGraphCtes,
+              cn AS (SELECT e1.dst AS u, e2.dst AS w, count(*) AS common
+                     FROM e e1 JOIN e e2
+                       ON e1.src = e2.src AND e1.dst < e2.dst
+                     GROUP BY 1, 2),
+              nonadj AS (SELECT c.u, c.w, c.common FROM cn c
+                         LEFT JOIN und x ON c.u = x.a_id AND c.w = x.b_id
+                         WHERE x.a_id IS NULL)
+              SELECT n.u AS a_id, n.w AS b_id,
+                     CAST(n.common AS BIGINT) AS common,
+                     (1000000 * n.common) // (du.deg + dw.deg - n.common)
+                       AS jaccard_micro
+              FROM nonadj n JOIN deg du ON n.u = du.src
+                            JOIN deg dw ON n.w = dw.src
+              ORDER BY a_id, b_id""")),
 
     // Engine-specific hashing ⇒ no DuckDB oracle (rows-only driver check);
     // DedupSpec verifies against brute-force hamming at small scale.

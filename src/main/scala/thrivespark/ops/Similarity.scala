@@ -644,6 +644,45 @@ object Similarity {
                 WHERE a.vec_id % 50 = 0)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
+    // HARD-NEGATIVE MINING (r17) — the contrastive-training data op: for
+    // each anchor, the top-5 most-similar vectors with a DIFFERENT label.
+    // These are exactly the negatives a retrieval/embedding trainer wants
+    // (semantically close, wrong class); random negatives are trivially
+    // separable and teach nothing. Same scale shape as sim_topk_cosine —
+    // broadcast anchor set, map-side cosine, per-anchor top-k — with the
+    // label inequality pushed INTO the join condition so cross-label
+    // candidates never materialize. At 100 TB the anchor set rides the
+    // same IVF index as sim_ann_ivf (probe cells, then label-filter);
+    // brute force here is the oracled baseline that path is measured
+    // against. Label inequality also subsumes the self-pair filter.
+    Op("sim_hard_negatives",
+      (s, d) => {
+        thrivespark.functions.Register(s)
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("label").as("c_label"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        broadcast(q).join(c, col("q_label") =!= col("c_label"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+            round6(col("cos")).as("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""SELECT q_id, q_label, c_id, c_label, round(cos, 6) + 0.0 AS cos, rn
+              FROM (
+                SELECT a.vec_id AS q_id, a.label AS q_label,
+                       b.vec_id AS c_id, b.label AS c_label, $duckDot AS cos,
+                       CAST(row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY $duckDot DESC, b.vec_id) AS INTEGER) AS rn
+                FROM embeddings a JOIN embeddings b ON a.label <> b.label
+                WHERE a.vec_id % 50 = 0)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
     // Approximate scale path — but fully DETERMINISTIC: centroid choice
     // (vec_id % 100), assignment (max sim, tie → lowest cent_id), probe set
     // (top-nprobe cells, same tie-break) and final ranking all have total

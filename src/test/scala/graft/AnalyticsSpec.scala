@@ -46,4 +46,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(fromOp.length == 1)
     assert(!fromOp(0).isNullAt(fromOp(0).fieldIndex("z_score")))
   }
+
+  test("basketAffinityFrom: hand-computed lift/confidence on planted " +
+      "baskets; min-support prunes") {
+    import spark.implicits._
+    // baskets: o1={A,B}, o2={A,B}, o3={A,C}, o4={B}. With minSupport=2
+    // only (A,B) survives: pair_n=2, n_A=3, n_B=3, n_orders=4 →
+    // conf_AB = 2e6 div 3 = 666666 (= conf_BA), lift = (2e6·4) div 9 =
+    // 888888 — mild negative association (< 1e6), truncated exactly.
+    val ob = Seq(("o1", "A"), ("o1", "B"), ("o2", "A"), ("o2", "B"),
+      ("o3", "A"), ("o3", "C"), ("o4", "B")).toDF("okey", "brand")
+    val out = Analytics.basketAffinityFrom(ob, minSupport = 2).collect()
+    assert(out.length == 1, s"min-support must prune (A,C): ${out.toSeq}")
+    val r = out(0)
+    assert((r.getAs[String]("brand_a"), r.getAs[String]("brand_b"),
+      r.getAs[Long]("pair_n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("conf_ab_micro"), r.getAs[Long]("conf_ba_micro"),
+      r.getAs[Long]("lift_micro")) ==
+      (("A", "B", 2L, 3L, 3L, 666666L, 666666L, 888888L)), s"got $r")
+  }
+
+  test("basketAffinityFrom: a perfectly-associated pair has lift > 1e6, " +
+      "an anti-associated pair is filtered by support before it misleads") {
+    import spark.implicits._
+    // X,Y always co-occur (3/3 baskets, 6 baskets total): lift =
+    // (3e6·6) div 9 = 2e6. Z never co-occurs with X → no (X,Z) row at all.
+    val ob = Seq(("b1", "X"), ("b1", "Y"), ("b2", "X"), ("b2", "Y"),
+      ("b3", "X"), ("b3", "Y"), ("b4", "Z"), ("b5", "Z"), ("b6", "Z"))
+      .toDF("okey", "brand")
+    val out = Analytics.basketAffinityFrom(ob, minSupport = 1).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("lift_micro") == 2000000L,
+      s"got ${out.toSeq}")
+  }
 }

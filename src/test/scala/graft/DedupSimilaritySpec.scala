@@ -491,6 +491,77 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 1L, 191666L, 312083L, 209728L)), s"got ${out.toSeq}")
   }
 
+  test("triangleCountsFrom: triangle + pendant — per-node counts and " +
+      "truncating clustering coefficient") {
+    // 1–2–3 triangle with 4 hanging off 3: nodes 1,2 have deg 2 and sit in
+    // 1 triangle (clust = 2e6·1/(2·1) = 1e6 — their neighborhood is
+    // complete); node 3 has deg 3, 1 triangle of 3 possible wedge pairs
+    // (2e6·1/(3·2) = 333333, truncated); the pendant has deg 1, clust 0.
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.triangleCountsFrom(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("triangleCountsFrom: 4-clique — every node in C(3,2)=3 triangles, " +
+      "coefficient exactly 1") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.triangleCountsFrom(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == (1L to 4L).map(i => (i, 3L, 3L, 1000000L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("commonNeighborsFrom: path emits only the non-adjacent endpoint " +
+      "pair; a triangle (all pairs adjacent) emits nothing") {
+    import spark.implicits._
+    // path 1–2–3: (1,3) share neighbor 2, Jaccard = 1/(1+1−1) = 1.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.commonNeighborsFrom(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 1000000L)), s"got ${out.toSeq}")
+    // triangle: every 2-hop pair is ALSO an edge — the anti-join must
+    // leave zero candidates.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a_id", "b_id")
+    assert(Dedup.commonNeighborsFrom(tri).count() == 0L)
+  }
+
+  test("sim_hard_negatives: every mined negative crosses labels, exactly " +
+      "k per anchor, and is never better than the unrestricted top-1") {
+    val hn = thrivespark.Registry.queries("sim_hard_negatives")(spark, sf0001)
+      .collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("c_label")),
+      "a hard negative sharing the anchor's label is a positive")
+    val perAnchor = hn.groupBy(_.getAs[Long]("q_id"))
+    assert(perAnchor.values.forall(_.length == 5))
+    // restricting the candidate pool cannot IMPROVE the best score: each
+    // anchor's top hard negative is ≤ its unrestricted brute-force top-1.
+    val top1 = thrivespark.Registry.queries("sim_topk_cosine")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    perAnchor.foreach { case (q, rows) =>
+      val best = rows.map(_.getAs[Double]("cos")).max
+      assert(best <= top1(q) + 1e-9, s"anchor $q: hard-neg $best > top1 ${top1(q)}")
+    }
+  }
+
+  test("commonNeighborsFrom: star hub — all leaf pairs surface with the " +
+      "hub as witness, Jaccard 1") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.commonNeighborsFrom(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 3L, 1L, 1000000L), (2L, 4L, 1L, 1000000L), (3L, 4L, 1L, 1000000L)),
+      s"got ${out.toSeq}")
+  }
+
   test("paragraphShareEdges df valve: a planted boilerplate clique is " +
       "dropped, genuine sharing pairs survive") {
     import spark.implicits._
