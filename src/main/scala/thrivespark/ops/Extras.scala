@@ -15,6 +15,23 @@ import thrivespark.Det._
 object Extras {
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** One FK edge's referential audit row: fact cardinality, orphan rows
+    * (non-null FK values absent from the dim's PK) and distinct orphan
+    * keys. Extracted so EtlSpec can plant orphans on tiny frames — the
+    * synthetic star has none, so only a planted test proves the counters
+    * move. */
+  def fkOrphanAudit(fact: org.apache.spark.sql.DataFrame, fkCol: String,
+      dim: org.apache.spark.sql.DataFrame, pkCol: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val orphans = fact.select(col(fkCol).as("fk")).filter(col("fk").isNotNull)
+      .join(dim.select(col(pkCol).as("pk")), col("fk") === col("pk"), "left_anti")
+    fact.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col("fk")).as("n_orphan_keys")))
+      .select(lit(name).as("fk_name"), col("n_rows"),
+        col("n_orphans"), col("n_orphan_keys"))
+  }
+
   def bucketedNames(d: String): (String, String) = {
     val tag = new java.io.File(d).getName.replace(".", "_")
     (s"li_bucketed2_$tag", s"o_bucketed2_$tag")
@@ -1153,6 +1170,71 @@ object Extras {
                      CAST(count(*) < 5 AS INTEGER) AS at_risk
               FROM documents GROUP BY lang, source
               ORDER BY lang, source""")),
+
+    // Referential-integrity audit across the star schema's four FK edges
+    // (r17 — the DQ check dq_validate_reject's row-local rules can't
+    // express: validity HERE depends on another table). One row per FK
+    // with fact cardinality, orphan row count and distinct orphan keys —
+    // all zero on this synthetic star, which is exactly the audit's
+    // assertion; EtlSpec plants orphans to prove the counters move. Scale
+    // shape: each check is ONE anti-join (fact keys vs dim keys — AQE
+    // broadcasts the small dims, sort-merges lineitem⋈orders) feeding
+    // aggregate-sized counters; NULL FKs are excluded (a null FK is a
+    // completeness problem, not a referential one). The four audits are
+    // independent single-purpose scans — on a 100 TB warehouse each
+    // prunes to (fk) column reads only.
+    Op("dq_referential",
+      (s, d) => Seq(
+          fkOrphanAudit(T.customer(s, d), "c_nationkey",
+            T.nation(s, d), "n_nationkey", "customer.nation"),
+          fkOrphanAudit(T.lineitem(s, d), "l_orderkey",
+            T.orders(s, d), "o_orderkey", "lineitem.orders"),
+          fkOrphanAudit(T.lineitem(s, d), "l_partkey",
+            T.part(s, d), "p_partkey", "lineitem.part"),
+          fkOrphanAudit(T.orders(s, d), "o_custkey",
+            T.customer(s, d), "c_custkey", "orders.customer"))
+        .reduce(_ unionAll _)
+        .orderBy(col("fk_name")),
+      Some("""SELECT 'customer.nation' AS fk_name,
+                     (SELECT count(*) FROM customer) AS n_rows,
+                     (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM nation n
+                                        WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+                     (SELECT count(DISTINCT c_nationkey) FROM customer c
+                        WHERE c.c_nationkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM nation n
+                                        WHERE n.n_nationkey = c.c_nationkey)) AS n_orphan_keys
+              UNION ALL
+              SELECT 'lineitem.orders',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey)),
+                     (SELECT count(DISTINCT l_orderkey) FROM lineitem l
+                        WHERE l.l_orderkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'lineitem.part',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey)),
+                     (SELECT count(DISTINCT l_partkey) FROM lineitem l
+                        WHERE l.l_partkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey))
+              UNION ALL
+              SELECT 'orders.customer',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)),
+                     (SELECT count(DISTINCT o_custkey) FROM orders o
+                        WHERE o.o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+              ORDER BY fk_name""")),
 
     // PII masking / generalization (the release-side companion to the
     // k-anonymity audit): the direct key is TOKENIZED (md5 — emitting the

@@ -1254,6 +1254,43 @@ object Text {
                        ORDER BY score_micros DESC, tok) AS INTEGER) AS rn FROM sc)
               WHERE rn <= 5 ORDER BY doc_id, rn""")),
 
+    // Feature-hashed document embedding (r17): every token hashes into one
+    // of 64 buckets (md5-prefix mod — the engine-portable hash), per-doc
+    // bucket term frequencies plus the length-normalized weight in integer
+    // micros. This is the deterministic "embed the corpus" primitive that
+    // feeds the ANN ladder when no model is in the loop (hashing-trick
+    // features, Weinberger et al.) — and unlike a model embedding it gets
+    // an EXACT oracle. Sparse (doc, bucket, tf) long format: only occupied
+    // buckets materialize, so the output is Σ|distinct buckets per doc| ≤
+    // 64·N rows, and the whole op is one explode + one map-side-combined
+    // aggregation; the per-doc normalizer rides a second aggregate joined
+    // back on doc_id (both shuffles key on doc_id — co-partitioned).
+    Op("text_hash_embedding",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64)
+              .as("bucket"))
+        val tf = toks.groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        tf.join(nt, Seq("doc_id"))
+          .select(col("doc_id"), col("bucket"), col("tf"),
+            expr("(1000000 * tf) div nt").as("w_micro"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              b AS (SELECT doc_id,
+                      CAST(CAST(concat('0x', substring(md5(w), 1, 6)) AS UBIGINT)
+                        % 64 AS BIGINT) AS bucket
+                    FROM tok),
+              c AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+              n AS (SELECT doc_id, count(*) AS nt FROM b GROUP BY 1)
+              SELECT c.doc_id, c.bucket, c.tf, (1000000 * c.tf) // n.nt AS w_micro
+              FROM c JOIN n USING (doc_id) ORDER BY doc_id, bucket""")),
+
     Op("text_ngram_topk",
       (s, d) => {
         // bigramRows: grams form post-explode in codegen (2.1 s → 0.98 s

@@ -127,4 +127,23 @@ class EtlSpec extends AnyFunSuite {
     // and the layout is content-preserving
     assert(spark.read.parquet(zDir).count() == n)
   }
+
+  test("fkOrphanAudit: planted orphans counted at row and key grain, " +
+      "NULL FKs excluded, intact FK reports zeros") {
+    import spark.implicits._
+    // fact keys {1, 2, 9, 9, null} vs dim {1, 2}: 2 orphan rows, 1 orphan
+    // key; the null FK is a completeness issue, not a referential one.
+    val fact = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None).toDF("fk_col")
+    val dim = Seq(1L, 2L).toDF("pk_col")
+    val r = thrivespark.ops.Extras
+      .fkOrphanAudit(fact, "fk_col", dim, "pk_col", "t.f").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("t.f", 5L, 2L, 1L)), s"got $r")
+    // fully-covered fact: counters must be exactly zero (the audit's
+    // steady-state assertion on the synthetic star)
+    val ok = thrivespark.ops.Extras
+      .fkOrphanAudit(Seq(1L, 2L, 2L).toDF("fk_col"), "fk_col",
+        dim, "pk_col", "ok").collect()(0)
+    assert((ok.getLong(1), ok.getLong(2), ok.getLong(3)) == ((3L, 0L, 0L)))
+  }
 }

@@ -523,4 +523,24 @@ class PropertySpec extends AnyFunSuite {
     assert(out(2L)._1.isEmpty && out(2L)._2 == null)
     assert(out(3L)._1 == Seq("a b c", "b c d"))
   }
+
+  test("text_hash_embedding invariants: buckets in [0,64), per-doc tf sums " +
+      "to token count, truncated weights sum to 1e6 within bucket-count slack") {
+    val out = thrivespark.Registry.queries("text_hash_embedding")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => { val b = r.getAs[Long]("bucket"); b >= 0 && b < 64 }))
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val docs = thrivespark.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("tf")).sum == docs(id),
+        s"doc $id: bucket tfs must partition the token count")
+      val wSum = rows.map(_.getAs[Long]("w_micro")).sum
+      // each occupied bucket truncates < 1 micro-unit short
+      assert(wSum <= 1000000L && wSum > 1000000L - rows.length,
+        s"doc $id: w_micro sum $wSum outside truncation envelope")
+    }
+  }
 }
