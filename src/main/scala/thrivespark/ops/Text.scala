@@ -832,6 +832,47 @@ object Text {
     untouched.unionByName(rebuilt).orderBy(col("doc_id"))
   }
 
+  /** Hashing-trick bucket term frequencies (doc_id, bucket, tf): every
+    * token md5-mods into one of 64 buckets (the engine-portable hash).
+    * ONE definition shared by text_hash_embedding and sim_doc_topk_hashed
+    * so the feature space cannot drift between the embedding and its
+    * consumer. 64 buckets suit the test corpus; at 100 TB the same shape
+    * runs at 2^12+ buckets so the bucket inverted index actually prunes. */
+  def hashedBuckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The hashed-feature top-k program over any (doc_id, text) frame — the
+    * testable surface of sim_doc_topk_hashed (TrainingMixSpec plants an
+    * exact duplicate and pins sim_micro = 1e6 at rank 1). */
+  def hashedTopKFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = hashedBuckets(docs)
+      .localCheckpoint(true)            // three consumers: queries, corpus, norms
+    val n = c.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("bucket"), col("tf").as("q_tf"))
+    val dots = q.join(c.select(col("doc_id").as("c_id"), col("bucket"), col("tf")),
+        Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("q_tf") * col("tf")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_micro").desc, col("c_id"))
+    dots
+      .join(n.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(n.select(col("doc_id").as("c_id"), col("nrm").as("c_nrm")), Seq("c_id"))
+      .withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("dot"), col("sim_micro"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val ops: Seq[Op] = Seq(
     // The real BPE training loop, word-granular (see bpeTrain): 8 merges
     // learned from the deterministic 1-in-5 training slice (see
@@ -1267,14 +1308,8 @@ object Text {
     // back on doc_id (both shuffles key on doc_id — co-partitioned).
     Op("text_hash_embedding",
       (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .select(col("doc_id"),
-            (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64)
-              .as("bucket"))
-        val tf = toks.groupBy(col("doc_id"), col("bucket"))
-          .agg(count(lit(1)).as("tf"))
-        val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        val tf = hashedBuckets(T.documents(s, d))
+        val nt = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("nt"))
         tf.join(nt, Seq("doc_id"))
           .select(col("doc_id"), col("bucket"), col("tf"),
             expr("(1000000 * tf) div nt").as("w_micro"))
@@ -1290,6 +1325,44 @@ object Text {
               n AS (SELECT doc_id, count(*) AS nt FROM b GROUP BY 1)
               SELECT c.doc_id, c.bucket, c.tf, (1000000 * c.tf) // n.nt AS w_micro
               FROM c JOIN n USING (doc_id) ORDER BY doc_id, bucket""")),
+
+    // Top-5 similar documents by hashed-feature cosine (r17): the sparse
+    // inner-product join over text_hash_embedding's bucket vectors —
+    // near-dup DISCOVERY by bag-of-words, no model in the loop, and
+    // because every quantity is integral (tf counts, Σtf² norms, dot sums,
+    // cosine² in truncating micros) the "similarity search" gets an EXACT
+    // oracle with no IEEE-fold argument at all. Ranking by cos² =
+    // 1e6·dot²/(‖a‖²·‖b‖²) is monotone in cosine (all dots ≥ 0 here), so
+    // no sqrt ever enters. Plan shape: the dot is computed WHERE the data
+    // is — an equi-join on bucket (inverted index) + one (q, c) grouped
+    // sum — never a dense pairwise loop; the query side is a % 50 slice.
+    // Candidate pruning comes from bucket sparsity, which is why the
+    // bucket count must scale with the corpus (see hashedBuckets).
+    Op("sim_doc_topk_hashed",
+      (s, d) => hashedTopKFrom(T.documents(s, d)),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              b AS (SELECT doc_id,
+                      CAST(CAST(concat('0x', substring(md5(w), 1, 6)) AS UBIGINT)
+                        % 64 AS BIGINT) AS bucket
+                    FROM tok),
+              c AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+              n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm
+                    FROM c GROUP BY 1),
+              qd AS (SELECT * FROM c WHERE doc_id % 50 = 0),
+              dots AS (SELECT q.doc_id AS q_id, x.doc_id AS c_id,
+                              CAST(SUM(q.tf * x.tf) AS BIGINT) AS dot
+                       FROM qd q JOIN c x
+                         ON q.bucket = x.bucket AND q.doc_id <> x.doc_id
+                       GROUP BY 1, 2),
+              sc AS (SELECT d.q_id, d.c_id, d.dot,
+                            (1000000 * d.dot * d.dot) // (nq.nrm * nc.nrm) AS sim_micro
+                     FROM dots d JOIN n nq ON d.q_id = nq.doc_id
+                                 JOIN n nc ON d.c_id = nc.doc_id)
+              SELECT q_id, c_id, dot, sim_micro, rn
+              FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim_micro DESC, c_id) AS INTEGER) AS rn FROM sc)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     Op("text_ngram_topk",
       (s, d) => {

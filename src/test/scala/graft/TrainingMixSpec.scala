@@ -159,4 +159,41 @@ class TrainingMixSpec extends AnyFunSuite {
       assert(((n - 1) / S) * S < n)
     }
   }
+
+  // --------------------------------------------------- sim_doc_topk_hashed ---
+
+  test("hashed top-k: planted exact duplicate ranks 1 with sim_micro = 1e6") {
+    import spark.implicits._
+    // doc 0 is on the query slice (doc_id % 50 == 0); doc 7 is its exact
+    // duplicate, so dot = ‖q‖² = ‖c‖² and cos² in truncating micros is
+    // exactly 1e6 — the only value that can hold rank 1 against any
+    // non-identical candidate. Remaining docs share some tokens so the
+    // list is non-trivial below rank 1.
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, dup),
+      (7L, dup),
+      (8L, "alpha beta gamma other words here"),
+      (9L, "delta epsilon zeta more filler tokens"),
+      (11L, "completely unrelated vocabulary entirely"),
+      (50L, "alpha alpha alpha beta beta gamma")) // second query point
+      .toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.hashedTopKFrom(docs).collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Int]("rn"))
+    assert(q0.nonEmpty && q0.head.getAs[Long]("c_id") == 7L,
+      "the exact duplicate must hold rank 1")
+    assert(q0.head.getAs[Long]("sim_micro") == 1000000L,
+      "identical docs: cos² in truncating micros is exactly 1e6")
+    assert(q0.forall(_.getAs[Long]("sim_micro") <= 1000000L))
+    // per-query lists: contiguous ranks, at most 5, sim non-increasing
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 5)
+      val sims = sorted.map(_.getAs[Long]("sim_micro")).toSeq
+      assert(sims == sims.sorted.reverse, "sim must be non-increasing in rank")
+    }
+    // both query points (0 and 50) produced lists; non-queries produced none
+    assert(out.map(_.getAs[Long]("q_id")).distinct.sorted.toSeq == Seq(0L, 50L))
+  }
 }
