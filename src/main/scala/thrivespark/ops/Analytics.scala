@@ -415,6 +415,42 @@ object Analytics {
                            / sum(n) OVER (PARTITION BY src), 6) AS p
               FROM t ORDER BY src, dst""")),
 
+    // Equi-depth traffic deciles (r17): bucket DAYS by order volume into
+    // ten equal-population bands — the profiling readout capacity planning
+    // and anomaly triage actually use (equi-WIDTH histograms starve on
+    // skew; equi-depth puts the same number of days in every band). The
+    // global ntile window is scale-SAFE here precisely because it runs on
+    // the day-grain aggregate: TPC-H dates span ~2.4k days at EVERY scale
+    // factor, so the single-partition window input is bounded-constant
+    // while the only corpus-proportional work is the map-side-combined
+    // day rollup (the memory-(e) pattern: never pre-sort raw rows for a
+    // low-cardinality window). Output is all-integer — no IEEE anywhere.
+    Op("analytics_volume_deciles",
+      (s, d) => {
+        val day = T.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n_orders"))
+        val w = Window.orderBy(col("n_orders"), col("d"))
+        day.withColumn("bucket", ntile(10).over(w))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_days"),
+            min(col("n_orders")).as("lo"), max(col("n_orders")).as("hi"),
+            sum(col("n_orders")).as("sum_orders"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                  count(*) AS n_orders
+                           FROM orders GROUP BY 1),
+              t AS (SELECT d, n_orders,
+                           CAST(ntile(10) OVER (ORDER BY n_orders, d)
+                             AS INTEGER) AS bucket
+                    FROM day)
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(min(n_orders) AS BIGINT) AS lo,
+                     CAST(max(n_orders) AS BIGINT) AS hi,
+                     CAST(sum(n_orders) AS BIGINT) AS sum_orders
+              FROM t GROUP BY 1 ORDER BY 1""")),
+
     Op("analytics_rolling_active",
       (s, d) => {
         val ev = T.events(s, d)

@@ -873,6 +873,57 @@ object Text {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** RAG-style chunk retrieval over any (doc_id, text) frame — the testable
+    * surface of pipeline_rag_retrieval. Retrieval granularity is the CHUNK
+    * (text_chunk_overlap's C=32/S=24 overlapping windows, each hashed into
+    * the same 64-bucket space as hashedBuckets); result granularity is the
+    * DOC (argmax chunk per candidate doc, then top-3 docs per query). Both
+    * argmaxes are total orders (sim desc, chunk asc / doc asc) and every
+    * quantity is integral, so the whole retrieval chain has an exact
+    * cross-engine oracle. */
+  def ragRetrievalFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val C = 32; val S = 24
+    val bucket = (w: Column) =>
+      conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+    val lastChunk = floor((size(col("ts")) - 1) / lit(S)).cast("int")
+    val chunkArrs = transform(sequence(lit(0), lastChunk),
+      i => slice(col("ts"), i * lit(S) + lit(1), lit(C)))
+    val cf = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(chunkArrs).as(Seq("chunk_id", "cts")))
+      .select(col("doc_id"), col("chunk_id"), explode(col("cts")).as("w"))
+      .select(col("doc_id"), col("chunk_id"), bucket(col("w")).as("bucket"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)            // two consumers: dot join + chunk norms
+    val cn = cf.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+    val qf = hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
+      .localCheckpoint(true)            // two consumers: dot join + query norms
+    val qn = qf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nrm"))
+    val dots = qf.select(col("doc_id").as("q_id"), col("bucket"), col("tf").as("q_tf"))
+      .join(cf.select(col("doc_id").as("c_id"), col("chunk_id"), col("bucket"), col("tf")),
+        Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"), col("chunk_id"))
+      .agg(sum(col("q_tf") * col("tf")).as("dot"))
+    val sc = dots
+      .join(qn.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(cn.select(col("doc_id").as("c_id"), col("chunk_id"), col("nrm").as("c_nrm")),
+        Seq("c_id", "chunk_id"))
+      .withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("c_id"))
+      .orderBy(col("sim_micro").desc, col("chunk_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim_micro").desc, col("c_id"))
+    sc.withColumn("brn", row_number().over(wBest)).filter(col("brn") === 1)
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("chunk_id").as("best_chunk"),
+        col("dot"), col("sim_micro"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val ops: Seq[Op] = Seq(
     // The real BPE training loop, word-granular (see bpeTrain): 8 merges
     // learned from the deterministic 1-in-5 training slice (see
@@ -1363,6 +1414,65 @@ object Text {
               FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                       ORDER BY sim_micro DESC, c_id) AS INTEGER) AS rn FROM sc)
               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // RAG retrieval composed end-to-end (r17): chunk the corpus with
+    // text_chunk_overlap's C=32/S=24 windows, hash each chunk into the
+    // SAME 64-bucket space as text_hash_embedding, and answer full-doc
+    // queries (the % 50 slice) at CHUNK granularity — per candidate doc
+    // the best-matching chunk (argmax cos² micros, chunk asc on ties),
+    // then the top-3 docs per query (sim desc, doc asc). This is the
+    // retrieval shape a RAG pipeline actually runs: retrieve by chunk,
+    // return the doc + where inside it to look. Scale: chunk features are
+    // ~1.33× the token count (C/S overlap) — linear; candidates ride the
+    // bucket inverted-index equi-join (never doc×doc); both window ranks
+    // partition by q_id / (q_id, c_id) — query-slice-sized frames. All
+    // quantities integral → exact oracle (same argument as
+    // sim_doc_topk_hashed).
+    Op("pipeline_rag_retrieval",
+      (s, d) => ragRetrievalFrom(T.documents(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts,
+                                   len(string_split(text, ' ')) AS n
+                            FROM documents),
+              cex AS (SELECT doc_id, ts, n,
+                             unnest(generate_series(0, (n - 1) // 24)) AS i
+                      FROM toks),
+              ctok AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                              unnest(ts[i*24+1 : i*24+32]) AS w FROM cex),
+              cb AS (SELECT doc_id, chunk_id,
+                            CAST(CAST(concat('0x', substring(md5(w), 1, 6)) AS UBIGINT)
+                              % 64 AS BIGINT) AS bucket
+                     FROM ctok),
+              cf AS (SELECT doc_id, chunk_id, bucket, count(*) AS tf
+                     FROM cb GROUP BY 1, 2, 3),
+              cn AS (SELECT doc_id, chunk_id, CAST(sum(tf*tf) AS BIGINT) AS nrm
+                     FROM cf GROUP BY 1, 2),
+              qtok AS (SELECT doc_id, unnest(ts) AS w FROM toks
+                       WHERE doc_id % 50 = 0),
+              qb AS (SELECT doc_id,
+                            CAST(CAST(concat('0x', substring(md5(w), 1, 6)) AS UBIGINT)
+                              % 64 AS BIGINT) AS bucket
+                     FROM qtok),
+              qf AS (SELECT doc_id, bucket, count(*) AS tf FROM qb GROUP BY 1, 2),
+              qn AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nrm
+                     FROM qf GROUP BY 1),
+              dots AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id, c.chunk_id,
+                              CAST(sum(q.tf * c.tf) AS BIGINT) AS dot
+                       FROM qf q JOIN cf c
+                         ON q.bucket = c.bucket AND q.doc_id <> c.doc_id
+                       GROUP BY 1, 2, 3),
+              sc AS (SELECT d.q_id, d.c_id, d.chunk_id, d.dot,
+                            (1000000 * d.dot * d.dot) // (qn.nrm * cn.nrm) AS sim_micro
+                     FROM dots d JOIN qn ON d.q_id = qn.doc_id
+                                 JOIN cn ON d.c_id = cn.doc_id
+                                        AND d.chunk_id = cn.chunk_id),
+              best AS (SELECT q_id, c_id, chunk_id AS best_chunk, dot, sim_micro
+                       FROM (SELECT *, row_number() OVER (PARTITION BY q_id, c_id
+                               ORDER BY sim_micro DESC, chunk_id) AS brn FROM sc)
+                       WHERE brn = 1)
+              SELECT q_id, c_id, best_chunk, dot, sim_micro, rn
+              FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim_micro DESC, c_id) AS INTEGER) AS rn FROM best)
+              WHERE rn <= 3 ORDER BY q_id, rn""")),
 
     Op("text_ngram_topk",
       (s, d) => {

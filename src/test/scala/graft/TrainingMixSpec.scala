@@ -196,4 +196,41 @@ class TrainingMixSpec extends AnyFunSuite {
     // both query points (0 and 50) produced lists; non-queries produced none
     assert(out.map(_.getAs[Long]("q_id")).distinct.sorted.toSeq == Seq(0L, 50L))
   }
+
+  // ------------------------------------------------- pipeline_rag_retrieval ---
+
+  test("rag retrieval: planted buried passage found at the right chunk") {
+    import spark.implicits._
+    // doc 0 is a 24-token query; doc 7 buries those exact 24 tokens AFTER
+    // 24 filler tokens, so with C=32/S=24 its chunk 1 is precisely the
+    // query text. Chunk-granularity retrieval must (a) surface doc 7 at
+    // rank 1 with sim_micro exactly 1e6 and (b) point at chunk 1, not
+    // chunk 0 — a doc-granularity cosine would dilute the match with the
+    // filler and could not localize it.
+    val qtoks = (1 to 24).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 24).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, qtoks),
+      (7L, s"$filler $qtoks"),
+      (9L, "q1 q2 q3 " + (1 to 10).map(i => s"x$i").mkString(" ")),
+      (50L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (3L, "z1 z2 z3 z4 unrelated padding words"))
+      .toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.ragRetrievalFrom(docs).collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Int]("rn"))
+    assert(q0.nonEmpty && q0.head.getAs[Long]("c_id") == 7L,
+      "the doc hiding the exact passage must hold rank 1")
+    assert(q0.head.getAs[Int]("best_chunk") == 1,
+      "retrieval must localize the passage to chunk 1, past the filler")
+    assert(q0.head.getAs[Long]("sim_micro") == 1000000L,
+      "an exact chunk match scores cos² = 1e6 exactly")
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      val sims = sorted.map(_.getAs[Long]("sim_micro")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    assert(out.map(_.getAs[Long]("q_id")).distinct.sorted.toSeq == Seq(0L, 50L))
+  }
 }
