@@ -162,7 +162,7 @@ object Bench {
   }
 
   /** End-of-suite salvage list: queries a contaminated-or-suspect record
-    * cannot adjudicate without a second measurement. Three triggers on the
+    * cannot adjudicate without a second measurement. Four triggers on the
     * host-normalized suite-order sequence:
     *  (1) ratio > 5× prior (r16);
     *  (2) member of a contiguity window — ≥3 adjacent >4×, prior-less
@@ -170,30 +170,39 @@ object Bench {
     *  (3) ratio > 2× AND absolute regression > 1.5 s (r17 — the r16 record's
     *      stream_stream_join 2.0× (+3.1 s) and stream_dedup_state 2.05×
     *      (+1.8 s) doubled without qualifying under (1)/(2) and had to wait
-    *      a full round for adjudication).
+    *      a full round for adjudication);
+    *  (4) PRIOR-LESS and raw > 5× the run's median raw AND > 3 s (r18 —
+    *      every prior trigger needs a prior ratio, so a brand-new
+    *      expensive key shipped unadjudicated: BENCH_r17 retried fn_xml's
+    *      23.8 s spike down to 1.8 s but could not touch the new
+    *      pipeline_rag_retrieval at 17.9 s).
     * `deltaSec` is the RAW sec − prior (not normalized: the threshold is
-    * about real wall-clock at stake). Bounded by `cap` so a fully-poisoned
-    * run doesn't double its own wall-clock; the keep-set is built first and
-    * then filtered in suite order, so the cap drops the LATEST-in-suite
+    * about real wall-clock at stake); `rawSec` feeds the prior-less
+    * absolute trigger. Bounded by `cap` so a fully-poisoned run doesn't
+    * double its own wall-clock; the keep-set is built first and then
+    * filtered in suite order, so the cap drops the LATEST-in-suite
     * candidates, never an earlier spike in favor of a later window member. */
   private[graft] def retryCandidates(
-      named: Seq[(String, Option[Double], Option[Double])],
+      named: Seq[(String, Option[Double], Option[Double], Double)],
       cap: Int = 8): Seq[String] = {
     val keep = scala.collection.mutable.HashSet.empty[String]
-    named.foreach { case (n, r, d) =>
+    val raws = named.map(_._4).sorted
+    val medianRaw = if (raws.isEmpty) 0.0 else raws(raws.length / 2)
+    named.foreach { case (n, r, d, raw) =>
       if (r.exists(_ > 5.0)) keep += n
       if (r.exists(_ > 2.0) && d.exists(_ > 1.5)) keep += n
+      if (r.isEmpty && raw > 5.0 * medianRaw && raw > 3.0) keep += n
     }
     var run = scala.collection.mutable.ArrayBuffer.empty[String]
     var gap = 0
     def flush(): Unit = { if (run.size >= 3) keep ++= run; run.clear() }
     named.foreach {
-      case (n, Some(r), _) if r > 4.0 => run += n; gap = 0
-      case (_, None, _)               => gap += 1; if (gap > MaxCarryGap) flush()
-      case _                          => gap = 0; flush()
+      case (n, Some(r), _, _) if r > 4.0 => run += n; gap = 0
+      case (_, None, _, _)               => gap += 1; if (gap > MaxCarryGap) flush()
+      case _                             => gap = 0; flush()
     }
     flush()
-    named.collect { case (n, _, _) if keep(n) => n }.take(cap).toSeq
+    named.collect { case (n, _, _, _) if keep(n) => n }.take(cap).toSeq
   }
 
   /** Host factor (r14): the run's own median prior-ratio, the uniform
@@ -357,7 +366,7 @@ object Bench {
     // delta drives the absolute one (real wall-clock at stake)
     val retryInput = results.map { case (n, sec) =>
       val p = BenchPriors.prior.get(n)
-      (n, p.map(sec / _ / hf), p.map(sec - _)) }
+      (n, p.map(sec / _ / hf), p.map(sec - _), sec) }
     val retried = retryCandidates(retryInput).map { name =>
       val t0 = System.nanoTime()
       QueryGuard.timed(spark, name, 300L) {

@@ -9,6 +9,8 @@ object Register {
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot_long",
+      es => VecDotLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es.head, 32), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_keys",

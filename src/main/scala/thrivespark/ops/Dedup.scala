@@ -355,14 +355,12 @@ object Dedup {
     val sb = new StringBuilder
     sb.append(shareGraphCtes)
     sb.append(""",
-      nn AS (SELECT count(*) AS n FROM deg),
-      pr0 AS (SELECT src AS id, deg, 1000000 // (SELECT n FROM nn) AS r FROM deg)""")
+      pr0 AS (SELECT src AS id, deg, 1000000 AS r FROM deg)""")
     for (t <- 1 to iters) sb.append(s""",
       c$t AS (SELECT e.dst, CAST(sum(p.r // p.deg) AS BIGINT) AS cs
               FROM e JOIN pr${t - 1} p ON e.src = p.id GROUP BY e.dst),
       pr$t AS (SELECT d.src AS id, d.deg,
-                 150000 // (SELECT n FROM nn)
-                   + (85 * coalesce(c.cs, 0)) // 100 AS r
+                 150000 + (85 * coalesce(c.cs, 0)) // 100 AS r
                FROM deg d LEFT JOIN c$t c ON d.src = c.dst)""")
     sb.toString
   }
@@ -396,7 +394,19 @@ object Dedup {
 
   /** The PageRank power iteration over an undirected pair frame
     * (a_id, b_id) — the testable surface (hand-computed path graph in
-    * DedupSimilaritySpec). Returns (doc_id, deg, r1..r_iters). */
+    * DedupSimilaritySpec). Returns (doc_id, deg, r1..r_iters).
+    *
+    * Ranks are PER-NODE integer micros (r·n units, r18): every node
+    * starts at 1,000,000 and the teleport term is a constant 150,000, so
+    * no quantity is divided by the node count — the r17 form floored the
+    * teleport to 0 at n > 150k nodes and the whole iteration degenerated
+    * to zeros exactly where a 100 TB corpus lives (ScaleStressSpec pins
+    * non-degenerate ranks on a 160k-node synthetic graph). Rank mass is
+    * conserved at ~n·1e6, so the damped contribution sum 85·cs stays
+    * inside Long for graphs up to ~10^11 nodes — beyond any corpus.
+    * An empty graph (zero sharing pairs after the df valve — a legitimate
+    * state for a clean corpus) returns the empty frame, matching the
+    * oracle's empty result instead of throwing. */
   def pagerankFrom(und: DataFrame, iters: Int = PagerankIters): DataFrame = {
     val edges = und.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(und.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -404,10 +414,13 @@ object Dedup {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)            // node table: read every iteration
     val n = deg.count()                 // driver holds ONE scalar, never ranks
-    require(n > 0, "pagerankFrom: empty graph (no sharing pairs) — " +
-      "rank is undefined; check the edge build / df valve upstream")
+    if (n == 0) {
+      edges.unpersist()
+      return deg.select((col("src").as("doc_id") +: col("deg") +:
+        (1 to iters).map(t => lit(0L).as(s"r$t"))): _*)
+    }
     var cur = deg.select(col("src").as("id"), col("deg"),
-      lit(1000000L / n).as("r"))
+      lit(1000000L).as("r"))
     val trajectory = Seq.newBuilder[DataFrame]
     for (t <- 1 to iters) {
       val contrib = edges.join(cur, col("src") === col("id"))
@@ -415,7 +428,7 @@ object Dedup {
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       cur = deg.join(contrib, col("src") === col("dst"), "left")
         .select(col("src").as("id"), col("deg"),
-          (lit(150000L / n) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+          (lit(150000L) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
         .localCheckpoint(true)          // constant plan size per round
       trajectory += cur.select(col("id"), col("r").as(s"r$t"))
     }
@@ -571,11 +584,14 @@ object Dedup {
     // on this corpus — an inverted index, never all-pairs), and each
     // iteration is ONE edge-keyed join + ONE node-keyed aggregate with
     // lineage truncated per round, the dedup_clusters discipline.
-    // Determinism: ALL arithmetic is Long micros — r0 = 1e6/N, base =
-    // 150000/N, contribution r/deg and damping 85·c/100 in integral
-    // division (truncation; every quantity non-negative so Spark `div` ≡
-    // DuckDB `//`) — and the oracle's CTE chain is GENERATED by the same
-    // loop bound, so the engines cannot drift (the kmeans/BPE method).
+    // Determinism: ALL arithmetic is Long in PER-NODE micros (r·n units,
+    // r18: r0 = 1e6 per node, teleport = 150000 — constants independent
+    // of N, so ranks stay non-degenerate at any graph size; the r17 /N
+    // form floored to zero past 150k nodes), contribution r/deg and
+    // damping 85·c/100 in integral division (truncation; every quantity
+    // non-negative so Spark `div` ≡ DuckDB `//`) — and the oracle's CTE
+    // chain is GENERATED by the same loop bound, so the engines cannot
+    // drift (the kmeans/BPE method).
     // Output: one row per graph node with degree and the full per-
     // iteration trajectory (r1..r3).
     Op("graph_pagerank",

@@ -507,11 +507,19 @@ object StreamingOps {
     // re-staged on every access forever. Nested files are keyed by their
     // RELATIVE path so a row moving between partitions flips the hash.
     // depth-capped: parquet layouts are ≤ a few partition levels deep, and
-    // the cap keeps a symlink cycle from recursing forever
+    // the cap keeps a symlink cycle from recursing forever. A cap HIT is an
+    // always-stale marker, like an unlistable source (r18, closing the r17
+    // advisory): the capped dir's own mtime does NOT change when a file
+    // deeper down does, so trusting it could serve a stale staged copy —
+    // perpetual re-staging is the safe failure mode, staleness is not.
+    // Names starting with '_' or '.' (_SUCCESS, _temporary, .crc) are
+    // writer metadata, not data: including them made the hash flip on
+    // transient mid-overwrite litter.
     def walk(f: java.io.File, rel: String, depth: Int): Seq[String] =
       if (f.isFile) Seq(s"$rel:${f.length}:${f.lastModified}")
-      else if (depth <= 0) Seq(s"$rel:<depth-capped>:${f.lastModified}")
+      else if (depth <= 0) Seq(s"$rel:<depth-capped>:${System.nanoTime()}")
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
         .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}",
           depth - 1))
     val entries: Option[Seq[String]] =

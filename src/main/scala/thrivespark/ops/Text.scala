@@ -846,27 +846,73 @@ object Text {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Dense 64-long feature vector + its exact squared norm from a sparse
+    * (…, bucket, tf) frame grouped on the given keys. The dense form is
+    * what makes the retrieval dots a map-side codegen loop (VecDotLong)
+    * instead of a bucket-equi-join + re-grouping: the r17 inverted-index
+    * shape admitted ~Q×C×|shared buckets| intermediate rows (15.0M at
+    * sf0.1 chunk grain, 17.9 s) because on this corpus EVERY pair shares
+    * nearly every bucket — the vocabulary is 31 tokens with a uniform
+    * frequency distribution (measured: all ~9.1k occurrences at sf0.1),
+    * so no posting-list pruning (df valve, per-side top-m prefix filter,
+    * larger B) can cut the candidate set without changing results
+    * (top-m=2 both sides still left 54% of pairs as candidates, then the
+    * exact-verify join re-admitted ~the same row count). The norm rides
+    * the vector itself (vec_dot_long(vec, vec)) — no separate norm
+    * aggregation or join. */
+  def hashedDense(grouped: org.apache.spark.sql.RelationalGroupedDataset)
+      : org.apache.spark.sql.DataFrame = grouped
+    .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf")))).as("m"))
+    .select(col("*"), transform(sequence(lit(0L), lit(63L)),
+      b => coalesce(element_at(col("m"), b), lit(0L))).as("vec"))
+    .withColumn("nrm", call_function("vec_dot_long", col("vec"), col("vec")))
+    .drop("m")
+
+  /** cos² in truncating integer micros, overflow-safe: the Long fast path
+    * runs when both squared norms are < 3.037e6 (then q_nrm·c_nrm <
+    * 9.22e12 and, by Cauchy-Schwarz, 1e6·dot² ≤ 1e6·q_nrm·c_nrm < 2⁶³ —
+    * no wrap possible), which covers every document under ~13.8k tokens
+    * at B=64; larger docs take the DECIMAL(38,0) branch, exact to
+    * dot < ~5.6e15 (~10^7-token docs). The oracles mirror with HUGEINT —
+    * identical values on both branches (the r17 Long-only form silently
+    * wrapped where DuckDB raised; the analytics_market_basket headroom
+    * discipline, now enforced in code). Measured: DECIMAL everywhere cost
+    * +1.8 s on 1.35M rows; the guarded Long path is codegen-cheap. */
+  private val simMicroExpr = when(
+    col("q_nrm") < lit(3037000L) && col("c_nrm") < lit(3037000L),
+    expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+    .otherwise(expr(
+      """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
+        | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
+
   /** The hashed-feature top-k program over any (doc_id, text) frame — the
     * testable surface of sim_doc_topk_hashed (TrainingMixSpec plants an
-    * exact duplicate and pins sim_micro = 1e6 at rank 1). */
+    * exact duplicate and pins sim_micro = 1e6 at rank 1).
+    *
+    * Shape (r18): the query slice (a batch workload — ~2% of docs here,
+    * a fixed small set in production) is hashed, densified and BROADCAST;
+    * the corpus side is one linear scan computing exact dots in a
+    * whole-stage-codegen loop (VecDotLong), so the corpus never shuffles
+    * for the Q×C product and per-query top-5 rides WindowGroupLimit's
+    * map-side partial rank. `dot > 0` ⟺ the pair shares ≥1 bucket, so
+    * the output is row-identical to the r17 inverted-index formulation
+    * (verified exceptAll-empty both ways at sf0.1) and the oracle is
+    * unchanged. At 100 TB: corpus-linear, zero corpus shuffle, broadcast
+    * is Q×64 longs; the pruned-index scale path for LARGE query sets is
+    * the IVF ladder (sim_ann_ivf*), measured against this exact baseline. */
   def hashedTopKFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val c = hashedBuckets(docs)
-      .localCheckpoint(true)            // three consumers: queries, corpus, norms
-    val n = c.groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("tf")).as("nrm"))
-    val q = c.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("q_id"), col("bucket"), col("tf").as("q_tf"))
-    val dots = q.join(c.select(col("doc_id").as("c_id"), col("bucket"), col("tf")),
-        Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("q_tf") * col("tf")).as("dot"))
+    thrivespark.functions.Register(docs.sparkSession)
+    val cvd = hashedDense(hashedBuckets(docs).groupBy(col("doc_id")))
+    val qvd = hashedDense(hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
+        .groupBy(col("doc_id")))
+      .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
       .orderBy(col("sim_micro").desc, col("c_id"))
-    dots
-      .join(n.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
-      .join(n.select(col("doc_id").as("c_id"), col("nrm").as("c_nrm")), Seq("c_id"))
-      .withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+    cvd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("c_id"), col("q_nrm"), col("nrm").as("c_nrm"),
+        call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+      .filter(col("dot") > 0)
+      .withColumn("sim_micro", simMicroExpr)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"), col("dot"), col("sim_micro"), col("rn"))
@@ -882,44 +928,55 @@ object Text {
     * quantity is integral, so the whole retrieval chain has an exact
     * cross-engine oracle. */
   def ragRetrievalFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    thrivespark.functions.Register(docs.sparkSession)
     val C = 32; val S = 24
     val bucket = (w: Column) =>
       conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
-    val lastChunk = floor((size(col("ts")) - 1) / lit(S)).cast("int")
-    val chunkArrs = transform(sequence(lit(0), lastChunk),
-      i => slice(col("ts"), i * lit(S) + lit(1), lit(C)))
-    val cf = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), posexplode(chunkArrs).as(Seq("chunk_id", "cts")))
-      .select(col("doc_id"), col("chunk_id"), explode(col("cts")).as("w"))
-      .select(col("doc_id"), col("chunk_id"), bucket(col("w")).as("bucket"))
+    // Chunk membership arithmetically at token grain: token p (1-based)
+    // lies in chunks i with i·S+1 ≤ p ≤ i·S+C, i.e. at most ⌈C/S⌉ = 2
+    // chunk ids per token — a codegen sequence-explode, not the r17
+    // interpreted transform(sequence, i => slice(ts, …)) array-of-arrays
+    // (measured: the HOF chunking alone was ~4.5 s of the 17.9 s).
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+        posexplode(col("ts")).as(Seq("p0", "w")))
+      .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"),
+        bucket(col("w")).as("bucket"))
+    val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+    val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+    val cfd = hashedDense(toks
+      .select(col("doc_id"), col("bucket"), explode(sequence(iLo, iHi)).as("chunk_id"))
       .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)            // two consumers: dot join + chunk norms
-    val cn = cf.groupBy(col("doc_id"), col("chunk_id"))
-      .agg(sum(col("tf") * col("tf")).as("nrm"))
-    val qf = hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
-      .localCheckpoint(true)            // two consumers: dot join + query norms
-    val qn = qf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nrm"))
-    val dots = qf.select(col("doc_id").as("q_id"), col("bucket"), col("tf").as("q_tf"))
-      .join(cf.select(col("doc_id").as("c_id"), col("chunk_id"), col("bucket"), col("tf")),
-        Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"), col("chunk_id"))
-      .agg(sum(col("q_tf") * col("tf")).as("dot"))
-    val sc = dots
-      .join(qn.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
-      .join(cn.select(col("doc_id").as("c_id"), col("chunk_id"), col("nrm").as("c_nrm")),
-        Seq("c_id", "chunk_id"))
-      .withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"), col("c_id"))
-      .orderBy(col("sim_micro").desc, col("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id")))
+    val qvd = hashedDense(hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
+        .groupBy(col("doc_id")))
+      .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+    // Broadcast query batch × one linear corpus pass: exact dots in the
+    // VecDotLong codegen loop; dot > 0 ⟺ shares ≥1 bucket, so output is
+    // row-identical to the r17 inverted-index join (exceptAll-verified at
+    // sf0.1) with ZERO corpus shuffle for the Q×C product. The per-(q,c)
+    // best chunk is a map-side-combinable hash-agg argmax (lexicographic
+    // max over (sim, -chunk) — no window sort over the pair frame); only
+    // the final per-query top-3 is a window, and WindowGroupLimit prunes
+    // it to ≤3 rows per partition before the exchange.
+    val best = cfd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("c_id"), col("chunk_id"),
+        col("q_nrm"), col("nrm").as("c_nrm"),
+        call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+      .filter(col("dot") > 0)
+      .withColumn("sim_micro", simMicroExpr)
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(struct(col("sim_micro"), (-col("chunk_id")).as("negc"),
+        col("chunk_id"), col("dot"))).as("b"))
+      .select(col("q_id"), col("c_id"), col("b.chunk_id").cast("int").as("best_chunk"),
+        col("b.dot").as("dot"), col("b.sim_micro").as("sim_micro"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim_micro").desc, col("c_id"))
-    sc.withColumn("brn", row_number().over(wBest)).filter(col("brn") === 1)
-      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
-      .select(col("q_id"), col("c_id"), col("chunk_id").as("best_chunk"),
+    best.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("best_chunk"),
         col("dot"), col("sim_micro"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -1407,7 +1464,8 @@ object Text {
                          ON q.bucket = x.bucket AND q.doc_id <> x.doc_id
                        GROUP BY 1, 2),
               sc AS (SELECT d.q_id, d.c_id, d.dot,
-                            (1000000 * d.dot * d.dot) // (nq.nrm * nc.nrm) AS sim_micro
+                            CAST((CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+                              // (CAST(nq.nrm AS HUGEINT) * nc.nrm) AS BIGINT) AS sim_micro
                      FROM dots d JOIN n nq ON d.q_id = nq.doc_id
                                  JOIN n nc ON d.c_id = nc.doc_id)
               SELECT q_id, c_id, dot, sim_micro, rn
@@ -1461,7 +1519,8 @@ object Text {
                          ON q.bucket = c.bucket AND q.doc_id <> c.doc_id
                        GROUP BY 1, 2, 3),
               sc AS (SELECT d.q_id, d.c_id, d.chunk_id, d.dot,
-                            (1000000 * d.dot * d.dot) // (qn.nrm * cn.nrm) AS sim_micro
+                            CAST((CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+                              // (CAST(qn.nrm AS HUGEINT) * cn.nrm) AS BIGINT) AS sim_micro
                      FROM dots d JOIN qn ON d.q_id = qn.doc_id
                                  JOIN cn ON d.c_id = cn.doc_id
                                         AND d.chunk_id = cn.chunk_id),

@@ -209,6 +209,292 @@ object Prof {
         time("train 2 iters")(thrivespark.ops.Text.bpeTrain(docs, 2)._1.size)
         time("train 8 iters")(thrivespark.ops.Text.bpeTrain(docs, 8)._1.size)
 
+      case "rag" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        val lastChunk = floor((size(col("ts")) - 1) / lit(S)).cast("int")
+        val chunkArrs = transform(sequence(lit(0), lastChunk),
+          i => slice(col("ts"), i * lit(S) + lit(1), lit(C)))
+        val cfPlan = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), posexplode(chunkArrs).as(Seq("chunk_id", "cts")))
+          .select(col("doc_id"), col("chunk_id"), explode(col("cts")).as("w"))
+          .select(col("doc_id"), col("chunk_id"), bucket(col("w")).as("bucket"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        time("cf build+ckpt")(cfPlan.localCheckpoint(true).count())
+        val cf = cfPlan.localCheckpoint(true)
+        time("qf build+ckpt")(
+          thrivespark.ops.Text.hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
+            .localCheckpoint(true).count())
+        val qf = thrivespark.ops.Text.hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
+          .localCheckpoint(true)
+        val dots = qf.select(col("doc_id").as("q_id"), col("bucket"), col("tf").as("q_tf"))
+          .join(cf.select(col("doc_id").as("c_id"), col("chunk_id"), col("bucket"), col("tf")),
+            Seq("bucket"))
+          .filter(col("q_id") =!= col("c_id"))
+        time("dot join rows")(dots.count())
+        val grouped = dots.groupBy(col("q_id"), col("c_id"), col("chunk_id"))
+          .agg(sum(col("q_tf") * col("tf")).as("dot"))
+        time("grouped pairs")(grouped.count())
+        time("full op 1 (noop)")(thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+        time("full op 2 (noop)")(thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+
+      case "rag2" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        // codegen chunking: token -> its 1..ceil(C/S) chunk ids arithmetically
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+            posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"), bucket(col("w")).as("bucket"))
+        val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+        val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+        val cfSparse = toks
+          .select(col("doc_id"), col("bucket"), explode(sequence(iLo, iHi)).as("chunk_id"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        val dense = (g: org.apache.spark.sql.RelationalGroupedDataset) => g
+          .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf")))).as("m"))
+          .select(col("*"), transform(sequence(lit(0L), lit(63L)),
+            b => coalesce(element_at(col("m"), b), lit(0L))).as("vec"))
+          .withColumn("nrm", aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
+          .drop("m")
+        val cfd = dense(cfSparse.groupBy(col("doc_id"), col("chunk_id")))
+        time("cf dense build")(cfd.count())
+        val qvd = dense(thrivespark.ops.Text.hashedBuckets(
+            docs.filter(col("doc_id") % 50 === 0)).groupBy(col("doc_id")))
+          .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+        time("qv dense build")(qvd.count())
+        val dots = cfd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+          .select(col("q_id"), col("doc_id").as("c_id"), col("chunk_id"),
+            col("q_nrm"), col("nrm").as("c_nrm"),
+            aggregate(zip_with(col("qvec"), col("vec"), (a, b) => a * b),
+              lit(0L), (a, x) => a + x).as("dot"))
+          .filter(col("dot") > 0)
+        time("dots map-side")(dots.count())
+        val sc = dots.withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"), col("c_id")).orderBy(col("sim_micro").desc, col("chunk_id"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("c_id"))
+        val out = sc.withColumn("brn", row_number().over(wBest)).filter(col("brn") === 1)
+          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"), col("chunk_id").as("best_chunk"),
+            col("dot"), col("sim_micro"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+        time("full dense 1 (noop)")(out.write.mode("overwrite").format("noop").save())
+        // compare against current op output
+        val cur = thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+        time("diff vs current")(println("DIFF=" + out.exceptAll(cur).count() + "," + cur.exceptAll(out).count()))
+
+      case "rag3" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+            posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"), bucket(col("w")).as("bucket"))
+        time("toks")(toks.count())
+        val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+        val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+        val ctb = toks.select(col("doc_id"), col("bucket"),
+          explode(sequence(iLo, iHi)).as("chunk_id"))
+        time("chunk-token rows")(ctb.count())
+        val cfSparse = ctb.groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        time("cfSparse")(cfSparse.count())
+        val dense = (g: org.apache.spark.sql.RelationalGroupedDataset) => g
+          .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf")))).as("m"))
+          .select(col("*"), transform(sequence(lit(0L), lit(63L)),
+            b => coalesce(element_at(col("m"), b), lit(0L))).as("vec"))
+          .withColumn("nrm", aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
+          .drop("m")
+        val cfd = dense(cfSparse.groupBy(col("doc_id"), col("chunk_id"))).localCheckpoint(true)
+        time("cf dense+ckpt")(cfd.count())
+        val qvd = dense(thrivespark.ops.Text.hashedBuckets(
+            docs.filter(col("doc_id") % 50 === 0)).groupBy(col("doc_id")))
+          .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+          .localCheckpoint(true)
+        time("qv dense+ckpt")(qvd.count())
+        // unrolled codegen dot: 64 element_at products
+        val dotExpr = (0 until 64).map(i =>
+          element_at(col("qvec"), i + 1) * element_at(col("vec"), i + 1)).reduce(_ + _)
+        val dots = cfd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+          .select(col("q_id"), col("doc_id").as("c_id"), col("chunk_id"),
+            col("q_nrm"), col("nrm").as("c_nrm"), dotExpr.as("dot"))
+          .filter(col("dot") > 0)
+        time("dots unrolled")(dots.count())
+        val sc = dots.withColumn("sim_micro", expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"), col("c_id")).orderBy(col("sim_micro").desc, col("chunk_id"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("c_id"))
+        val out = sc.withColumn("brn", row_number().over(wBest)).filter(col("brn") === 1)
+          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"), col("chunk_id").as("best_chunk"),
+            col("dot"), col("sim_micro"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+        time("windows+sort (noop)")(out.write.mode("overwrite").format("noop").save())
+        val cur = thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+        time("diff vs current")(println("DIFF=" + out.exceptAll(cur).count() + "," + cur.exceptAll(out).count()))
+
+      case "rag4" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        thrivespark.functions.Register(spark)
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+            posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"), bucket(col("w")).as("bucket"))
+        val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+        val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+        val cfSparse = toks
+          .select(col("doc_id"), col("bucket"), explode(sequence(iLo, iHi)).as("chunk_id"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        val dense = (g: org.apache.spark.sql.RelationalGroupedDataset) => g
+          .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf")))).as("m"))
+          .select(col("*"), transform(sequence(lit(0L), lit(63L)),
+            b => coalesce(element_at(col("m"), b), lit(0L))).as("vec"))
+          .withColumn("nrm", call_function("vec_dot_long", col("vec"), col("vec")))
+          .drop("m")
+        val cfd = dense(cfSparse.groupBy(col("doc_id"), col("chunk_id")))
+        val qvd = dense(thrivespark.ops.Text.hashedBuckets(
+            docs.filter(col("doc_id") % 50 === 0)).groupBy(col("doc_id")))
+          .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+        val dots = cfd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+          .select(col("q_id"), col("doc_id").as("c_id"), col("chunk_id"),
+            col("q_nrm"), col("nrm").as("c_nrm"),
+            call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+          .filter(col("dot") > 0)
+          .withColumn("sim_micro", expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
+              | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
+        time("dots codegen")(dots.count())
+        // per-(q,c) argmax chunk via hash agg (map-side combinable, no sort)
+        val best = dots.groupBy(col("q_id"), col("c_id"))
+          .agg(max(struct(col("sim_micro"), (-col("chunk_id")).as("negc"),
+            col("chunk_id"), col("dot"))).as("b"))
+          .select(col("q_id"), col("c_id"), col("b.chunk_id").as("best_chunk"),
+            col("b.dot").as("dot"), col("b.sim_micro").as("sim_micro"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("c_id"))
+        val out = best.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"), col("best_chunk"),
+            col("dot"), col("sim_micro"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+        time("full rag4 1 (noop)")(out.write.mode("overwrite").format("noop").save())
+        time("full rag4 2 (noop)")(out.write.mode("overwrite").format("noop").save())
+        val cur = thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+        time("diff vs current")(println("DIFF=" + out.exceptAll(cur).count() + "," + cur.exceptAll(out).count()))
+
+      case "rag5" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        thrivespark.functions.Register(spark)
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"),
+            floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+            posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"),
+            bucket(col("w")).as("bucket"))
+        val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+        val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+        val ctb = toks.select(col("doc_id"), col("bucket"),
+          explode(sequence(iLo, iHi)).as("chunk_id"))
+        val cfSparse = ctb.groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+        val cfd = thrivespark.ops.Text.hashedDense(
+          cfSparse.groupBy(col("doc_id"), col("chunk_id")))
+        time("warm trivial")(docs.count())
+        time("toks")(toks.count())
+        time("toks again")(toks.count())
+        time("ctb (cum)")(ctb.count())
+        time("cfSparse (cum)")(cfSparse.count())
+        time("cfd (cum)")(cfd.count())
+        time("full op (noop)")(thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+        time("full op again")(thrivespark.Registry.queries("pipeline_rag_retrieval")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+
+      case "rag6" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        thrivespark.functions.Register(spark)
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        val C = 32; val S = 24
+        val bucket = (w: Column) =>
+          conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 64
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"),
+            floor((size(col("ts")) - 1) / lit(S)).cast("long").as("last"),
+            posexplode(col("ts")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("last"), (col("p0") + 1).as("p"),
+            bucket(col("w")).as("bucket"))
+        val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
+        val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+        val cfd = thrivespark.ops.Text.hashedDense(toks
+          .select(col("doc_id"), col("bucket"), explode(sequence(iLo, iHi)).as("chunk_id"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("doc_id"), col("chunk_id"))).localCheckpoint(true)
+        val qvd = thrivespark.ops.Text.hashedDense(thrivespark.ops.Text.hashedBuckets(
+            docs.filter(col("doc_id") % 50 === 0)).groupBy(col("doc_id")))
+          .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+          .localCheckpoint(true)
+        time("ckpt inputs")(cfd.count() + qvd.count())
+        val dotsBase = cfd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+          .select(col("q_id"), col("doc_id").as("c_id"), col("chunk_id"),
+            col("q_nrm"), col("nrm").as("c_nrm"),
+            call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+          .filter(col("dot") > 0)
+        time("dots only")(dotsBase.count())
+        time("dots only 2")(dotsBase.count())
+        val simDec = dotsBase.withColumn("sim_micro", expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
+            | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
+        val simLong = dotsBase.withColumn("sim_micro",
+          expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
+        time("sim DECIMAL")(simDec.agg(sum(col("sim_micro"))).head())
+        time("sim LONG")(simLong.agg(sum(col("sim_micro"))).head())
+        time("sim DECIMAL 2")(simDec.agg(sum(col("sim_micro"))).head())
+        time("sim LONG 2")(simLong.agg(sum(col("sim_micro"))).head())
+        def tail(sc: org.apache.spark.sql.DataFrame) = {
+          val best = sc.groupBy(col("q_id"), col("c_id"))
+            .agg(max(struct(col("sim_micro"), (-col("chunk_id")).as("negc"),
+              col("chunk_id"), col("dot"))).as("b"))
+            .select(col("q_id"), col("c_id"), col("b.chunk_id").cast("int").as("best_chunk"),
+              col("b.dot").as("dot"), col("b.sim_micro").as("sim_micro"))
+          val wRank = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("c_id"))
+          best.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+            .orderBy(col("q_id"), col("rn"))
+        }
+        time("tail(dec) noop")(tail(simDec).write.mode("overwrite").format("noop").save())
+        time("tail(long) noop")(tail(simLong).write.mode("overwrite").format("noop").save())
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites

@@ -173,25 +173,25 @@ class BenchSpec extends AnyFunSuite {
     // under the absolute-delta floor → nothing to salvage (they were
     // adjudicated host-noise only a round later; the retry list is for
     // queries the record CANNOT adjudicate alone)
-    val r15 = Seq(("a", Some(1.0), Some(0.0)),
-      ("win_first_last", Some(2.6), Some(0.25)),
-      ("agg_approx_distinct", Some(2.0), Some(0.4)),
-      ("b", Some(0.9), Some(-0.1)))
+    val r15 = Seq(("a", Some(1.0), Some(0.0), 0.5),
+      ("win_first_last", Some(2.6), Some(0.25), 0.4),
+      ("agg_approx_distinct", Some(2.0), Some(0.4), 0.8),
+      ("b", Some(0.9), Some(-0.1), 0.6))
     assert(Bench.retryCandidates(r15).isEmpty)
     // a genuine over-5x spike is retried; so is every member of a >=3
     // adjacent >4x window (prior-less gap skipped, like the breach rule)
-    val mixed = Seq(("w1", Some(4.2), Some(1.0)), ("new_op", None, None),
-      ("w2", Some(4.5), Some(1.1)), ("w3", Some(4.1), Some(1.0)),
-      ("ok", Some(1.0), Some(0.0)), ("spike", Some(7.0), Some(2.0)))
+    val mixed = Seq(("w1", Some(4.2), Some(1.0), 1.3), ("new_op", None, None, 0.5),
+      ("w2", Some(4.5), Some(1.1), 1.4), ("w3", Some(4.1), Some(1.0), 1.3),
+      ("ok", Some(1.0), Some(0.0), 0.5), ("spike", Some(7.0), Some(2.0), 2.3))
     assert(Bench.retryCandidates(mixed) == Seq("w1", "w2", "w3", "spike"))
     // cap bounds a fully-poisoned run
-    val poisoned = (1 to 50).map(i => (s"q$i", Some(6.0), Some(3.0)))
+    val poisoned = (1 to 50).map(i => (s"q$i", Some(6.0), Some(3.0), 3.6))
     assert(Bench.retryCandidates(poisoned).size == 8)
     // suite order survives the cap (r16 advisory): an early spike must not
     // be dropped in favor of later window members — keep-set first, then
     // one ordered filter
-    val early = ("early_spike", Some(9.0), Some(4.0))
-    val lateWin = (1 to 9).map(i => (s"w$i", Some(4.5), Some(1.0)))
+    val early = ("early_spike", Some(9.0), Some(4.0), 4.5)
+    val lateWin = (1 to 9).map(i => (s"w$i", Some(4.5), Some(1.0), 1.3))
     val ordered = Bench.retryCandidates(early +: lateWin, cap = 8)
     assert(ordered.head == "early_spike" && ordered.size == 8,
       s"early spike must survive the cap in suite position: $ordered")
@@ -204,17 +204,43 @@ class BenchSpec extends AnyFunSuite {
     // qualifying under the >5x / window triggers and had to wait a full
     // round for adjudication. The absolute-delta trigger catches both;
     // small-query drift of the same ratio (r15's win_first_last) does not.
-    val r16 = Seq(("ok1", Some(0.92), Some(-0.1)),
-      ("stream_stream_join", Some(2.17), Some(3.10)),   // 2.0x / host 0.92
-      ("mid", Some(1.0), Some(0.0)),
-      ("stream_dedup_state", Some(2.23), Some(1.83)),
-      ("ok2", Some(0.9), Some(-0.05)))
+    val r16 = Seq(("ok1", Some(0.92), Some(-0.1), 0.9),
+      ("stream_stream_join", Some(2.17), Some(3.10), 6.25),  // 2.0x / host 0.92
+      ("mid", Some(1.0), Some(0.0), 0.8),
+      ("stream_dedup_state", Some(2.23), Some(1.83), 3.58),
+      ("ok2", Some(0.9), Some(-0.05), 0.7))
     assert(Bench.retryCandidates(r16) ==
       Seq("stream_stream_join", "stream_dedup_state"))
     // ratio alone (big delta, mild ratio) or delta alone (big ratio on a
     // sub-second query) must NOT trigger — both legs are required
-    assert(Bench.retryCandidates(Seq(("slow_but_mild", Some(1.8), Some(9.0)))).isEmpty)
-    assert(Bench.retryCandidates(Seq(("tiny_spike", Some(3.0), Some(0.8)))).isEmpty)
+    assert(Bench.retryCandidates(Seq(("slow_but_mild", Some(1.8), Some(9.0), 20.0))).isEmpty)
+    assert(Bench.retryCandidates(Seq(("tiny_spike", Some(3.0), Some(0.8), 1.2))).isEmpty)
+  }
+
+  test("retryCandidates r18 trigger: a PRIOR-LESS key over 5x the run's " +
+      "median raw and over 3 s is retried — replaying the r17 record " +
+      "selects pipeline_rag_retrieval, which r17's triggers could not") {
+    // BENCH_r17 shape: median raw ~0.85 s, priors in band (host 1.08),
+    // and the brand-new pipeline_rag_retrieval at 17.88 s with NO prior —
+    // invisible to triggers (1)-(3), 12% of the whole gate in one key.
+    val r17 = Seq(
+      ("q_a", Some(1.05), Some(0.05), 0.80),
+      ("q_b", Some(1.10), Some(0.10), 0.85),
+      ("sim_doc_topk_hashed", None, None, 3.39),          // new, under 5x median? 3.39/0.85=4.0x -> no
+      ("q_c", Some(0.95), Some(-0.02), 0.90),
+      ("pipeline_rag_retrieval", None, None, 17.88),      // new, 21x median and >3 s -> retry
+      ("text_hash_embedding", None, None, 0.95),          // new but cheap -> no
+      ("q_d", Some(1.08), Some(0.03), 0.85))
+    assert(Bench.retryCandidates(r17) == Seq("pipeline_rag_retrieval"))
+    // both legs required: >5x median but under the 3 s absolute floor
+    // (a run of tiny queries must not retry a 1 s newcomer), and a slow
+    // run where 3.5 s is only ~1.2x the median must not trigger either
+    val tinyRun = (1 to 9).map(i => (s"t$i", Some(1.0), Some(0.0), 0.2)) :+
+      (("new_small", None, None, 1.5))
+    assert(Bench.retryCandidates(tinyRun).isEmpty)
+    val slowRun = (1 to 9).map(i => (s"s$i", Some(1.0), Some(0.0), 3.0)) :+
+      (("new_inband", None, None, 3.5))
+    assert(Bench.retryCandidates(slowRun).isEmpty)
   }
 
   test("QueryGuard: success passes through, a hung query is cancelled and " +

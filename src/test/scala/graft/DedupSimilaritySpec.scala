@@ -476,19 +476,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("graph_pagerank: hand-computed 3-node path — damped integer-micro " +
       "power iteration, truncation and all") {
-    // path 1–2–3: N=3, r0 = 1e6/3 = 333333 each, base = 150000/3 = 50000.
-    // it1: c(1)=333333 div 2=166666 → r=50000+(85·166666) div 100=191666;
-    //      c(2)=333333+333333      → r=50000+566666=616666; r(3)=191666.
-    // it2: c(1)=616666 div 2=308333 → 312083; c(2)=191666·2 → 375832.
-    // it3: c(1)=375832 div 2=187916 → 209728; c(2)=312083·2 → 580541.
+    // path 1–2–3 in PER-NODE micros (r·n units): r0 = 1,000,000 each,
+    // teleport = 150,000 — no division by N anywhere.
+    // it1: c(1)=1000000 div 2=500000 → r=150000+(85·500000) div 100=575000;
+    //      c(2)=1000000+1000000     → r=150000+1700000=1850000; r(3)=575000.
+    // it2: c(1)=1850000 div 2=925000 → 150000+786250=936250;
+    //      c(2)=575000·2=1150000    → 150000+977500=1127500; r(3)=936250.
+    // it3: c(1)=1127500 div 2=563750 → 150000+479187=629187;
+    //      c(2)=936250·2=1872500    → 150000+1591625=1741625; r(3)=629187.
     import spark.implicits._
     val und = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
     val out = Dedup.pagerankFrom(und, iters = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.toSeq == Seq(
-      (1L, 1L, 191666L, 312083L, 209728L),
-      (2L, 2L, 616666L, 375832L, 580541L),
-      (3L, 1L, 191666L, 312083L, 209728L)), s"got ${out.toSeq}")
+      (1L, 1L, 575000L, 936250L, 629187L),
+      (2L, 2L, 1850000L, 1127500L, 1741625L),
+      (3L, 1L, 575000L, 936250L, 629187L)), s"got ${out.toSeq}")
+  }
+
+  test("pagerankFrom: empty graph returns the empty frame (matching the " +
+      "oracle's empty result), not an exception") {
+    import spark.implicits._
+    val und = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Dedup.pagerankFrom(und, iters = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "deg", "r1", "r2", "r3"))
+    assert(out.count() == 0L)
   }
 
   test("triangleCountsFrom: triangle + pendant — per-node counts and " +

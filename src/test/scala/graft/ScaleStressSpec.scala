@@ -560,6 +560,35 @@ class ScaleStressSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  /** The r17 PageRank initialized r0 = 1e6/n and teleported 150000/n in
+    * integer micros: past n = 150k nodes the teleport floored to 0 and
+    * past 1e6 the initial rank did too — the whole iteration degenerated
+    * to zeros exactly at corpus scale. The r18 per-node units (r0 = 1e6,
+    * teleport = 150000, no /n anywhere) must stay non-degenerate on a
+    * graph bigger than the old failure threshold: 160,010 nodes — 80k
+    * disjoint edges (160k degree-1 nodes) plus a 10-leaf star hub. */
+  test("160k-node graph: per-node rank units stay non-degenerate past the " +
+      "old 150k teleport-floor threshold; hub outranks leaves", ScaleStress) {
+    import spark.implicits._
+    val pairs = spark.range(80000)
+      .select((col("id") * 2 + 100).as("a_id"), (col("id") * 2 + 101).as("b_id"))
+    val hub = (1L to 10L).map(i => (0L, i)).toDF("a_id", "b_id")
+    val out = Dedup.pagerankFrom(pairs.unionAll(hub), iters = 3)
+    val n = out.count()
+    assert(n == 160011L, s"graph must exceed the old 150k threshold, got $n")
+    val degenerate = out.filter(col("r3") <= 0).count()
+    assert(degenerate == 0L,
+      "every node must carry positive rank — the r17 /n units zeroed ALL " +
+        "of them at this size")
+    val byId = out.filter(col("doc_id") <= 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(byId(0L) > byId(1L),
+      s"hub must outrank its leaves, got hub=${byId(0L)} leaf=${byId(1L)}")
+    // a degree-1 pair node far from the hub: finite, positive, stable value
+    val pairNode = out.filter(col("doc_id") === 100L).head().getLong(4)
+    assert(pairNode > 0L && pairNode < byId(0L))
+  }
+
   /** The streaming ops' 100 TB story is "watermark bounds state: size is
     * O(events within the horizon), not O(history)" — until now asserted
     * from construction, here MEASURED. A 48-hour time-ordered stream (400

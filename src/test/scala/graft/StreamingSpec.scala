@@ -421,6 +421,29 @@ class StreamingSpec extends AnyFunSuite {
       Files.write(efile.toPath, Array[Byte](5))
       assert(StreamingOps.srcFingerprint(root.getPath, "e") != fpEmpty,
         "files arriving in a previously-empty source must flip the hash")
+      // writer metadata (_SUCCESS, _temporary, .crc) is NOT data (r18,
+      // closing the r17 advisory): its transient mid-overwrite appearance
+      // must not flip the fingerprint
+      val mdir = new java.io.File(root, "m.parquet"); mdir.mkdirs()
+      Files.write(new java.io.File(mdir, "part-0.parquet").toPath, Array[Byte](3))
+      val fpMeta = StreamingOps.srcFingerprint(root.getPath, "m")
+      Files.write(new java.io.File(mdir, "_SUCCESS").toPath, Array.empty[Byte])
+      Files.write(new java.io.File(mdir, ".part-0.parquet.crc").toPath, Array[Byte](1))
+      new java.io.File(mdir, "_temporary").mkdirs()
+      assert(StreamingOps.srcFingerprint(root.getPath, "m") == fpMeta,
+        "writer metadata must be invisible to the fingerprint")
+      // a depth-cap hit is an always-stale marker (r18, closing the r17
+      // advisory): a file deeper than the cap can change WITHOUT touching
+      // the capped dir's mtime, so the capped subtree must never be
+      // trusted as fresh — two reads must disagree, like unlistable
+      val ddir = new java.io.File(root, "d.parquet")
+      var deep = ddir
+      (1 to 9).foreach { i => deep = new java.io.File(deep, s"k$i=v"); () }
+      deep.mkdirs()
+      Files.write(new java.io.File(deep, "part-0.parquet").toPath, Array[Byte](8))
+      val fpDeep1 = StreamingOps.srcFingerprint(root.getPath, "d")
+      assert(StreamingOps.srcFingerprint(root.getPath, "d") != fpDeep1,
+        "a depth-capped walk must read always-stale, never trust dir mtime")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root): Unit
   }
 }

@@ -197,6 +197,51 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("q_id")).distinct.sorted.toSeq == Seq(0L, 50L))
   }
 
+  test("hashed retrieval shape (r18): corpus-side volume is O(postings); " +
+      "the r17 inverted-index join was O(Q×C×shared-buckets); bucket " +
+      "pruning cannot bite on this corpus — all measured, not asserted") {
+    val docs = thrivespark.Tables.documents(spark, sf001)
+    val c = thrivespark.ops.Text.hashedBuckets(docs)
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("bucket"))
+    // the r18 shape's only corpus-side aggregated/shuffled volume: postings
+    val postings = c.count()
+    // the r17 shape's intermediate: bucket equi-join rows before re-grouping
+    val invRows = q.join(c.select(col("doc_id").as("c_id"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id")).count()
+    val nQ = q.select(col("q_id")).distinct().count()
+    val nC = c.select(col("doc_id")).distinct().count()
+    val qxc = nQ * nC
+    assert(invRows > 7 * postings,
+      s"measured: inverted-index rows $invRows vs postings $postings — the " +
+        "r17 join paid >7x the corpus volume (15.0M rows / 17.9 s at sf0.1)")
+    assert(postings < qxc * 2,
+      s"postings $postings stay O(corpus), near/below QxC=$qxc, and do not " +
+        "grow with the query count")
+    // pruning impossibility: ~every (q,c) pair shares >=1 bucket (31-token
+    // uniform vocabulary), so ANY posting-list pruning (df valve, per-side
+    // top-m prefix, larger B) changes results — the dense broadcast scan
+    // is the correct shape, not a missed index
+    val sharingPairs = q.join(c.select(col("doc_id").as("c_id"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct().count()
+    val allPairs = qxc - nQ // minus self-pairs
+    assert(sharingPairs.toDouble / allPairs > 0.99,
+      s"measured: $sharingPairs of $allPairs query-candidate pairs share a " +
+        "bucket — a pruned index admits everything anyway")
+    // plan shape: query batch broadcast, exact dot in the codegen loop, no
+    // shuffle-requiring join anywhere in the retrieval
+    for (key <- Seq("sim_doc_topk_hashed", "pipeline_rag_retrieval")) {
+      val plan = thrivespark.Registry.queries(key)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("vec_dot_long"), s"$key must use the codegen dot")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$key must broadcast the query batch")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$key must not shuffle-join the corpus:\n$plan")
+    }
+  }
+
   // ------------------------------------------------- pipeline_rag_retrieval ---
 
   test("rag retrieval: planted buried passage found at the right chunk") {
