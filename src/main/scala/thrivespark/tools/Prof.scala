@@ -495,6 +495,25 @@ object Prof {
         time("tail(dec) noop")(tail(simDec).write.mode("overwrite").format("noop").save())
         time("tail(long) noop")(tail(simLong).write.mode("overwrite").format("noop").save())
 
+      case "graph" =>
+        import org.apache.spark.sql.functions._
+        val docs = thrivespark.Tables.documents(spark, sfDir)
+        def edges() = thrivespark.ops.Dedup.paragraphShareEdges(docs, 100)
+        time("edge build 1")(edges().count())
+        time("edge build 2")(edges().count())
+        val e = edges().localCheckpoint(true)
+        time("edges ckpt")(e.count())
+        time("pagerank only (3 it)")(thrivespark.ops.Dedup.pagerankFrom(e, 3).count())
+        time("pagerank only again")(thrivespark.ops.Dedup.pagerankFrom(e, 3).count())
+        time("triangles only")(thrivespark.ops.Dedup.triangleCountsFrom(e).count())
+        time("common neighbors only")(thrivespark.ops.Dedup.commonNeighborsFrom(e).count())
+        def noopq(k: String) = thrivespark.Registry.queries(k)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        time("graph_pagerank full")(noopq("graph_pagerank"))
+        time("dedup_canonical_rank full")(noopq("dedup_canonical_rank"))
+        time("graph_triangle_count full")(noopq("graph_triangle_count"))
+        time("graph_common_neighbors full")(noopq("graph_common_neighbors"))
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites
