@@ -257,19 +257,23 @@ object Similarity {
       val best = array_max(transform(centLit, c =>
         struct(dot(col("mf"), c.getField("_2")), -c.getField("_1"))))
       // ONE shuffle, K×64 rows out of the partial aggregation per partition
+      // ONE codegen hash-agg pass: 64 positional sums as columns (no
+      // posexplode — the exploded formulation pushed 64× the rows through
+      // the aggregate for identical integer sums; r18, ~0.4 s/iteration
+      // saved). Output is K rows × 66 cols — still codebook-sized.
+      val dim = cents.head._2.length
       val sums = memb
-        .select((-best.getField("col2")).as("cell"),
-          posexplode(col("m")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select((-best.getField("col2")).as("cell"), col("m"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(element_at(col("m"), i + 1)).as(s"s$i")): _*)
         .collect()
-      val byCell = sums.groupBy(_.getLong(0))
+      val byCell = sums.map(r => r.getLong(0) -> r).toMap
       cents = cents.map { case (id, old) =>
         byCell.get(id) match {
-          case Some(rows) =>
-            val n = rows.head.getLong(3)
-            val arr = new Array[Long](old.length)
-            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / n)
+          case Some(row) =>
+            val n = row.getLong(1)
+            val arr = Array.tabulate(old.length)(i => row.getLong(2 + i) / n)
             val shift = arr.indices.map(i => math.abs(arr(i) - old(i))).sum
             stats += ((it, id, n, arr.sum, shift))
             (id, arr)
