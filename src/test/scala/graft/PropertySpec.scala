@@ -11,6 +11,33 @@ import thrivespark.ops.{Dedup, Shingles}
 class PropertySpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("vec_dot_long == the interpreted HOF formulation on generated long " +
+      "vectors; nulls propagate; length = min(len a, len b)") {
+    import spark.implicits._
+    thrivespark.functions.Register(spark)
+    // generated vectors incl. negatives, zeros, and mismatched lengths
+    val gen = Gen.listOfN(40, for {
+      n <- Gen.choose(0, 8); m <- Gen.choose(0, 8)
+      a <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+      b <- Gen.listOfN(m, Gen.choose(-1000000L, 1000000L))
+    } yield (a, b))
+    val cases = gen.apply(Gen.Parameters.default, Seed(42L)).get
+    val df = cases.toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("ref"))
+    assert(df.filter(col("d") =!= col("ref")).count() == 0L,
+      "codegen dot must equal the HOF reference on every generated pair")
+    // min-length semantics: zip_with pads with null (null*x = null → sum
+    // null) while vec_dot_long truncates — check truncation explicitly
+    val t = Seq((Seq(2L, 3L, 5L), Seq(10L, 10L))).toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b"))).head().getLong(0)
+    assert(t == 50L, s"dot must use min(len) elements, got $t")
+    val nr = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b"))).head()
+    assert(nr.isNullAt(0), "null vector must yield null")
+  }
+
   test("minhash LSH candidates ⊇ exact near-dup pairs (recall = 1 on testdata)") {
     val docs = Dedup.shingleDocs(spark, sf001)
     val cands = Dedup.candidatePairs(Dedup.bandBuckets(docs))
