@@ -242,6 +242,28 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed top-k overflow guard: a ~20k-token doc pushes 1e6*dot^2 past " +
+      "Long, the DECIMAL branch computes cos^2 exactly (r17 advisory)") {
+    import spark.implicits._
+    // identical 20k-token docs: nrm = dot ≈ 31 buckets × (20000/31)² ≈ 1.3e7
+    // ⇒ both norms exceed the 3.037e6 Long-safety bound (branch exercised)
+    // and 1e6·dot² ≈ 1.7e20 > 2^63 (the r17 Long-only form wrapped here);
+    // an exact engine must still read cos² = 1e6 for the duplicate.
+    val big = (1 to 20000).map(i => s"w${i % 31}").mkString(" ")
+    val docs = Seq((0L, big), (7L, big), (9L, "w1 w2 w3 other words"))
+      .toDF("doc_id", "text")
+    val out = thrivespark.ops.Text.hashedTopKFrom(docs).collect()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Int]("rn"))
+    assert(q0.head.getAs[Long]("c_id") == 7L)
+    val dot = q0.head.getAs[Long]("dot")
+    assert(dot > 3037000L,
+      s"fixture must exceed the Long-path bound to exercise the DECIMAL branch, dot=$dot")
+    assert(BigInt(1000000) * BigInt(dot) * BigInt(dot) > BigInt(Long.MaxValue),
+      "fixture must actually overflow the r17 Long numerator")
+    assert(q0.head.getAs[Long]("sim_micro") == 1000000L,
+      "identical giant docs: the DECIMAL branch must still be exact")
+  }
+
   // ------------------------------------------------- pipeline_rag_retrieval ---
 
   test("rag retrieval: planted buried passage found at the right chunk") {
