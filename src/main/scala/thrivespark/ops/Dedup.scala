@@ -393,7 +393,13 @@ object Dedup {
     sharedEdgeCache.filterInPlace { case (_, df) =>
       !df.sparkSession.sparkContext.isStopped }
     val und = paragraphShareEdges(docs, maxDf)
-    sharedEdgeCache.getOrElseUpdate(und.queryExecution.logical,
+    // key on the CANONICALIZED analyzed plan: each call mints fresh
+    // ExprIds for its aliases, so raw logical plans from two calls are
+    // never equal and a plan-object key would silently miss on every
+    // lookup (measured: the "shared" build re-ran per op) —
+    // canonicalization normalizes ExprIds away, so semantically-identical
+    // derivations share one entry (SharedCacheSpec pins the identity).
+    sharedEdgeCache.getOrElseUpdate(und.queryExecution.analyzed.canonicalized,
       und.localCheckpoint(true))
   }
 
@@ -451,7 +457,10 @@ object Dedup {
   def pagerankFrom(und: DataFrame, iters: Int = PagerankIters): DataFrame = {
     rankCache.filterInPlace { case (_, df) =>
       !df.sparkSession.sparkContext.isStopped }
-    rankCache.getOrElseUpdate((und.queryExecution.logical, iters),
+    // canonicalized key, same reason as sharedParagraphEdges — though here
+    // the common case is the literal SAME checkpointed frame (a LogicalRDD
+    // canonicalizes to itself), this also dedups re-derivations
+    rankCache.getOrElseUpdate((und.queryExecution.analyzed.canonicalized, iters),
       pagerankFromUncached(und, iters))
   }
 

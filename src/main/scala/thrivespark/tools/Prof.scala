@@ -514,6 +514,18 @@ object Prof {
         time("graph_triangle_count full")(noopq("graph_triangle_count"))
         time("graph_common_neighbors full")(noopq("graph_common_neighbors"))
 
+      case "graphcache" =>
+        val docs1 = thrivespark.Tables.documents(spark, sfDir)
+        val docs2 = thrivespark.Tables.documents(spark, sfDir)
+        println(s"[prof] docs same object: ${docs1 eq docs2}")
+        val e1 = thrivespark.ops.Dedup.sharedParagraphEdges(docs1, 100)
+        val t0 = System.nanoTime()
+        val e2 = thrivespark.ops.Dedup.sharedParagraphEdges(docs2, 100)
+        println(f"[prof] second call ${(System.nanoTime()-t0)/1e9}%.2f s, same object: ${e1 eq e2}")
+        val r1 = thrivespark.ops.Dedup.pagerankFrom(e1, 3)
+        val r2 = thrivespark.ops.Dedup.pagerankFrom(e2, 3)
+        println(s"[prof] rank cache hit: ${r1 eq r2}")
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites

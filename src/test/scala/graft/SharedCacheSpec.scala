@@ -58,4 +58,33 @@ class SharedCacheSpec extends AnyFunSuite {
     assert(f2.collect().toSet == rows.toSet)
     thrivespark.ops.Text.releaseSharedCaches()
   }
+
+  test("shared paragraph edges (r18): same frame object across the four " +
+      "graph ops' derivations; rank cache hits on it; release re-derives") {
+    import spark.implicits._
+    def docs() = Seq(
+      (1L, (0 until 20).map("p" + _).mkString(" ")),
+      (2L, (0 until 20).map("p" + _).mkString(" ")),
+      (3L, (40 until 60).map("q" + _).mkString(" "))).toDF("doc_id", "text")
+    thrivespark.ops.Dedup.releaseSharedCaches()
+    val e1 = thrivespark.ops.Dedup.sharedParagraphEdges(docs(), 100)
+    val e2 = thrivespark.ops.Dedup.sharedParagraphEdges(docs(), 100)
+    // the registry returns the SAME checkpointed frame — this identity is
+    // what makes dedup_canonical_rank's rank lookup hit graph_pagerank's
+    // cached result (the rank cache keys on the edge frame's plan)
+    assert(e1 eq e2, "re-derivation must return the cached checkpointed frame")
+    val r1 = thrivespark.ops.Dedup.pagerankFrom(e1, 3)
+    val r2 = thrivespark.ops.Dedup.pagerankFrom(e2, 3)
+    assert(r1 eq r2, "same edge frame + iters must hit the rank cache")
+    // a different maxDf is a different derivation (the valve is part of
+    // the edge definition)
+    val e3 = thrivespark.ops.Dedup.sharedParagraphEdges(docs(), 1)
+    assert(!(e3 eq e1) && e3.count() == 0L,
+      "maxDf=1 drops the shared paragraph (df=2) - different artifact")
+    thrivespark.ops.Dedup.releaseSharedCaches()
+    val e4 = thrivespark.ops.Dedup.sharedParagraphEdges(docs(), 100)
+    assert(!(e4 eq e1), "release must drop the registry entry")
+    assert(e4.collect().toSet == e1.collect().toSet,
+      "re-derived edges must be value-identical")
+  }
 }
