@@ -379,7 +379,8 @@ object Dedup {
     * entries of stopped sessions are pruned on access, the
     * shingleCache discipline. */
   private val sharedEdgeCache = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame]
 
   /** Drop the shared edge registry (checkpoint RDDs are GC-reclaimed). */
   def releaseSharedCaches(): Unit = sharedEdgeCache.clear()
@@ -393,13 +394,16 @@ object Dedup {
     sharedEdgeCache.filterInPlace { case (_, df) =>
       !df.sparkSession.sparkContext.isStopped }
     val und = paragraphShareEdges(docs, maxDf)
-    // key on the CANONICALIZED analyzed plan: each call mints fresh
-    // ExprIds for its aliases, so raw logical plans from two calls are
-    // never equal and a plan-object key would silently miss on every
+    // key on (session, CANONICALIZED analyzed plan): each call mints
+    // fresh ExprIds for its aliases, so raw logical plans from two calls
+    // are never equal and a plan-object key would silently miss on every
     // lookup (measured: the "shared" build re-ran per op) —
     // canonicalization normalizes ExprIds away, so semantically-identical
-    // derivations share one entry (SharedCacheSpec pins the identity).
-    sharedEdgeCache.getOrElseUpdate(und.queryExecution.analyzed.canonicalized,
+    // derivations share one entry (SharedCacheSpec pins the identity);
+    // the session is in the key so two live sessions with identical
+    // plans never cross-wire frames (the shingleCache discipline).
+    sharedEdgeCache.getOrElseUpdate(
+      (docs.sparkSession, und.queryExecution.analyzed.canonicalized),
       und.localCheckpoint(true))
   }
 
@@ -452,15 +456,18 @@ object Dedup {
     * is the final localCheckpoint'd frame — small (one row per node) and
     * lineage-free. */
   private val rankCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      DataFrame]
 
   def pagerankFrom(und: DataFrame, iters: Int = PagerankIters): DataFrame = {
     rankCache.filterInPlace { case (_, df) =>
       !df.sparkSession.sparkContext.isStopped }
-    // canonicalized key, same reason as sharedParagraphEdges — though here
-    // the common case is the literal SAME checkpointed frame (a LogicalRDD
-    // canonicalizes to itself), this also dedups re-derivations
-    rankCache.getOrElseUpdate((und.queryExecution.analyzed.canonicalized, iters),
+    // (session, canonicalized plan, iters) key, same reasons as
+    // sharedParagraphEdges — though here the common case is the literal
+    // SAME checkpointed frame (a LogicalRDD canonicalizes to itself),
+    // this also dedups re-derivations
+    rankCache.getOrElseUpdate(
+      (und.sparkSession, und.queryExecution.analyzed.canonicalized, iters),
       pagerankFromUncached(und, iters))
   }
 
