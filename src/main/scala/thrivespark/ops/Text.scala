@@ -902,9 +902,7 @@ object Text {
     * the IVF ladder (sim_ann_ivf*), measured against this exact baseline. */
   def hashedTopKFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     thrivespark.functions.Register(docs.sparkSession)
-    // the corpus postings ride the shared registry — one storage entry
-    // with text_hash_embedding's base (CacheManager sameResult dedup)
-    val cvd = hashedDense(persistShared(hashedBuckets(docs)).groupBy(col("doc_id")))
+    val cvd = hashedDense(hashedBuckets(docs).groupBy(col("doc_id")))
     val qvd = hashedDense(hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
         .groupBy(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
@@ -1418,11 +1416,7 @@ object Text {
     // back on doc_id (both shuffles key on doc_id — co-partitioned).
     Op("text_hash_embedding",
       (s, d) => {
-        // shared registry: the postings table has TWO consumers inside
-        // this plan (the row side and the per-doc normalizer aggregate)
-        // and a third across ops (sim_doc_topk_hashed densifies the same
-        // base) — the explode+md5 work runs once per session
-        val tf = persistShared(hashedBuckets(T.documents(s, d)))
+        val tf = hashedBuckets(T.documents(s, d))
         val nt = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("nt"))
         tf.join(nt, Seq("doc_id"))
           .select(col("doc_id"), col("bucket"), col("tf"),
