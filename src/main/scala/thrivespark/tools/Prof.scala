@@ -526,6 +526,14 @@ object Prof {
         val r2 = thrivespark.ops.Dedup.pagerankFrom(e2, 3)
         println(s"[prof] rank cache hit: ${r1 eq r2}")
 
+      case "hashpair" =>
+        def noopq(k: String) = thrivespark.Registry.queries(k)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        time("warm (scan_full)")(noopq("scan_full"))
+        time("text_hash_embedding")(noopq("text_hash_embedding"))
+        time("sim_doc_topk_hashed")(noopq("sim_doc_topk_hashed"))
+        time("embedding again")(noopq("text_hash_embedding"))
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites
