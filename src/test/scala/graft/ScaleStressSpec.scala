@@ -589,6 +589,51 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(pairNode > 0L && pairNode < byId(0L))
   }
 
+  /** The r18 dense-broadcast retrieval's 100 TB story: the corpus side is
+    * ONE linear pass (feature rows = O(N), dots map-side in the VecDotLong
+    * codegen loop), the query batch is a broadcast-sized workload constant,
+    * and nothing about the Q×C product ever shuffles the corpus. Measured
+    * here at 10× the bench corpus (50k docs) against a FIXED 100-query
+    * batch — the production assumption (a retrieval service answers a
+    * bounded batch; the corpus is what grows). */
+  test("10x corpus, fixed query batch: dense retrieval features stay O(N), " +
+      "plan stays broadcast + codegen dot, output stays Q x k", ScaleStress) {
+    import spark.implicits._
+    thrivespark.functions.Register(spark)
+    val base = T.documents(spark, sf01).select(col("doc_id"), col("text"))
+    val big = (0 until 10).map(k =>
+        base.select((col("doc_id") * 10 + k).as("doc_id"),
+          concat_ws(" ", col("text"), lit(s"copytag$k")).as("text")))
+      .reduce(_ unionAll _)
+    val n = big.count()
+    assert(n == 50000L, s"10x corpus expected, got $n")
+    val cvd = thrivespark.ops.Text.hashedDense(
+      thrivespark.ops.Text.hashedBuckets(big).groupBy(col("doc_id")))
+    // feature table is corpus-linear: exactly one dense row per doc
+    assert(cvd.count() == n, "dense features must be one row per doc")
+    // fixed 100-query batch (ids 0, 500, 1000, ... — a workload, not a
+    // corpus fraction; this is what makes the shape linear at 100 TB)
+    val qvd = thrivespark.ops.Text.hashedDense(
+        thrivespark.ops.Text.hashedBuckets(big.filter(col("doc_id") % 500 === 0))
+          .groupBy(col("doc_id")))
+      .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("c_id"))
+    val out = cvd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("c_id"),
+        call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+      .filter(col("dot") > 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot_long"), "dot must stay in the codegen loop")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "query batch must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus must never shuffle-join for the QxC product:\n$plan")
+    val rows = out.count()
+    assert(rows == 100L * 5, s"output must be Q x k = 500, got $rows")
+  }
+
   /** The streaming ops' 100 TB story is "watermark bounds state: size is
     * O(events within the horizon), not O(history)" — until now asserted
     * from construction, here MEASURED. A 48-hour time-ordered stream (400
