@@ -23,11 +23,10 @@ import org.apache.spark.sql.types._
   * The AUDIO (r12, RIFF/WAVE PCM) and VIDEO (r12, YUV4MPEG2) paths repeat
   * the same move: generate a genuine uncompressed container
   * deterministically, parse it for real, oracle every integer feature.
-  * All three modalities now have real decoders; the generic binary
-  * resize/frame-sample stubs below remain only as the documented
-  * codec-agnostic surface for payload formats with no in-container codec
-  * (e.g. JPEG/H.264). Their Spark-side contract (binary→binary, null-safe,
-  * partition-parallel) is tested in MultimodalSpec. */
+  * All three modalities have real decoders (r12); the early generic
+  * resize/frame-sample stub surface was fully retired in r19 — payload
+  * formats with no in-container codec (e.g. JPEG/H.264) would slot a real
+  * library decoder into the same mapPartitions signatures used below. */
 object Multimodal {
 
   /** Canonical multimodal record schema: opaque payload + typed metadata. */
@@ -75,8 +74,8 @@ object Multimodal {
   /** Exact decoded features: dims, raster size, per-channel mean in integer
     * micros (floor(sum * 1e6 / n_pixels) — integer math end-to-end, so no
     * float-rounding hazard between engines), plus the REAL 8×8 grayscale
-    * box-filter thumbnail computed from the decoded raster (r12 — retires
-    * resizeStub from the features path). */
+    * box-filter thumbnail computed from the decoded raster (r12 — a real
+    * downsample of real pixels, differentially oracled). */
   final case class PpmFeatures(
       width: Int, height: Int, nPixelBytes: Int,
       rMeanMicros: Long, gMeanMicros: Long, bMeanMicros: Long,
@@ -638,46 +637,4 @@ object Multimodal {
     }(enc)
   }
 
-  // ------------------------------------------------- audio/video stubs ---
-
-  /** Deterministic fake resize: maps payload bytes onto a w×h grid by
-    * modular sampling. STUB — a real implementation decodes, resamples and
-    * re-encodes; the Spark-side contract (binary→binary, null-safe,
-    * partition-parallel) is what this exercises. */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (payload == null || payload.isEmpty) return payload
-    val out = new Array[Byte](w * h)
-    var i = 0
-    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
-    out
-  }
-
-  /** Deterministic fake frame sampling: every nth chunk of the payload as a
-    * "frame". STUB for video decode; real codecs slot into the same
-    * signature (binary → array<binary>). */
-  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] = {
-    if (payload == null) return null
-    payload.grouped(frameSize).zipWithIndex
-      .collect { case (chunk, idx) if idx % everyNth == 0 => chunk }
-      .toSeq
-  }
-
-  /** Column-level surface for the stubs (registered as UDFs by callers):
-    * media.withColumn("thumb", resizeUdf(col("payload"), lit(8), lit(8))). */
-  def resizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf(resizeStub _)
-  def frameSampleUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf(frameSampleStub _)
-
-  /** Build a media frame from the documents table (text bytes standing in
-    * for an opaque payload — deterministic, no external data needed). Used
-    * by the resize/frame-sample stub surface; the feature-extraction op
-    * uses `mediaPpmFromDocuments` (real images) instead. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      lit("image").as("kind"),
-      col("text").cast("binary").as("payload"),
-      lit(64).as("width"), lit(64).as("height"),
-      lit(null).cast("long").as("duration_ms"))
 }

@@ -1144,7 +1144,7 @@ object Similarity {
 
     // Multimodal binary-column metadata: opaque-bytes surface (octet length,
     // content hashes) — the payload plumbing for media columns; the decode
-    // stage itself is the stubbed mapPartitions path in thrivespark.multimodal.
+    // stage itself is the real mapPartitions path in thrivespark.multimodal.
     Op("multimodal_binary_meta",
       (s, d) => T.documents(s, d).select(
         col("doc_id"),
@@ -1161,12 +1161,13 @@ object Similarity {
     // The full multimodal pipeline surface in one plan: REAL binary P6 PPM
     // payloads → partition-parallel REAL decode (mapPartitions, map-only
     // stage) emitting exact channel means AND a REAL 8×8 grayscale
-    // box-filter thumbnail computed from the decoded raster (r12 — the
-    // resizeStub is retired from this op; real video frame-sampling now
-    // lives in multimodal_video_features, so this op's n_frames column —
-    // the generic frameSampleStub applied to the PPM payload — is the last
-    // stub-derived column anywhere, kept as the codec-agnostic binary
-    // surface). The planted pixel function is closed-form in (media_id, x, y,
+    // box-filter thumbnail computed from the decoded raster (r12 — real
+    // video frame-sampling lives in multimodal_video_features; this op's
+    // n_frames column is the codec-agnostic chunk count — how many 256-byte
+    // chunks a keyframe sampler visiting every 4th chunk would emit —
+    // computed as pure codegen arithmetic on octet_length (r19: the last
+    // UDF-backed stub was retired; same integers, now whole-stage codegen).
+    // The planted pixel function is closed-form in (media_id, x, y,
     // channel) and every feature — including the thumbnail's 64-byte length
     // and its checksum (Σ of the 64 cell means) — is exact integer math, so
     // the DuckDB oracle recomputes all of it from generate_series: a full
@@ -1180,7 +1181,8 @@ object Similarity {
         val media = mm.mediaPpmFromDocuments(T.documents(s, d))
         val feats = mm.extractPpmFeatures(media)
         val derived = media.select(col("media_id"), col("kind"),
-          size(mm.frameSampleUdf(col("payload"), lit(256), lit(4))).as("n_frames"))
+          expr("CAST(((octet_length(payload) + 255) div 256 + 3) div 4 AS INT)")
+            .as("n_frames"))
         feats.join(derived, "media_id")
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("n_pixel_bytes"), col("r_mean_micros"), col("g_mean_micros"),
@@ -1275,7 +1277,7 @@ object Similarity {
     // the sampled-frame luma sum, mean and peak — is nonnegative integer
     // math, so the DuckDB oracle recomputes the full decode+sampling from a
     // generate_series pixel grid: frame sampling is differentially tested,
-    // not stubbed (this retires frameSampleStub as the only video story).
+    // not stubbed — this is the real video decode story.
     Op("multimodal_video_features",
       (s, d) => {
         val mm = thrivespark.multimodal.Multimodal

@@ -193,7 +193,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(r.getInt(byName("n_frames")) >= 1, "at least one sampled frame")
     }
     assert(mm.decodePpm(null) == null, "null payload passes through decode")
-    assert(mm.frameSampleStub(null, 4, 2) == null)
   }
 
   test("decontaminate: docs shorter than K surface as keep=1/n_windows=0") {

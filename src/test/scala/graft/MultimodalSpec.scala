@@ -6,8 +6,8 @@ import thrivespark.Tables
 import thrivespark.multimodal.Multimodal
 
 /** Multimodal binary-column plumbing: real P6 PPM payloads, the distributed
-  * decode stage (mapPartitions), null passthrough, and the audio/video
-  * resize/frame-sample stub surface. */
+  * decode stage (mapPartitions), null passthrough, and the real audio/video
+  * (WAV / Y4M) decoders. */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestBase._
 
@@ -129,24 +129,6 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeWav(good.take(50)) // data chunk overruns payload
     }
     assert(Multimodal.decodeWav(null) == null)
-  }
-
-  test("resize + frame-sample stubs: shapes, determinism, null-safety") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
-      .withColumn("thumb", Multimodal.resizeUdf(col("payload"), lit(8), lit(8)))
-      .withColumn("frames", Multimodal.frameSampleUdf(col("payload"), lit(64), lit(2)))
-    val r = media.select(col("media_id"), col("thumb"), col("frames")).limit(20).collect()
-    r.foreach { row =>
-      assert(row.getAs[Array[Byte]]("thumb").length == 64)
-      assert(row.getSeq[Array[Byte]](2).nonEmpty)
-    }
-    // null payload → null outputs
-    import spark.implicits._
-    val n = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
-      .withColumn("thumb", Multimodal.resizeUdf(col("payload"), lit(8), lit(8)))
-      .withColumn("frames", Multimodal.frameSampleUdf(col("payload"), lit(64), lit(2)))
-      .collect()(0)
-    assert(n.isNullAt(2) || n.getAs[Array[Byte]]("thumb") == null)
   }
 
   test("null payloads pass through with null features") {
