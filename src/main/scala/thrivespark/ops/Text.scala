@@ -192,9 +192,29 @@ object Text {
     * At 100 TB this index is the thing a production pipeline materializes
     * to storage; the session-scoped persist is the single-job analog.
     * Position ints explode first and hashes form post-explode in codegen
-    * (the text_fingerprint trick) — no interpreted per-doc window array. */
-  def windowIndex(docs: DataFrame, K: Int): DataFrame =
-    persistShared(windowOcc(docs, K))
+    * (the text_fingerprint trick) — no interpreted per-doc window array.
+    * The cache is HASH-PARTITIONED ON h (explicit partition count so AQE
+    * can't coalesce it into a shape joins won't reuse): every family
+    * consumer keys on h (the dedup groupBy+join, the exact/cut/coverage
+    * self-join, maxdf's df valve), so partitioning once at build removes
+    * an Exchange of the full index from each of those — the cluster analog
+    * is bucketing the materialized index by h. */
+  def windowIndex(docs: DataFrame, K: Int): DataFrame = {
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    persistShared(windowOcc(docs, K).repartition(n, col("h")))
+  }
+
+  /** Per-window document frequency over the shared index — the SECOND
+    * shared derivation of the family (r19): text_substring_dedup keeps
+    * windows with df ≥ 2 (the shared-window signal) and the maxdf valve
+    * keeps df ≤ cap (the skew cut) — the same countDistinct aggregation
+    * read through opposite filters, so it runs once per session. Input is
+    * h-partitioned (windowIndex), so the aggregation and every downstream
+    * join on h are exchange-free. */
+  def windowDf(docs: DataFrame, K: Int): DataFrame =
+    persistShared(windowIndex(docs, K)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df")))
 
   /** The uncached index derivation — for one-shot consumers (a streaming
     * micro-batch's windows) that must not pin registry storage. */
@@ -706,6 +726,10 @@ object Text {
     // both self-join inputs read the same cache entry, and sibling ops
     // reuse it — the index is computed once per session, not twice per op
     val occ0 = windowIndex(docs, K)
+    val pairsAll = occ0.select(col("doc_id").as("a_id"), col("i"), col("h"))
+      .join(occ0.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
+        Seq("h"))
+      .filter(col("a_id") < col("b_id"))
     // Skew valve for boilerplate windows (maxDf > 0): a K-gram occurring
     // in a huge share of the corpus (license headers, navigation chrome)
     // turns its join bucket quadratic — the standard production cut is to
@@ -715,37 +739,45 @@ object Text {
     // not pairwise). Runs bridged by a dropped window split in two — the
     // conservative direction (shorter reported spans, never longer).
     // The oracled op runs uncapped (synthetic corpus max df = 3).
-    val occ =
-      if (maxDf <= 0) occ0
+    //
+    // A pair forms only between occurrences of the SAME window h, and all
+    // occurrences of an h survive or drop together — so the capped pair
+    // set ≡ the uncapped pair stream semi-joined against the surviving-h
+    // set (r19: replaces the r14 shape that materialized a second, capped
+    // copy of the whole index and self-joined it again — two extra
+    // persists and a second full index join for identical pairs; at scale
+    // the valve's real protection is unchanged, quadratic buckets never
+    // form because the df filter lands before the join's build side).
+    // NOTE the production caveat: with a GENUINELY skewed corpus the semi
+    // join placement matters — Catalyst pushes the left_semi below the
+    // self-join's shuffle when pairsAll is not yet materialized, so the
+    // dropped h never reaches a join bucket (verified in the plan: the
+    // semi join sits on the index scan side, not above the pair join).
+    val pairs =
+      if (maxDf <= 0) pairsAll
       else {
-        val dfOk = occ0.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("df"))
+        val dfOk = windowDf(docs, K)
           .filter(col("df") <= maxDf)
           .select(col("h"))
-        // the CAPPED index is itself a shared derivation: without its own
-        // persist the self-join below evaluates the df aggregation + semi
-        // join on BOTH inputs (Spark does not CSE across join branches) —
-        // measured ~1 s of doubled work at sf0.1
-        persistShared(occ0.join(dfOk, Seq("h"), "left_semi"))
+        pairsAll.join(dfOk, Seq("h"), "left_semi")
       }
-    val pairs = occ.select(col("doc_id").as("a_id"), col("i"), col("h"))
-      .join(occ.select(col("doc_id").as("b_id"), col("i").as("j"), col("h")),
-        Seq("h"))
-      .filter(col("a_id") < col("b_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))
-    // the maximal-run table is itself a shared derivation: exact (pair
-    // aggregation), cut (span removal) and coverage (union-of-positions)
-    // all consume the IDENTICAL (a_id, b_id, diag, i0, c) frame — persist
-    // it so the self-join + run merge execute once per session, not once
-    // per consumer (rows are bounded by actual matches, far smaller than
-    // the index)
-    persistShared(pairs
+    val runs = pairs
       .withColumn("diag", col("i") - col("j"))
       .withColumn("isl", col("i") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
       .agg(min(col("i")).as("i0"), count(lit(1)).as("c"))
-      .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c")))
+      .select(col("a_id"), col("b_id"), col("diag"), col("i0"), col("c"))
+    // the UNCAPPED maximal-run table is a shared derivation: exact (pair
+    // aggregation), cut (span removal) and coverage (union-of-positions)
+    // all consume the IDENTICAL (a_id, b_id, diag, i0, c) frame — persist
+    // it so the self-join + run merge execute once per session, not once
+    // per consumer (rows are bounded by actual matches, far smaller than
+    // the index). The capped variant has exactly ONE consumer per session
+    // (the maxdf report) — persisting it would be pure materialization
+    // overhead (the r18 hashedBuckets lesson), so it streams through.
+    if (maxDf <= 0) persistShared(runs) else runs
   }
 
   /** Pairwise span-coverage report — the CONTAINMENT signal of the
@@ -1214,12 +1246,13 @@ object Text {
         // the session-persisted positional window index (windowIndex),
         // projected to (doc_id, h) — this op, the exact/cut pair and the
         // maxdf/incremental variants all read the SAME cache entry, so
-        // the explode + md5 work runs once per session
+        // the explode + md5 work runs once per session; the per-window df
+        // aggregate is likewise shared (windowDf — maxdf's valve reads
+        // the same aggregation through the opposite filter)
         val occ = windowIndex(T.documents(s, d), K)
           .select(col("doc_id"), col("h"))
-        val shared = occ.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_shared"))
+        val shared = windowDf(T.documents(s, d), K)
+          .filter(col("df") >= 2).select(col("h"), lit(1).as("is_shared"))
         occ.join(shared, Seq("h"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),

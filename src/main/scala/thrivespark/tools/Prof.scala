@@ -534,6 +534,20 @@ object Prof {
         time("sim_doc_topk_hashed")(noopq("sim_doc_topk_hashed"))
         time("embedding again")(noopq("text_hash_embedding"))
 
+      case "substr" =>
+        // replay the substring family in bench-like order (noop sink = the
+        // Bench action) to expose maxdf's first-touch cost: the capped
+        // index + capped run table are maxdf-exclusive persists, so the
+        // earlier family members warm only the base window index.
+        def noops(k: String) = thrivespark.Registry.queries(k)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        time("warm (scan_full)")(noops("scan_full"))
+        Seq("text_substring_dedup", "text_substring_exact",
+            "text_substring_cut", "text_substring_coverage",
+            "text_substring_incremental").foreach(k => time(k)(noops(k)))
+        time("text_substring_maxdf COLD")(noops("text_substring_maxdf"))
+        time("text_substring_maxdf warm")(noops("text_substring_maxdf"))
+
       case "plan-nobcast" =>
         // Capture a query's plan with broadcast demotion OFF: at bench SFs
         // every table fits under the broadcast thresholds, so AQE rewrites
