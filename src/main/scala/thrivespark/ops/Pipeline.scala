@@ -51,26 +51,51 @@ import thrivespark.Det._
 object Pipeline {
   private val Budget = 1024
 
-  /** Stage 1: near-dup survivors, tokenized — (doc_id, ts). Persisted: the
-    * 4-filter gate consumes this frame in four plan branches (map-only
-    * flags, the gram aggregation, and the LM's train + score passes), so
-    * without a cache the scan + anti-join runs four times. On a cluster
+  /** Stage 1: near-dup survivors, tokenized — (doc_id, ts). The 4-filter
+    * gate consumes this frame in four plan branches (map-only flags, the
+    * gram aggregation, and the LM's train + score passes), so without a
+    * stage boundary the scan + anti-join runs four times. On a cluster
     * this is the checkpointed intermediate between the dedup and filter
-    * stages — the same design as Dedup's shingle/pair tables. Spark's
-    * CacheManager keys on the plan, so repeated op invocations in one
-    * session reuse a single materialization. */
-  def survivors(s: SparkSession, d: String): DataFrame =
-    survivorsOf(
+    * stages — the same design as Dedup's shingle/pair tables.
+    *
+    * r19: the boundary is an EAGER localCheckpoint behind a (session,
+    * canonicalized plan)-keyed registry (the sharedEdgeCache discipline —
+    * raw logical plans never match across calls, fresh ExprIds per alias)
+    * instead of a plan-cached persist. The persist left every consumer
+    * carrying the full dedup lineage above the InMemoryRelation, so the
+    * op's in-suite cost depended on what earlier suite keys had already
+    * materialized (r18 driver record: 2.54 s in-suite vs 1.9 s warm —
+    * adjudicated as exactly this). The checkpoint truncates lineage at
+    * first use INSIDE the op, pinning the cost wherever it runs. */
+  private val survivorCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+
+  /** Drop registry entries (the checkpointed RDDs die with their session;
+    * long-lived sessions re-staging data call this between generations). */
+  def releaseSurvivorCache(): Unit = survivorCache.clear()
+
+  def survivors(s: SparkSession, d: String): DataFrame = {
+    survivorCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    val raw = survivorsRawOf(
       T.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ts")),
       Dedup.nearDupPairs(s, d, 0.6))
+    survivorCache.getOrElseUpdate(
+      (s, raw.queryExecution.analyzed.canonicalized),
+      raw.localCheckpoint(true))
+  }
 
-  /** Frame-level stage 1, shared with ScaleStressSpec's 13× composition:
-    * docs (doc_id, ts) minus every b_id of the verified near-dup pair set. */
-  def survivorsOf(docsTs: DataFrame, pairs: DataFrame): DataFrame =
+  /** The un-materialized stage-1 frame: docs (doc_id, ts) minus every b_id
+    * of the verified near-dup pair set. */
+  private def survivorsRawOf(docsTs: DataFrame, pairs: DataFrame): DataFrame =
     docsTs
       .join(pairs.select(col("b_id")).distinct(),
         col("doc_id") === col("b_id"), "left_anti")
       .select(col("doc_id"), col("ts"))
+
+  /** Frame-level stage 1, shared with ScaleStressSpec's 13× composition —
+    * persist-backed (callers own the storage and unpersist explicitly). */
+  def survivorsOf(docsTs: DataFrame, pairs: DataFrame): DataFrame =
+    survivorsRawOf(docsTs, pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Disk variant of the stage-1 boundary (r12): the survivor set is
@@ -85,11 +110,7 @@ object Pipeline {
     * executors. Both produce identical frames — only durability and
     * storage medium differ. */
   def survivorsOfDisk(docsTs: DataFrame, pairs: DataFrame, path: String): DataFrame = {
-    docsTs
-      .join(pairs.select(col("b_id")).distinct(),
-        col("doc_id") === col("b_id"), "left_anti")
-      .select(col("doc_id"), col("ts"))
-      .write.mode("overwrite").parquet(path)
+    survivorsRawOf(docsTs, pairs).write.mode("overwrite").parquet(path)
     docsTs.sparkSession.read.parquet(path)
   }
 

@@ -534,6 +534,18 @@ object Prof {
         time("sim_doc_topk_hashed")(noopq("sim_doc_topk_hashed"))
         time("embedding again")(noopq("text_hash_embedding"))
 
+      case "corpus" =>
+        // bench-like replay: dedup-family predecessors warm the shingle +
+        // pair caches (as in registry order), then corpus_e2e's first
+        // timed run pays only its own survivor boundary + gate + pack
+        def noopc(k: String) = thrivespark.Registry.queries(k)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        time("warm (scan_full)")(noopc("scan_full"))
+        Seq("dedup_exact", "dedup_near_minhash", "dedup_pipeline_survivors",
+            "dedup_clusters").foreach(k => time(k)(noopc(k)))
+        time("pipeline_corpus_e2e COLD")(noopc("pipeline_corpus_e2e"))
+        time("pipeline_corpus_e2e warm")(noopc("pipeline_corpus_e2e"))
+
       case "substr" =>
         // replay the substring family in bench-like order (noop sink = the
         // Bench action) to expose maxdf's first-touch cost: the capped
