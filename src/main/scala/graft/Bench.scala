@@ -13,6 +13,7 @@ object Bench {
     // removed stagings (e.g. the old _ord_ variant) from the sweep
     "graft_stream_stage_sf", "graft_stream_stage_flush_sf",
     "graft_stream_stage_docs_sf", "graft_stream_stage_emb_sf",
+    "graft_stream_stage_annidx_sf", "graft_stream_stage_annq_sf",
     "graft_bucketed", "graft_badcsv_", "graft_dpp_")
 
   /** Stale sink/scratch dirs from earlier runs (r5 judge counted 151) sit on

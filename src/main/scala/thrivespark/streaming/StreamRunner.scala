@@ -384,11 +384,12 @@ object StreamRunner {
     * query — sim_ann_ivf's oracle, verbatim. */
   def annQueryStream(spark: SparkSession, srcDir: String, checkpoint: String,
       centDir: String, idxDir: String, outDir: String): DataFrame = {
+    // srcDir IS the request feed (the staged query slice) — each staged
+    // file is one micro-batch of retrieval requests
     val schema = spark.read.parquet(srcDir).schema
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-      .filter(col("vec_id") % 50 === 0)        // the query slice of the feed
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val q = in.writeStream
       .outputMode("append")

@@ -534,6 +534,17 @@ object Prof {
         time("sim_doc_topk_hashed")(noopq("sim_doc_topk_hashed"))
         time("embedding again")(noopq("text_hash_embedding"))
 
+      case "annstream" =>
+        // pristine-box replay in registry order: ingest stages the standing
+        // artifacts at first touch, query serves against them
+        def noopa(k: String) = thrivespark.Registry.queries(k)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        time("warm (scan_full)")(noopa("scan_full"))
+        time("sim_ann_ivf")(noopa("sim_ann_ivf"))
+        time("stream_ann_ingest COLD")(noopa("stream_ann_ingest"))
+        time("stream_ann_query COLD")(noopa("stream_ann_query"))
+        time("stream_ann_query warm")(noopa("stream_ann_query"))
+
       case "corpus" =>
         // bench-like replay: dedup-family predecessors warm the shingle +
         // pair caches (as in registry order), then corpus_e2e's first
