@@ -14,9 +14,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle computes — but Spark's higher-order functions have no
   * codegen (interpreted lambdas), while this compiles to a tight loop inside
   * whole-stage codegen. Embeddings are L2-normalized so cosine ≡ dot.
-  * Null vectors → null; element count = min(len(a), len(b)).
+  * Null vectors → null; a null ELEMENT nulls the whole dot (what the
+  * zip_with/aggregate formulation yields — the `+` fold propagates the
+  * null product), keeping the registered SQL function on the documented
+  * HOF equivalence for any input; element count = min(len(a), len(b)).
+  * The per-element null check is emitted only when the static type says
+  * elements can be null — hot paths read parquet embeddings with
+  * containsNull=false and keep the branch-free loop.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemsNullable: Boolean = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = super.nullable || elemsNullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -34,9 +46,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (elemsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
     }
     acc
   }
@@ -46,10 +66,15 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
         int $n = Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
         }
         ${ev.value} = $acc;

@@ -377,7 +377,20 @@ object Dedup {
     * (persist: pagerank 4.25→4.8-5.5 s; checkpoint restores the r17
     * per-op shape while still sharing the build). Keyed by logical plan;
     * entries of stopped sessions are pruned on access, the
-    * shingleCache discipline. */
+    * shingleCache discipline.
+    *
+    * INVALIDATION CONTRACT (r19, documenting the r18 advisory): the key
+    * is (session, canonicalized plan) ONLY — it does not fingerprint the
+    * source files, so rewriting the table files at the same path
+    * mid-session (a re-staged corpus) would serve the stale checkpointed
+    * edges/ranks. A long-lived session that mutates its inputs MUST call
+    * releaseSharedCaches() (and Text.releaseSharedCaches /
+    * Pipeline.releaseSurvivorCache) between data generations — the same
+    * contract Spark's own df.cache() carries for path-stable rewrites.
+    * Bench/Verify sessions are immune by construction (one static corpus
+    * per session, caches die with it); the streaming stagings, which DO
+    * re-read paths across sessions, carry their own source fingerprint
+    * (StreamingOps.srcFingerprint) for exactly this reason. */
   private val sharedEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
       DataFrame]

@@ -909,13 +909,28 @@ object Text {
     * identical values on both branches (the r17 Long-only form silently
     * wrapped where DuckDB raised; the analytics_market_basket headroom
     * discipline, now enforced in code). Measured: DECIMAL everywhere cost
-    * +1.8 s on 1.35M rows; the guarded Long path is codegen-cheap. */
-  private val simMicroExpr = when(
+    * +1.8 s on 1.35M rows; the guarded Long path is codegen-cheap.
+    *
+    * Beyond the DECIMAL bound the expression RAISES instead of returning
+    * the non-ANSI silent NULL (r19, closing the r18 advisory): a dot ≥
+    * 5.6e15 would overflow 1e6·dot² past 38 digits, where Spark's
+    * non-ANSI decimal yields NULL — sim_micro would quietly rank last
+    * while the DuckDB HUGEINT oracle holds the value, a silent
+    * cross-engine divergence. Divergence must fail loudly; docs that big
+    * need a two-word representation before ranking, not a wrong rank.
+    * (Public for the guard's direct spec — the raise is unreachable
+    * through the op surface without a ~10^7-token fixture.) */
+  val simMicroExpr: org.apache.spark.sql.Column = when(
     col("q_nrm") < lit(3037000L) && col("c_nrm") < lit(3037000L),
     expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
-    .otherwise(expr(
+    .when(col("dot") < lit(5600000000000000L), expr(
       """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
         | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
+    .otherwise(expr(
+      "CAST(raise_error(concat('sim_micro: dot=', CAST(dot AS STRING), " +
+        "' exceeds the exact DECIMAL(38,0) bound (~5.6e15); re-represent " +
+        "the document before ranking instead of accepting a silent NULL " +
+        "rank')) AS BIGINT)"))
 
   /** The hashed-feature top-k program over any (doc_id, text) frame — the
     * testable surface of sim_doc_topk_hashed (TrainingMixSpec plants an

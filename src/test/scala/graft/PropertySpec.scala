@@ -36,6 +36,25 @@ class PropertySpec extends AnyFunSuite {
     val nr = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
       .select(call_function("vec_dot_long", col("a"), col("b"))).head()
     assert(nr.isNullAt(0), "null vector must yield null")
+    // null ELEMENT nulls the whole dot (the HOF equivalence: x*null is
+    // null and the + fold propagates it) — r19, closing the r18 advisory
+    // that the codegen loop silently read null slots as 0. Exercise both
+    // the codegen path (DataFrame) and the interpreted eval path
+    // (direct expression on array literals with containsNull=true).
+    val ne = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](2L, 2L, 2L)))
+      .toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b"))).head()
+    assert(ne.isNullAt(0), "null element must null the dot (codegen path)")
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val lit = (xs: Seq[Any]) => Literal.create(xs, ArrayType(LongType, containsNull = true))
+      val e = thrivespark.functions.VecDotLong(lit(Seq(1L, null, 3L)), lit(Seq(2L, 2L, 2L)))
+      assert(e.eval(null) == null, "null element must null the dot (eval path)")
+      assert(e.nullable, "element-nullable inputs must mark the dot nullable")
+      val ok = thrivespark.functions.VecDotLong(lit(Seq(1L, 2L)), lit(Seq(3L, 4L)))
+      assert(ok.eval(null) == 11L)
+    }
   }
 
   test("minhash LSH candidates ⊇ exact near-dup pairs (recall = 1 on testdata)") {

@@ -260,9 +260,7 @@ class ScaleStressSpec extends AnyFunSuite {
         mm.mediaPpmFromDocuments(spark.range(n).select(col("id").as("doc_id"))))
 
     val out = decoded(n50)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"PPM decode plan contains a shuffle/broadcast exchange:\n$plan")
+    PlanShape.assertNoExchange(out, "PPM decode at 50×")
 
     def wall(n: Long): Double = {
       val t0 = System.nanoTime(); decoded(n).count(); (System.nanoTime() - t0) / 1e9
@@ -302,9 +300,8 @@ class ScaleStressSpec extends AnyFunSuite {
             lit("en").as("lang"), lit("a b c").as("text"))), 3)
 
     val out = manifest(n20)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"trimodal manifest shuffles at 20×:\n$plan")
-    assert(!plan.contains("Join"), s"trimodal manifest joins at 20×:\n$plan")
+    PlanShape.assertNoExchange(out, "trimodal manifest at 20×")
+    PlanShape.assertNoJoin(out, "trimodal manifest at 20×")
 
     def wall(n: Long): Double = {
       val t0 = System.nanoTime(); manifest(n).count(); (System.nanoTime() - t0) / 1e9
@@ -624,12 +621,9 @@ class ScaleStressSpec extends AnyFunSuite {
         call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
       .filter(col("dot") > 0)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("vec_dot_long"), "dot must stay in the codegen loop")
-    assert(plan.contains("BroadcastNestedLoopJoin"), "query batch must broadcast")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"corpus must never shuffle-join for the QxC product:\n$plan")
+    PlanShape.assertUsesCodegenExpr(out, "vec_dot_long", "10× dense retrieval")
+    PlanShape.assertBroadcastsSmallSide(out, "10× dense retrieval")
+    PlanShape.assertNoShuffleJoin(out, "10× dense retrieval")
     val rows = out.count()
     assert(rows == 100L * 5, s"output must be Q x k = 500, got $rows")
   }

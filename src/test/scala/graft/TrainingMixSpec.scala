@@ -232,13 +232,10 @@ class TrainingMixSpec extends AnyFunSuite {
     // plan shape: query batch broadcast, exact dot in the codegen loop, no
     // shuffle-requiring join anywhere in the retrieval
     for (key <- Seq("sim_doc_topk_hashed", "pipeline_rag_retrieval")) {
-      val plan = thrivespark.Registry.queries(key)(spark, sf001)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("vec_dot_long"), s"$key must use the codegen dot")
-      assert(plan.contains("BroadcastNestedLoopJoin"),
-        s"$key must broadcast the query batch")
-      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-        s"$key must not shuffle-join the corpus:\n$plan")
+      val df = thrivespark.Registry.queries(key)(spark, sf001)
+      PlanShape.assertUsesCodegenExpr(df, "vec_dot_long", key)
+      PlanShape.assertBroadcastsSmallSide(df, key)
+      PlanShape.assertNoShuffleJoin(df, key)
     }
   }
 
@@ -262,6 +259,31 @@ class TrainingMixSpec extends AnyFunSuite {
       "fixture must actually overflow the r17 Long numerator")
     assert(q0.head.getAs[Long]("sim_micro") == 1000000L,
       "identical giant docs: the DECIMAL branch must still be exact")
+  }
+
+  test("sim_micro raises past the DECIMAL bound instead of a silent NULL " +
+      "rank (r19 — cross-engine divergence must fail loudly)") {
+    import spark.implicits._
+    // just under the bound: exact BigInt arithmetic must agree
+    val under = Seq((5_599_999_999_999_999L, 6_000_000_000_000_000_000L,
+        6_000_000_000_000_000_000L))
+      .toDF("dot", "q_nrm", "c_nrm")
+      .select(thrivespark.ops.Text.simMicroExpr.as("s")).head().getLong(0)
+    val dot = BigInt(5_599_999_999_999_999L)
+    val expected = (BigInt(1000000) * dot * dot /
+      (BigInt(6_000_000_000_000_000_000L) * BigInt(6_000_000_000_000_000_000L))).toLong
+    assert(under == expected, s"near-bound DECIMAL branch must stay exact: $under")
+    // at/over the bound: loud failure, not NULL-ranks-last
+    val ex = intercept[Exception] {
+      Seq((5_600_000_000_000_000L, 6_000_000_000_000_000_000L,
+          6_000_000_000_000_000_000L))
+        .toDF("dot", "q_nrm", "c_nrm")
+        .select(thrivespark.ops.Text.simMicroExpr.as("s")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("sim_micro")),
+      s"overflow must surface the sim_micro raise, got: ${msgs(ex).take(3)}")
   }
 
   // ------------------------------------------------- pipeline_rag_retrieval ---
