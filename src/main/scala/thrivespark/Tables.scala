@@ -58,6 +58,12 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+
+  // NOTE (r19): declaring containsNull=false via spark.read.schema does NOT
+  // work — file sources force the user schema nullable (asNullable), so the
+  // element-density contract is declared per call site with known_dense
+  // (functions.KnownDense) instead, where the vec kernels need the
+  // branch-free loop.
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   // Parsed-props projection, persisted per (session, sf): the JSON parse of

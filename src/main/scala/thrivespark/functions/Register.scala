@@ -9,6 +9,8 @@ object Register {
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("known_dense",
+      es => KnownDense(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot_long",
       es => VecDotLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",

@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
-  private def elemsNullable: Boolean = Seq(left.dataType, right.dataType).exists {
+  // lazy VAL, not def — the interpreted eval path calls this per row (see
+  // VecDotLong); lazy because children resolve after construction
+  private lazy val elemsNullable: Boolean = Seq(left.dataType, right.dataType).exists {
     case ArrayType(_, cn) => cn
     case _ => true
   }

@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
 
   /** Static: can either input carry null ELEMENTS? (both inputs are
-    * ArrayType once checkInputDataTypes passed) */
-  private def elemsNullable: Boolean = Seq(left.dataType, right.dataType).exists {
+    * ArrayType once checkInputDataTypes passed). lazy VAL, not def — the
+    * interpreted eval path calls it per row; lazy because children are
+    * unresolved at construction. */
+  private lazy val elemsNullable: Boolean = Seq(left.dataType, right.dataType).exists {
     case ArrayType(_, cn) => cn
     case _ => true
   }

@@ -282,7 +282,7 @@ object Dedup {
     val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
     val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
     val drops = cands.join(ea, "a_id").join(eb, "b_id")
-      .filter(call_function("vec_dot", col("e_a"), col("e_b")) > tau)
+      .filter(Similarity.dot(col("e_a"), col("e_b")) > tau)
       .select(col("b_id")).distinct()
     emb.join(drops, col("vec_id") === col("b_id"), "left_anti")
       .select(col("vec_id"), col("label"))
@@ -918,7 +918,7 @@ object Dedup {
         val b = emb.select(col("label").as("l_b"), col("vec_id").as("b_id"),
           col("embedding").as("e_b"))
         val drops = a.join(b, col("l_a") === col("l_b") && col("a_id") < col("b_id"))
-          .withColumn("cos", call_function("vec_dot", col("e_a"), col("e_b")))
+          .withColumn("cos", Similarity.dot(col("e_a"), col("e_b")))
           .filter(col("cos") > 0.4)
           .select(col("b_id")).distinct()
         emb.join(drops, col("vec_id") === col("b_id"), "left_anti")

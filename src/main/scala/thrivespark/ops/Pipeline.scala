@@ -81,6 +81,10 @@ object Pipeline {
       Dedup.nearDupPairs(s, d, 0.6))
     survivorCache.getOrElseUpdate(
       (s, raw.queryExecution.analyzed.canonicalized),
+      // EAGER checkpoint: a lazy one would only "take" at the end of the
+      // first job that computes it, so the gate's four plan branches each
+      // recompute the full dedup lineage inside that first job (measured
+      // 12.3 s vs 3.8 s at sf0.1).
       raw.localCheckpoint(true))
   }
 

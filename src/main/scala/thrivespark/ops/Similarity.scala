@@ -23,7 +23,13 @@ object Similarity {
     * engines. Custom codegen'd expression (thrivespark.functions.VecDot);
     * bit-identical to aggregate(zip_with(...)) but stays in whole-stage
     * codegen instead of interpreted lambdas. */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  /** Exact float dot in the codegen kernel. Args are declared element-dense
+    * (known_dense — the fixture/production embedding contract: no null
+    * slots) because parquet list columns always surface containsNull=true
+    * and the null-aware loop measured ~40% slower on the verify joins
+    * (r19; see functions.KnownDense). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot",
+    call_function("known_dense", a), call_function("known_dense", b))
 
   /** Session-scoped cache of the persisted trimodal manifest (decode-once
     * stage boundary of pipeline_multimodal_e2e). Memoized by (session,

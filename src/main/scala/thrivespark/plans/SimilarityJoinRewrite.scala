@@ -97,7 +97,13 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def bucketExpr(e: Expression, u: Array[Float], w: Double): Expression =
-    Floor(Divide(VecDot(e, Literal.create(u, ArrayType(FloatType))), Literal(w)))
+    // containsNull=false: probe vectors are dense literals, and since the
+    // vec_dot kernels honor element nullability (r19) a default
+    // containsNull=true literal would put a per-element null-bit test in
+    // every projection's codegen loop (measured ~1 s at sf0.1 on this op)
+    Floor(Divide(
+      VecDot(e, Literal.create(u, ArrayType(FloatType, containsNull = false))),
+      Literal(w)))
 
   /** Packs k (bucket + offset) coordinates into one Long key. */
   private def packExpr(coords: Seq[Expression]): Expression =

@@ -534,6 +534,73 @@ object Prof {
         time("sim_doc_topk_hashed")(noopq("sim_doc_topk_hashed"))
         time("embedding again")(noopq("text_hash_embedding"))
 
+      case "dotab" =>
+        // definitive same-session A/B of the r18 tight-loop float dot vs
+        // the r19 null-aware kernel on the sim_join_rewrite verify shape
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.catalyst.expressions.{Expression => CE}
+        val reg = spark.sessionState.functionRegistry
+        reg.createOrReplaceTempFunction("vec_dot_old",
+          (es: Seq[CE]) => thrivespark.tools.VecDotOld(es(0), es(1)), "scala_udf")
+        thrivespark.functions.Register(spark)
+        val emb = thrivespark.Tables.embeddings(spark, sfDir)
+        def q(fn: String) = {
+          val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+          val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+          a.join(b.hint("broadcast"), expr(s"$fn(e_a, e_b) > 0.45") && col("a_id") < col("b_id"))
+            .agg(count(lit(1)))
+            .write.mode("overwrite").format("noop").save()
+        }
+        println("embeddings schema: " + emb.schema.map(f => f.dataType).mkString(", "))
+        locally {
+          val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+          val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+          val j = a.join(b.hint("broadcast"),
+            expr("vec_dot(e_a, e_b) > 0.45") && col("a_id") < col("b_id"))
+          val conds = j.queryExecution.analyzed.collect {
+            case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn.condition }
+          conds.flatten.foreach { c =>
+            c.foreach {
+              case v: thrivespark.functions.VecDot =>
+                println(s"VecDot types: ${v.left.dataType} . ${v.right.dataType}, nullable=${v.nullable}")
+              case _ => }
+          }
+        }
+        for (_ <- 1 to 3) time("old tight-loop dot")(q("vec_dot_old"))
+        for (_ <- 1 to 3) time("new null-aware dot")(q("vec_dot"))
+        for (_ <- 1 to 3) time("old tight-loop dot")(q("vec_dot_old"))
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for (_ <- 1 to 2) time("old dot, WSCG off")(q("vec_dot_old"))
+        for (_ <- 1 to 2) time("new dot, WSCG off")(q("vec_dot"))
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        for (_ <- 1 to 2) time("old dot, interpreted exprs")(q("vec_dot_old"))
+        for (_ <- 1 to 2) time("new dot, interpreted exprs")(q("vec_dot"))
+
+      case "simjoin-codegen" =>
+        val df = thrivespark.Registry.queries("sim_join_rewrite")(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        println(org.apache.spark.sql.execution.debug.codegenString(
+          df.queryExecution.executedPlan))
+        println("=== FINAL PLAN ===")
+        println(df.queryExecution.executedPlan.toString)
+
+      case "embscan" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val path = s"$sfDir/embeddings.parquet"
+        def scan(df: org.apache.spark.sql.DataFrame) =
+          df.select(sum(call_function("vec_dot", col("embedding"), col("embedding"))))
+            .write.mode("overwrite").format("noop").save()
+        thrivespark.functions.Register(spark)
+        val footer = spark.read.parquet(path)
+        val nn = spark.read.schema(StructType(Seq(
+          StructField("vec_id", LongType, nullable = true),
+          StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+          StructField("label", IntegerType, nullable = true)))).parquet(path)
+        for (_ <- 1 to 3) { time("footer schema scan+dot")(scan(footer)) }
+        for (_ <- 1 to 3) { time("containsNull=false scan+dot")(scan(nn)) }
+
       case "annstream" =>
         // pristine-box replay in registry order: ingest stages the standing
         // artifacts at first touch, query serves against them

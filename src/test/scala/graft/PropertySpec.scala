@@ -57,6 +57,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("known_dense: identity values, element type retyped non-null, " +
+      "null array passes through (r19)") {
+    import spark.implicits._
+    thrivespark.functions.Register(spark)
+    val df = Seq((Seq(1.5f, 2.5f), true), (null.asInstanceOf[Seq[Float]], false))
+      .toDF("a", "ok")
+      .select(col("a"), call_function("known_dense", col("a")).as("d"))
+    // retyped: containsNull=false on the wrapper, values identical
+    val dt = df.schema("d").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(!dt.containsNull, "known_dense must declare elements non-null")
+    val rows = df.collect()
+    assert(rows.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+    assert(rows.filter(!_.isNullAt(0))
+      .forall(r => r.getSeq[Float](0) == r.getSeq[Float](1)))
+    // the dot through known_dense matches the raw dot bit-for-bit
+    val e = thrivespark.Tables.embeddings(spark, sf001).limit(200)
+      .select(call_function("vec_dot", col("embedding"), col("embedding")).as("raw"),
+        thrivespark.ops.Similarity.dot(col("embedding"), col("embedding")).as("dense"))
+    assert(e.filter(col("raw") =!= col("dense")).count() == 0L)
+  }
+
   test("minhash LSH candidates ⊇ exact near-dup pairs (recall = 1 on testdata)") {
     val docs = Dedup.shingleDocs(spark, sf001)
     val cands = Dedup.candidatePairs(Dedup.bandBuckets(docs))
