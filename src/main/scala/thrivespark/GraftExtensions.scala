@@ -3,7 +3,7 @@ package thrivespark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import thrivespark.functions.{LshBandKeys, MinHashSignature, ShingleHashes, SimHash64, VecDot, VecDotLong}
+import thrivespark.functions.{KnownDense, LshBandKeys, MinHashSignature, ShingleHashes, SimHash64, VecDot, VecDotLong}
 
 /** Session-extension entry point: makes the engine's custom Catalyst
   * expressions first-class SQL functions — and its optimizer rule and
@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "dot product of two float vectors in double"),
       (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("known_dense"),
+      info("known_dense", "identity re-typing an array as element-non-null (trusted density contract)"),
+      (es: Seq[Expression]) => KnownDense(es.head)))
     e.injectFunction((FunctionIdentifier("vec_dot_long"),
       info("vec_dot_long", "exact integer dot product of two bigint vectors"),
       (es: Seq[Expression]) => VecDotLong(es.head, es(1))))
