@@ -922,4 +922,46 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(idxRows == expected,
       s"index rows $idxRows != corpus windows $expected")
   }
+
+  test("3k-doc boilerplate clique: the maxDf valve's semi join lands BELOW " +
+      "the pair self-join (r19 shape), so the capped path never admits the " +
+      "4.5M-pair bucket it prunes", ScaleStress) {
+    import spark.implicits._
+    // 3,000 docs all ending in the SAME 8-token boilerplate window
+    // (df = 3000 ⇒ C(3000,2) ≈ 4.5M pairs from that one window uncapped);
+    // docs 1 and 2 are identical span+boiler copies — the one genuine pair.
+    val boiler = (0 until 8).map("b" + _).mkString(" ")
+    val span = (0 until 20).map("s" + _).mkString(" ")
+    val docs = spark.range(1, 3001)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") <= 2, lit(span)).otherwise(
+            concat_ws(" ", (0 until 8).map(k =>
+              concat(lit("u"), col("id"), lit(s"_$k"))): _*)),
+          lit(boiler)).as("text"))
+      .toDF("doc_id", "text")
+    val capped = thrivespark.ops.Text.sharedSpanRuns(docs, maxDf = 2)
+    // Plan proof of the r19 restructure's scale claim: Catalyst must push
+    // the LeftSemi valve BELOW the pair equi-join onto the index scan —
+    // an inner equi-join on h with one side's h filtered out can never
+    // form the boilerplate bucket. If the semi sat ABOVE the join, the
+    // 4.5M-row bucket would materialize before filtering.
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val lp = capped.queryExecution.optimizedPlan
+    val innerJoins = lp.collect { case j: LJoin if j.joinType == Inner => j }
+    assert(innerJoins.nonEmpty, s"pair join missing:\n$lp")
+    val semiBelowPairJoin = innerJoins.exists(_.children.exists(
+      _.collect { case j: LJoin if j.joinType == LeftSemi => j }.nonEmpty))
+    assert(semiBelowPairJoin,
+      s"the df valve must push below the pair self-join:\n$lp")
+    // Semantics at this scale: exactly the genuine pair survives. Both
+    // docs are 28 identical tokens; dropping the saturated window splits
+    // nothing here (it is the run's last window), so the reported span is
+    // windows 1..20 ⇒ 27 tokens — the conservative direction the valve
+    // documents (never longer than the true 28).
+    val rows = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 2L, 1L, 27L)), s"got $rows")
+  }
 }
