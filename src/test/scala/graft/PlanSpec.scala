@@ -462,6 +462,39 @@ class PlanSpec extends AnyFunSuite {
       assert(!outside.contains("Generate explode"),
         s"$k recomputes the window explode outside the cache:\n${plan(k)}")
     }
+    // r19: the cached index is hash-partitioned ON h at build, so every
+    // h-keyed consumer (the dedup groupBy+join, the self-join, the df
+    // valve) reads already-partitioned blocks instead of re-exchanging
+    // the full index per query. Pin the stored partitioning itself —
+    // operator names wobble across Spark versions, outputPartitioning is
+    // the semantic fact.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val idx0 = thrivespark.ops.Text.windowIndex(
+        thrivespark.Tables.documents(spark, sf001), 8)
+      // the cached subtree is itself adaptive: its partitioning is
+      // UnknownPartitioning until the cache materializes — materialize,
+      // then plan a FRESH reader over the now-final cached relation
+      idx0.count()
+      val idx = idx0.filter(lit(true))
+      // AdaptiveSparkPlanExec holds its plan in a field, not as a child —
+      // unwrap before collecting
+      val root = idx.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = root.collectFirst {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(scan.isDefined, s"window index must be a cache scan:\n${idx.queryExecution.executedPlan}")
+      scan.get.outputPartitioning match {
+        case hp: HashPartitioning =>
+          assert(hp.expressions.map(_.sql.toLowerCase).exists(_.contains("h")),
+            s"index must be hash-partitioned on h, got ${hp.expressions.map(_.sql)}")
+        case other => fail(s"index cache not hash-partitioned: $other")
+      }
+    }
   }
 
   test("dq_profile: one melted aggregation, no multi-distinct Expand; " +
