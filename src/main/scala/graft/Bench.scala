@@ -171,7 +171,15 @@ object Bench {
     *  (3) ratio > 2× AND absolute regression > 1.5 s (r17 — the r16 record's
     *      stream_stream_join 2.0× (+3.1 s) and stream_dedup_state 2.05×
     *      (+1.8 s) doubled without qualifying under (1)/(2) and had to wait
-    *      a full round for adjudication);
+    *      a full round for adjudication). r20: the ratio leg is satisfied
+    *      by EITHER the host-normalized ratio or the RAW ratio
+    *      (rawSec / prior, reconstructed as rawSec / (rawSec − deltaSec)).
+    *      Host normalization exists to stop a slow box false-positiving
+    *      the whole suite, but on a slow host (hf > 1) it DESENSITIZES
+    *      this trigger exactly when real wall-clock at stake is highest:
+    *      BENCH_r19 (hf 1.11) read stream_stream_join at 5.74 s vs prior
+    *      2.68 — raw 2.14×, normalized 1.93× — and no trigger fired on
+    *      the record's third-largest raw reading;
     *  (4) PRIOR-LESS and raw > 5× the run's median raw AND > 3 s (r18 —
     *      every prior trigger needs a prior ratio, so a brand-new
     *      expensive key shipped unadjudicated: BENCH_r17 retried fn_xml's
@@ -180,9 +188,13 @@ object Bench {
     * `deltaSec` is the RAW sec − prior (not normalized: the threshold is
     * about real wall-clock at stake); `rawSec` feeds the prior-less
     * absolute trigger. Bounded by `cap` so a fully-poisoned run doesn't
-    * double its own wall-clock; the keep-set is built first and then
-    * filtered in suite order, so the cap drops the LATEST-in-suite
-    * candidates, never an earlier spike in favor of a later window member. */
+    * double its own wall-clock. r20: the cap takes candidates by absolute
+    * raw regression DESCENDING (prior-less keys rank by rawSec − median
+    * raw, their own trigger's regression notion; ties by normalized ratio,
+    * then suite order) — the r16-era suite-order cap let 8 earlier-suite
+    * keys consume BENCH_r19's budget while the record's two largest raw
+    * readings (stream_outer_join 9.07 s at 3.2× prior, stream_stream_join
+    * 5.74 s) shipped unadjudicated, the exact spikes the net exists for. */
   private[graft] def retryCandidates(
       named: Seq[(String, Option[Double], Option[Double], Double)],
       cap: Int = 8): Seq[String] = {
@@ -191,7 +203,8 @@ object Bench {
     val medianRaw = if (raws.isEmpty) 0.0 else raws(raws.length / 2)
     named.foreach { case (n, r, d, raw) =>
       if (r.exists(_ > 5.0)) keep += n
-      if (r.exists(_ > 2.0) && d.exists(_ > 1.5)) keep += n
+      val rawRatio = d.map(dd => if (raw - dd > 0) raw / (raw - dd) else 0.0)
+      if ((r.exists(_ > 2.0) || rawRatio.exists(_ > 2.0)) && d.exists(_ > 1.5)) keep += n
       if (r.isEmpty && raw > 5.0 * medianRaw && raw > 3.0) keep += n
     }
     var run = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -203,7 +216,11 @@ object Bench {
       case _                             => gap = 0; flush()
     }
     flush()
-    named.collect { case (n, _, _, _) if keep(n) => n }.take(cap).toSeq
+    named.zipWithIndex
+      .collect { case ((n, r, d, raw), i) if keep(n) =>
+        (n, d.getOrElse(raw - medianRaw), r.getOrElse(0.0), i) }
+      .sortBy { case (_, sev, ratio, i) => (-sev, -ratio, i) }
+      .map(_._1).take(cap).toSeq
   }
 
   /** Host factor (r14): the run's own median prior-ratio, the uniform

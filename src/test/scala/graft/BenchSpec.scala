@@ -183,18 +183,55 @@ class BenchSpec extends AnyFunSuite {
     val mixed = Seq(("w1", Some(4.2), Some(1.0), 1.3), ("new_op", None, None, 0.5),
       ("w2", Some(4.5), Some(1.1), 1.4), ("w3", Some(4.1), Some(1.0), 1.3),
       ("ok", Some(1.0), Some(0.0), 0.5), ("spike", Some(7.0), Some(2.0), 2.3))
-    assert(Bench.retryCandidates(mixed) == Seq("w1", "w2", "w3", "spike"))
+    // r20: candidates are ordered by raw regression descending (tie-break
+    // normalized ratio), not suite order — spike (+2.0 s) leads, then the
+    // window members by delta/ratio
+    assert(Bench.retryCandidates(mixed) == Seq("spike", "w2", "w1", "w3"))
     // cap bounds a fully-poisoned run
     val poisoned = (1 to 50).map(i => (s"q$i", Some(6.0), Some(3.0), 3.6))
     assert(Bench.retryCandidates(poisoned).size == 8)
-    // suite order survives the cap (r16 advisory): an early spike must not
-    // be dropped in favor of later window members — keep-set first, then
-    // one ordered filter
+    // the cap keeps the LARGEST regression regardless of suite position
+    // (r16 advisory, re-grounded by the r19 record): an early spike must
+    // not be dropped in favor of later window members
     val early = ("early_spike", Some(9.0), Some(4.0), 4.5)
     val lateWin = (1 to 9).map(i => (s"w$i", Some(4.5), Some(1.0), 1.3))
     val ordered = Bench.retryCandidates(early +: lateWin, cap = 8)
     assert(ordered.head == "early_spike" && ordered.size == 8,
-      s"early spike must survive the cap in suite position: $ordered")
+      s"early spike must survive the cap: $ordered")
+  }
+
+  test("retryCandidates r20: replaying the r19 driver record selects the " +
+      "two largest raw readings the suite-order cap dropped") {
+    // BENCH_r19 (contaminated:true, host_factor 1.11): ten keys qualified
+    // but the cap-8 suite-order take was consumed by eight earlier-suite
+    // keys, shipping stream_outer_join (9.07 s, 3.2x raw prior 2.816) and
+    // stream_stream_join (5.74 s vs 2.678 — raw 2.14x, NORMALIZED 1.93x,
+    // so under the old normalized-only trigger 3 it never even qualified)
+    // unadjudicated. Tuples below are the record's exact raws against the
+    // priors the driver ran with, in suite order, normalized by hf=1.11.
+    val hf = 1.11
+    def t(n: String, raw: Double, prior: Double) =
+      (n, Some(raw / prior / hf), Some(raw - prior), raw)
+    val r19 = Seq(
+      t("sim_embed_quantize", 1.934, 0.412),
+      t("pipeline_multimodal_e2e", 4.185, 0.828),
+      t("multimodal_stream_decode", 4.133, 1.632),
+      t("stream_tumbling", 3.229, 0.407),
+      t("stream_sliding", 3.496, 0.445),
+      t("stream_outer_join", 9.071, 2.816),
+      t("stream_stream_join", 5.738, 2.678),
+      t("text_tfidf_topk", 6.207, 1.550),
+      t("text_substring_coverage", 3.939, 1.319),
+      t("text_substring_incremental", 3.036, 1.169))
+    val picked = Bench.retryCandidates(r19)
+    assert(picked.size == 8)
+    assert(picked.take(2) == Seq("stream_outer_join", "text_tfidf_topk"),
+      s"largest raw regressions must lead: $picked")
+    assert(picked.contains("stream_stream_join"),
+      s"raw-ratio leg must qualify the 2.14x/+3.1 s key: $picked")
+    // the two smallest-delta qualifiers are the ones the cap drops now
+    assert(!picked.contains("sim_embed_quantize") &&
+      !picked.contains("text_substring_incremental"), s"$picked")
   }
 
   test("retryCandidates r17 trigger: ratio >2x AND absolute delta >1.5 s — " +
