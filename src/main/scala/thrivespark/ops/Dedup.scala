@@ -269,7 +269,13 @@ object Dedup {
 
   /** The dedup_embedding_lsh operator over any (vec_id, label, embedding)
     * frame: sign-band LSH candidates (bucket-capped, see LshBucketCap) →
-    * exact cosine verify → survivors. */
+    * exact cosine verify → survivors.
+    *
+    * PRECONDITION: `embedding` must have no null ELEMENTS — the verify
+    * dot declares density to codegen (Similarity.dot/known_dense), so a
+    * genuinely null slot is read as 0, not propagated. Scrub or reject
+    * sparse vectors upstream (dq_validate_reject is the gate shape), or
+    * verify with Similarity.dotNullable for untrusted frames. */
   def embeddingLshSurvivors(emb: DataFrame, tau: Double, cap: Int): DataFrame = {
     val cands = lshBandedCapped(emb, cap)
       .groupBy(col("label"), col("band"), col("bkey"), col("sub"))

@@ -54,9 +54,15 @@ object Pipeline {
   /** Stage 1: near-dup survivors, tokenized — (doc_id, ts). The 4-filter
     * gate consumes this frame in four plan branches (map-only flags, the
     * gram aggregation, and the LM's train + score passes), so without a
-    * stage boundary the scan + anti-join runs four times. On a cluster
-    * this is the checkpointed intermediate between the dedup and filter
-    * stages — the same design as Dedup's shingle/pair tables.
+    * stage boundary the scan + anti-join runs four times.
+    *
+    * Cluster caveat (r20): localCheckpoint TRUNCATES lineage while storing
+    * blocks only on executors — lose an executor and the stage is
+    * unrecoverable (unlike reliable checkpoint, or a persist that can
+    * recompute from lineage). It is the right boundary for this
+    * single-job, single-JVM suite; cluster deployments of the pipeline
+    * should take survivorsOfDisk (the durable parquet boundary below) as
+    * the inter-stage checkpoint — same frame, survives executor loss.
     *
     * r19: the boundary is an EAGER localCheckpoint behind a (session,
     * canonicalized plan)-keyed registry (the sharedEdgeCache discipline —

@@ -27,9 +27,24 @@ object Similarity {
     * (known_dense — the fixture/production embedding contract: no null
     * slots) because parquet list columns always surface containsNull=true
     * and the null-aware loop measured ~40% slower on the verify joins
-    * (r19; see functions.KnownDense). */
+    * (r19; see functions.KnownDense).
+    *
+    * PRECONDITION (r20, inherited by every frame-level API that routes a
+    * caller frame through here — Dedup.embeddingLshSurvivors, the
+    * dedup_embedding_cosine op, StreamRunner's centroid probe): no null
+    * ELEMENTS inside the arrays. known_dense declares that fact to
+    * codegen; an element that is actually null is read as 0 (declared UB),
+    * NOT propagated to a null dot. A wholly-null array column is fine
+    * (null in → null out). For frames that cannot promise density, use
+    * [[dotNullable]]. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot",
     call_function("known_dense", a), call_function("known_dense", b))
+
+  /** Null-HONORING variant for untrusted frames: any null element yields a
+    * null dot (the aggregate(zip_with(...)) equivalence the kernel
+    * documents), at the cost of the per-element null-bit test (~40% on a
+    * 64-dim verify join). Same kernel, density not declared. */
+  def dotNullable(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Session-scoped cache of the persisted trimodal manifest (decode-once
     * stage boundary of pipeline_multimodal_e2e). Memoized by (session,

@@ -613,6 +613,15 @@ object StreamingOps {
     val fp = srcFingerprint(d, "embeddings") +
       "|" + Similarity.IvfSeedSql + "|annidx-v1"
     if (!stageFresh(dir, fp)) {
+      // Invalidate BEFORE rewriting (r20): the single-dir stagers get this
+      // for free (parquet overwrite deletes the dir, marker included), but
+      // here the marker lives ABOVE the two artifact subdirs — a crash
+      // between the centroid and index writes would otherwise leave a
+      // mixed dir behind the OLD marker, served as fresh if the source
+      // fingerprint ever reverted to the old value.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_SRC_FP")): Unit
       val emb = thrivespark.Tables.embeddings(s, d)
       val cent = Similarity.ivfCentroids(emb)
       cent.write.mode("overwrite").parquet(s"$dir/centroids")

@@ -919,11 +919,17 @@ object Text {
     * cross-engine divergence. Divergence must fail loudly; docs that big
     * need a two-word representation before ranking, not a wrong rank.
     * (Public for the guard's direct spec — the raise is unreachable
-    * through the op surface without a ~10^7-token fixture.) */
+    * through the op surface without a ~10^7-token fixture.)
+    *
+    * r20: the bound is on |dot|. Hashed counts are nonnegative so a
+    * negative dot is unreachable through the op surface, but the
+    * expression is public as the guard's spec, and dot ≤ −5.6e15 under
+    * the one-sided r19 guard took the DECIMAL branch and reproduced
+    * exactly the silent NULL rank the guard exists to eliminate. */
   val simMicroExpr: org.apache.spark.sql.Column = when(
     col("q_nrm") < lit(3037000L) && col("c_nrm") < lit(3037000L),
     expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
-    .when(col("dot") < lit(5600000000000000L), expr(
+    .when(abs(col("dot")) < lit(5600000000000000L), expr(
       """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
         | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
     .otherwise(expr(

@@ -284,6 +284,26 @@ class TrainingMixSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("sim_micro")),
       s"overflow must surface the sim_micro raise, got: ${msgs(ex).take(3)}")
+    // r20: the bound is on MAGNITUDE — a dot at −bound would pass a
+    // one-sided `dot < bound` guard into the DECIMAL branch, overflow
+    // DECIMAL(38,0) and reproduce the silent non-ANSI NULL rank the guard
+    // exists to eliminate (unreachable via the op surface: hashed counts
+    // are nonnegative — but simMicroExpr is public as the guard's spec)
+    val exNeg = intercept[Exception] {
+      Seq((-5_600_000_000_000_000L, 6_000_000_000_000_000_000L,
+          6_000_000_000_000_000_000L))
+        .toDF("dot", "q_nrm", "c_nrm")
+        .select(thrivespark.ops.Text.simMicroExpr.as("s")).collect()
+    }
+    assert(msgs(exNeg).exists(_.contains("sim_micro")),
+      s"negative-dot overflow must raise too, got: ${msgs(exNeg).take(3)}")
+    // just inside on the negative side: exact, no raise, no NULL
+    val underNeg = Seq((-5_599_999_999_999_999L, 6_000_000_000_000_000_000L,
+        6_000_000_000_000_000_000L))
+      .toDF("dot", "q_nrm", "c_nrm")
+      .select(thrivespark.ops.Text.simMicroExpr.as("s")).head().getLong(0)
+    assert(underNeg == expected,
+      s"dot² kills the sign — negative near-bound must equal positive: $underNeg")
   }
 
   // ------------------------------------------------- pipeline_rag_retrieval ---
