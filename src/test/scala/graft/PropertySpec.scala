@@ -76,6 +76,22 @@ class PropertySpec extends AnyFunSuite {
       .select(call_function("vec_dot", col("embedding"), col("embedding")).as("raw"),
         thrivespark.ops.Similarity.dot(col("embedding"), col("embedding")).as("dense"))
     assert(e.filter(col("raw") =!= col("dense")).count() == 0L)
+    // r20: the two public variants diverge EXACTLY on a null element —
+    // dotNullable propagates it (the untrusted-frame contract), dot reads
+    // it as 0 under the declared-density precondition (documented UB)
+    val sparse = Seq((Seq[java.lang.Float](1f, null, 3f),
+        Seq[java.lang.Float](2f, 2f, 2f))).toDF("a", "b")
+      .select(thrivespark.ops.Similarity.dotNullable(col("a"), col("b")).as("n"),
+        thrivespark.ops.Similarity.dot(col("a"), col("b")).as("d"))
+      .head()
+    assert(sparse.isNullAt(0), "dotNullable must propagate a null element")
+    assert(sparse.getDouble(1) == 8.0,
+      "dot under known_dense reads the null slot as 0 (declared UB)")
+    // and agree bit-for-bit on genuinely dense frames
+    val both = thrivespark.Tables.embeddings(spark, sf001).limit(200)
+      .select(thrivespark.ops.Similarity.dotNullable(col("embedding"), col("embedding")).as("n"),
+        thrivespark.ops.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    assert(both.filter(col("n") =!= col("d")).count() == 0L)
   }
 
   test("minhash LSH candidates ⊇ exact near-dup pairs (recall = 1 on testdata)") {
