@@ -1,6 +1,11 @@
 package thrivespark.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Verifies the spark.sql.extensions deployment path end to end in a fresh
   * JVM: a session configured with GraftExtensions must expose the SQL
@@ -664,4 +669,38 @@ object Prof {
     }
     spark.stop()
   }
+}
+
+/** Prof-only replica of the r18 tight-loop VecDot (pre null-handling) for
+  * same-session A/B attribution — not registered by the library. */
+case class VecDotOld(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"bad: $l, $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_old"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotOld =
+    copy(left = l, right = r)
 }
