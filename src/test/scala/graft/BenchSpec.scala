@@ -234,6 +234,26 @@ class BenchSpec extends AnyFunSuite {
       !picked.contains("text_substring_incremental"), s"$picked")
   }
 
+  test("retryCandidates r20 edges: degenerate raw-ratio input and " +
+      "prior-less severity ranking") {
+    // delta >= raw implies a non-positive reconstructed prior — the raw
+    // ratio is undefined; the guard must not divide by <= 0, and the key
+    // still qualifies via the normalized leg
+    val degenerate = Seq(("weird_prior", Some(2.5), Some(25.0), 20.0))
+    assert(Bench.retryCandidates(degenerate) == Seq("weird_prior"))
+    // prior-less keys rank by raw - medianRaw (their own trigger's notion
+    // of regression), interleaved with with-prior deltas on one scale:
+    // new_heavy (raw 12, median 1 -> severity 11) outranks a with-prior
+    // +4 s spike; both beat a smaller with-prior delta under the cap
+    val run = (1 to 9).map(i => (s"base$i", Some(1.0), Some(0.0), 1.0)) ++ Seq(
+      ("spike_mid", Some(6.0), Some(2.0), 2.4),
+      ("new_heavy", None, None, 12.0),
+      ("spike_big", Some(6.0), Some(4.0), 4.8))
+    val sel = Bench.retryCandidates(run, cap = 2)
+    assert(sel == Seq("new_heavy", "spike_big"),
+      s"severity order must interleave prior-less and with-prior: $sel")
+  }
+
   test("retryCandidates r17 trigger: ratio >2x AND absolute delta >1.5 s — " +
       "replaying the r16 record's stream pair selects exactly them") {
     // BENCH_r16: stream_stream_join 3.15->6.25 s (2.0x, +3.1 s) and
