@@ -300,6 +300,32 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retryCandidates(slowRun).isEmpty)
   }
 
+  test("adjudicatedTotals replays the BENCH_r20 official record: raw 238.1 " +
+      "adjudicates to ~225.5 retry-substituted, ~214.7 host-normalized") {
+    // the exact retried map and host_factor of BENCH_r20.json — the
+    // arithmetic the r20 verdict redid by hand, now pinned in the record
+    val r20Retried = Seq(
+      "sim_ann_ivfpq_recall" -> (5.839, 3.544),
+      "text_substring_cut" -> (4.581, 2.051),
+      "stream_score_model" -> (5.317, 3.451),
+      "text_substring_incremental" -> (3.702, 1.766),
+      "q18_large_orders" -> (3.045, 1.951),
+      "etl_json_flatten" -> (3.861, 2.331),
+      "text_tfidf_topk" -> (3.158, 1.791))
+    val (adj, norm) = Bench.adjudicatedTotals(238.09597376700012, r20Retried, 1.05)
+    assert(math.abs(adj - 225.478) < 0.01, s"adjusted=$adj")
+    assert(math.abs(norm - 214.741) < 0.01, s"normalized=$norm")
+    // no retries: both totals collapse to raw (÷ host factor)
+    val (a2, n2) = Bench.adjudicatedTotals(100.0, Seq.empty, 1.0)
+    assert(a2 == 100.0 && n2 == 100.0)
+    // a retry that measures SLOWER substitutes too (symmetric, anti-flattery)
+    val (a3, _) = Bench.adjudicatedTotals(100.0, Seq("k" -> (2.0, 5.0)), 1.0)
+    assert(math.abs(a3 - 103.0) < 1e-9)
+    // degenerate host factor guards divide-by-zero
+    val (_, n4) = Bench.adjudicatedTotals(100.0, Seq.empty, 0.0)
+    assert(n4 == 100.0 / 0.01)
+  }
+
   test("QueryGuard: success passes through, a hung query is cancelled and " +
       "the session survives") {
     val spark = SparkTestBase.spark
