@@ -955,7 +955,18 @@ object Text {
     * the IVF ladder (sim_ann_ivf*), measured against this exact baseline. */
   def hashedTopKFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     thrivespark.functions.Register(docs.sparkSession)
-    val cvd = hashedDense(hashedBuckets(docs).groupBy(col("doc_id")))
+    // The corpus-side exchange is PINNED at the session partition count
+    // (r21): the broadcast Q×C dot loop — the op's dominant compute — runs
+    // in the stage that reads this exchange, and AQE's size-based
+    // coalescing sees only the tiny dense-vector bytes, not the
+    // |Q|-proportional work per row, so it serialized the stage to ONE
+    // task (measured 1.5 s of a 3.3 s steady-state run single-threaded).
+    // An explicit-n keyed repartition is exempt from AQE coalescing (the
+    // windowIndex discipline); same exchange count and bytes either way,
+    // so the 100 TB shape is unchanged.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cvd = hashedDense(hashedBuckets(docs)
+      .repartition(n, col("doc_id")).groupBy(col("doc_id")))
     val qvd = hashedDense(hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
         .groupBy(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
@@ -998,10 +1009,20 @@ object Text {
         bucket(col("w")).as("bucket"))
     val iLo = greatest(lit(0L), expr(s"(p - $C + $S - 1) div $S"))
     val iHi = least(col("last"), expr(s"(p - 1) div $S"))
+    // The (doc, chunk)-grain exchange is PINNED at the session partition
+    // count (r21, same rationale as hashedTopKFrom): the broadcast Q×C dot
+    // loop rides the stage reading this exchange and AQE's size-based
+    // coalescing serialized it to one task (measured 2.1 s of a 3.3 s
+    // steady run). Placed AFTER the (doc, chunk, bucket) aggregate so
+    // map-side partial aggregation still shrinks the shuffle (guide §2.3);
+    // the (doc, chunk) grouping then reuses this exchange — exchange count
+    // and bytes are unchanged from the un-pinned plan.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
     val cfd = hashedDense(toks
       .select(col("doc_id"), col("bucket"), explode(sequence(iLo, iHi)).as("chunk_id"))
       .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
+      .repartition(n, col("doc_id"), col("chunk_id"))
       .groupBy(col("doc_id"), col("chunk_id")))
     val qvd = hashedDense(hashedBuckets(docs.filter(col("doc_id") % 50 === 0))
         .groupBy(col("doc_id")))
@@ -1424,8 +1445,13 @@ object Text {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-        val idf = toks.groupBy(col("tok"))
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // df derived FROM tf (r21): tf's (doc_id, tok) groups are exactly
+        // the distinct pairs, so df(tok) is a plain count over them — no
+        // countDistinct expand plan, and the tf exchange is canonically
+        // identical in both branches so ReuseExchange computes it once
+        // (plan: 2 toks scans + expand → 1 scan, exchange reused).
+        val idf = tf.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
           .select(col("tok"),
             round(log(lit(n.toDouble) / col("df")) * lit(1000000L))
               .cast("long").as("idf_micros"))

@@ -58,6 +58,116 @@ object ProfR21 {
         rep("exact only")(noop(ev.agg(countDistinct(col("user_id")))))
         rep("both")(noop(ev.agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
           countDistinct(col("user_id")).as("e"))))
+      case "ab_hash" =>
+        // hashedBuckets-shaped pipeline with and without the fanOut
+        // exchange, interleaved so ambient noise hits both variants
+        val docs = T.documents(spark, sfDir)
+        def pipe(src: DataFrame) = {
+          val tf = src.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .select(col("doc_id"),
+              (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64).as("bucket"))
+            .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+          val nt = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("nt"))
+          tf.join(nt, Seq("doc_id"))
+            .select(col("doc_id"), col("bucket"), col("tf"),
+              expr("(1000000 * tf) div nt").as("w_micro"))
+            .orderBy(col("doc_id"), col("bucket"))
+        }
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(docs)))
+          time(s"fanout#$i")(noop(pipe(T.fanOut(docs))))
+        }
+      // Dump .explain("formatted") of the named keys to <outDir>/<key>_<tag>.txt
+      // (the plans/r21 deliverable). args: explain <outDir> <tag> <key>...
+      case "explain" =>
+        val outDir = args(2); val tag = args(3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        args.drop(4).foreach { key =>
+          val df = thrivespark.Registry.queries(key)(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${key}_$tag.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"[explain] wrote $outDir/${key}_$tag.txt")
+        }
+      // Like explain, but EXECUTES the query first so the dumped plan is
+      // the final adaptive one (isFinalPlan=true, ReusedExchange / AQE
+      // coalescing visible). args: explain_exec <outDir> <tag> <key>...
+      case "explain_exec" =>
+        val outDir = args(2); val tag = args(3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        args.drop(4).foreach { key =>
+          val df = thrivespark.Registry.queries(key)(spark, sfDir)
+          df.collect(): Unit
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${key}_$tag.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"[explain] wrote $outDir/${key}_$tag.txt")
+        }
+      case "ab_approx" =>
+        val ev = T.events(spark, sfDir)
+        def plain = ev.agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        def split = ev.agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(plain))
+          time(s"split#$i")(noop(split))
+        }
+      case "ab_pin" =>
+        // hashedTopKFrom's dot pipeline with the (un)pinned corpus exchange
+        val docs = T.documents(spark, sfDir)
+        val n = spark.sessionState.conf.numShufflePartitions
+        def dense(g: org.apache.spark.sql.RelationalGroupedDataset) =
+          thrivespark.ops.Text.hashedDense(g)
+        def pipe(pin: Boolean) = {
+          val hb = thrivespark.ops.Text.hashedBuckets(docs)
+          val cvd = dense((if (pin) hb.repartition(n, col("doc_id")) else hb)
+            .groupBy(col("doc_id")))
+          val qvd = dense(thrivespark.ops.Text.hashedBuckets(
+              docs.filter(col("doc_id") % 50 === 0)).groupBy(col("doc_id")))
+            .select(col("doc_id").as("q_id"), col("vec").as("qvec"), col("nrm").as("q_nrm"))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("sim_micro").desc, col("c_id"))
+          cvd.join(broadcast(qvd), col("q_id") =!= col("doc_id"))
+            .select(col("q_id"), col("doc_id").as("c_id"), col("q_nrm"), col("nrm").as("c_nrm"),
+              call_function("vec_dot_long", col("qvec"), col("vec")).as("dot"))
+            .filter(col("dot") > 0)
+            .withColumn("sim_micro", thrivespark.ops.Text.simMicroExpr)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+        }
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(false)))
+          time(s"pinned#$i")(noop(pipe(true)))
+        }
+      case "ab_win" =>
+        val docs = T.documents(spark, sfDir)
+        val n = spark.sessionState.conf.numShufflePartitions
+        def pipe(src: DataFrame) =
+          thrivespark.ops.Text.windowOcc(src, 8).repartition(n, col("h"))
+            .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(docs)))
+          time(s"fanout#$i")(noop(pipe(T.fanOut(docs))))
+        }
+      case "ab_rag" =>
+        val docs = T.documents(spark, sfDir)
+        (1 to 4).foreach { i =>
+          time(s"rag#$i")(noop(thrivespark.ops.Text.ragRetrievalFrom(docs)))
+        }
+      case "ab_json" =>
+        val ev = T.events(spark, sfDir)
+        def pipe(src: DataFrame) =
+          src.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+            .groupBy(col("k")).agg(count(lit(1)))
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(ev)))
+          time(s"fanout#$i")(noop(pipe(T.fanOut(ev))))
+        }
       case "basket" =>
         rep("full op", 3)(noop(thrivespark.Registry.queries("analytics_market_basket")(spark, sfDir)))
       // Suite-wide phase survey: for every registry key, wall time plus the
@@ -106,6 +216,39 @@ object ProfR21 {
           Thread.sleep(120)
           val plan = phaseAgg.values.sum
           println(f"$name\t$wall%.3f\t$plan\t$executions\t$jobs\t$tasks\t${cgCount - c0}\t${cgTime - t0ms}")
+        }
+      // Per-job timeline of one key: job durations, task counts and the
+      // inter-job gaps (driver-side codegen/AQE/planning time shows up as
+      // gap, not job time).
+      case "jobs" =>
+        val key = args(2)
+        val reps = if (args.length > 3) args(3).toInt else 3
+        case class J(id: Int, t0: Long, var t1: Long = 0L, var tasks: Int = 0)
+        val js = scala.collection.mutable.ArrayBuffer.empty[J]
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js.synchronized { js += J(e.jobId, System.nanoTime()) }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            js.synchronized { js.find(_.id == e.jobId).foreach(_.t1 = System.nanoTime()) }
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            js.synchronized { js.lastOption.foreach(_.tasks += 1) }
+        })
+        (1 to reps).foreach { i =>
+          js.synchronized(js.clear())
+          val t0 = System.nanoTime()
+          noop(thrivespark.Registry.queries(key)(spark, sfDir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(150)
+          js.synchronized {
+            var prevEnd = t0
+            js.foreach { j =>
+              val gap = (j.t0 - prevEnd) / 1e9
+              val dur = (j.t1 - j.t0) / 1e9
+              println(f"[jobs] rep$i job${j.id}%4d gap=${gap}%7.3f dur=${dur}%7.3f tasks=${j.tasks}%4d")
+              prevEnd = j.t1
+            }
+            println(f"[jobs] rep$i tail_gap=${(System.nanoTime() - prevEnd - 150e6.toLong) / 1e9}%7.3f wall=${wall}%7.3f")
+          }
         }
       case k =>
         rep("full op", 3)(noop(thrivespark.Registry.queries(k)(spark, sfDir)))
