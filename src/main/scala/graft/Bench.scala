@@ -229,12 +229,22 @@ object Bench {
     * retried key's second (post-bracket, in-run) measurement for its first
     * spiked one, and `host_normalized_total` divides that by the run's
     * host factor. Substitution is symmetric (a retry that measures SLOWER
-    * also substitutes — honesty over flattery); the raw total stays the
-    * headline `value`. Replayed against the BENCH_r20 telemetry in
-    * BenchSpec (expect ≈225.5 raw-adjusted / ≈214.7 normalized). */
+    * also substitutes — honesty over flattery) and FLOORED at the key's
+    * clean prior: several ops reuse session-scoped shared builds (the
+    * substring index, the char-BPE training cache, the minhash pair
+    * cache), so their in-run retry measures the cache, not the op — a
+    * 6.9 s first / 0.14 s retry pair must not credit the total 6.8 s the
+    * op never runs below cleanly. The raw total stays the headline
+    * `value`. Replayed against the BENCH_r20 telemetry in BenchSpec
+    * (expect ≈225.5 raw-adjusted / ≈214.7 normalized — every r20 retry
+    * sat above its prior, so the floor changes nothing there). */
   private[graft] def adjudicatedTotals(total: Double,
-      retried: Seq[(String, (Double, Double))], hf: Double): (Double, Double) = {
-    val adjusted = total - retried.map { case (_, (first, again)) => first - again }.sum
+      retried: Seq[(String, (Double, Double))], hf: Double,
+      priors: Map[String, Double] = BenchPriors.prior): (Double, Double) = {
+    val adjusted = total - retried.map { case (name, (first, again)) =>
+      val floored = priors.get(name).fold(again)(p => math.max(again, p))
+      first - floored
+    }.sum
     (adjusted, adjusted / math.max(hf, 0.01))
   }
 

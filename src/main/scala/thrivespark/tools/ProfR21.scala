@@ -107,6 +107,39 @@ object ProfR21 {
             txt.getBytes("UTF-8"))
           println(s"[explain] wrote $outDir/${key}_$tag.txt")
         }
+      case "ab_xml" =>
+        import org.apache.spark.sql.types._
+        val o = T.orders(spark, sfDir)
+        val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+        def pipe(src: DataFrame) = {
+          val xml = concat(lit("<r><k>"), col("o_orderkey"),
+            lit("</k><s>"), col("o_orderstatus"), lit("</s></r>"))
+          src.select(col("o_orderkey"), xml.as("x"))
+            .select(col("o_orderkey"), col("x"), from_xml(col("x"), schema).as("p"))
+            .select(col("o_orderkey"), col("p.k").as("k"), col("p.s").as("s"),
+              (col("p.k") === col("o_orderkey")).cast("int").as("parity"))
+            .orderBy(col("o_orderkey"))
+        }
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(o)))
+          time(s"fanout#$i")(noop(pipe(T.fanOut(o))))
+        }
+      case "ab_asof" =>
+        val n = spark.sessionState.conf.numShufflePartitions
+        val e0 = T.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+        val o0 = T.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        def pipe(e: DataFrame) =
+          e.join(o0, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+            .groupBy(col("event_id"))
+            .agg(max_by(struct(col("o_orderkey"), col("o_orderdate")),
+              struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+            .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+              col("m.o_orderdate").cast("date").as("order_date"))
+            .orderBy(col("event_id"))
+        (1 to 4).foreach { i =>
+          time(s"plain#$i")(noop(pipe(e0)))
+          time(s"pinned#$i")(noop(pipe(e0.repartition(n, col("user_id")))))
+        }
       case "ab_approx" =>
         val ev = T.events(spark, sfDir)
         def plain = ev.agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),

@@ -319,11 +319,25 @@ class BenchSpec extends AnyFunSuite {
     val (a2, n2) = Bench.adjudicatedTotals(100.0, Seq.empty, 1.0)
     assert(a2 == 100.0 && n2 == 100.0)
     // a retry that measures SLOWER substitutes too (symmetric, anti-flattery)
-    val (a3, _) = Bench.adjudicatedTotals(100.0, Seq("k" -> (2.0, 5.0)), 1.0)
+    val (a3, _) = Bench.adjudicatedTotals(100.0, Seq("k" -> (2.0, 5.0)), 1.0,
+      Map.empty)
     assert(math.abs(a3 - 103.0) < 1e-9)
     // degenerate host factor guards divide-by-zero
     val (_, n4) = Bench.adjudicatedTotals(100.0, Seq.empty, 0.0)
     assert(n4 == 100.0 / 0.01)
+    // cache-assisted retry (a session result-cache makes the re-measure
+    // near-free): the substitution floors at the key's clean prior, so the
+    // record cannot credit itself below what the op cleanly costs — the
+    // r21 mid-round record's text_bpe_char_train read 6.93 first / 0.135
+    // retry against a 2.247 prior; the honest substitution is 2.247
+    val (a5, _) = Bench.adjudicatedTotals(100.0,
+      Seq("text_bpe_char_train" -> (6.93, 0.135)), 1.0,
+      Map("text_bpe_char_train" -> 2.247))
+    assert(math.abs(a5 - (100.0 - (6.93 - 2.247))) < 1e-9, s"a5=$a5")
+    // ...and a prior-less key substitutes the raw retry unchanged
+    val (a6, _) = Bench.adjudicatedTotals(100.0,
+      Seq("new_op" -> (6.0, 1.0)), 1.0, Map.empty)
+    assert(math.abs(a6 - 95.0) < 1e-9)
   }
 
   test("QueryGuard: success passes through, a hung query is cancelled and " +
