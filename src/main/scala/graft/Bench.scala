@@ -208,19 +208,38 @@ object Bench {
       if (r.isEmpty && raw > 5.0 * medianRaw && raw > 3.0) keep += n
     }
     var run = scala.collection.mutable.ArrayBuffer.empty[String]
+    val windowMembers = scala.collection.mutable.LinkedHashSet.empty[String]
     var gap = 0
-    def flush(): Unit = { if (run.size >= 3) keep ++= run; run.clear() }
+    def flush(): Unit = {
+      if (run.size >= 3) { keep ++= run; windowMembers ++= run }
+      run.clear()
+    }
     named.foreach {
       case (n, Some(r), _, _) if r > 4.0 => run += n; gap = 0
       case (_, None, _, _)               => gap += 1; if (gap > MaxCarryGap) flush()
       case _                             => gap = 0; flush()
     }
     flush()
-    named.zipWithIndex
+    val ranked = named.zipWithIndex
       .collect { case ((n, r, d, raw), i) if keep(n) =>
         (n, d.getOrElse(raw - medianRaw), r.getOrElse(0.0), i) }
       .sortBy { case (_, sev, ratio, i) => (-sev, -ratio, i) }
-      .map(_._1).take(cap).toSeq
+      .map(_._1)
+    val capped = ranked.take(cap)
+    // r21 (ADVICE): the delta-descending cap can evict an ENTIRE contiguity
+    // window — window members spike on RATIO (>4× a sub-second prior), so
+    // their absolute deltas rank below isolated big-key spikes, and a
+    // poisoned run could ship its contention-window signature unadjudicated.
+    // Reserve the last slot for the window's strongest member (by
+    // normalized ratio, suite order on ties) when the cap kept none.
+    if (windowMembers.nonEmpty && !capped.exists(windowMembers.contains)) {
+      val strongest = named.zipWithIndex
+        .collect { case ((n, r, _, _), i) if windowMembers.contains(n) =>
+          (n, r.getOrElse(0.0), i) }
+        .sortBy { case (_, ratio, i) => (-ratio, i) }
+        .head._1
+      (capped.dropRight(1) :+ strongest).toSeq
+    } else capped.toSeq
   }
 
   /** Self-adjudicating totals (r21, closing the r20 verdict's top task):

@@ -927,9 +927,21 @@ object Text {
     * the one-sided r19 guard took the DECIMAL branch and reproduced
     * exactly the silent NULL rank the guard exists to eliminate. */
   val simMicroExpr: org.apache.spark.sql.Column = when(
-    col("q_nrm") < lit(3037000L) && col("c_nrm") < lit(3037000L),
+    col("q_nrm") < lit(3037000L) && col("c_nrm") < lit(3037000L) &&
+      // r21 (ADVICE): gate the Long fast path on |dot| too — for legit
+      // inputs Cauchy–Schwarz gives |dot| < √(q_nrm·c_nrm) < 3.037e6 so
+      // this never changes op-surface results, but a spec-surface caller
+      // violating the norm contract (tiny norms, huge dot) would wrap
+      // 1e6·dot² silently; out-of-band dots now fall through to the
+      // DECIMAL branch / the loud raise instead
+      col("dot") > lit(-3037000L) && col("dot") < lit(3037000L),
     expr("(1000000 * dot * dot) div (q_nrm * c_nrm)"))
-    .when(abs(col("dot")) < lit(5600000000000000L), expr(
+    // symmetric range, NOT abs() (r21, ADVICE): non-ANSI abs(Long.MinValue)
+    // stays negative, so dot = Long.MinValue slipped into the DECIMAL
+    // branch and overflowed DECIMAL(38,0) to exactly the silent NULL rank
+    // this guard exists to eliminate
+    .when(col("dot") > lit(-5600000000000000L) &&
+      col("dot") < lit(5600000000000000L), expr(
       """CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)
         | DIV (CAST(q_nrm AS DECIMAL(38,0)) * c_nrm) AS BIGINT)""".stripMargin))
     .otherwise(expr(

@@ -300,6 +300,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retryCandidates(slowRun).isEmpty)
   }
 
+  test("retryCandidates r21: the cap reserves one slot for a contiguity " +
+      "window's strongest member instead of shipping the window signature " +
+      "unadjudicated (window members spike on ratio, not delta)") {
+    // 8 isolated big-key spikes (delta 6 s each) consume the whole cap…
+    val bigSpikes = (1 to 8).map(i =>
+      (s"big$i", Some(3.0), Some(6.0), 9.0))
+    // …while a 3-member window of sub-second keys (ratio 6×, delta 0.5 s)
+    // qualifies only via contiguity
+    val window = (1 to 3).map(i =>
+      (s"w$i", Some(6.0 - i * 0.5), Some(0.5), 0.6))
+    val clean = (1 to 5).map(i => (s"c$i", Some(1.0), Some(0.0), 0.5))
+    val sel = Bench.retryCandidates(bigSpikes ++ clean ++ window)
+    assert(sel.size == 8)
+    assert(sel.contains("w1"),
+      s"strongest window member (highest ratio) must hold the reserved slot: $sel")
+    assert(sel.count(_.startsWith("big")) == 7)
+    // when the cap already keeps a window member, nothing is displaced
+    val fewSpikes = bigSpikes.take(2)
+    val sel2 = Bench.retryCandidates(fewSpikes ++ clean ++ window)
+    assert(window.map(_._1).forall(sel2.contains), s"all fit: $sel2")
+  }
+
   test("adjudicatedTotals replays the BENCH_r20 official record: raw 238.1 " +
       "adjudicates to ~225.5 retry-substituted, ~214.7 host-normalized") {
     // the exact retried map and host_factor of BENCH_r20.json — the

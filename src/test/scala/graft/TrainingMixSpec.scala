@@ -306,6 +306,34 @@ class TrainingMixSpec extends AnyFunSuite {
       s"dot² kills the sign — negative near-bound must equal positive: $underNeg")
   }
 
+  test("sim_micro r21 guard edges: Long.MinValue raises (non-ANSI abs kept " +
+      "it negative and slipped it into the DECIMAL branch), and a fast-path " +
+      "norm-contract violation falls through instead of wrapping") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    // dot = Long.MinValue: abs() stays negative in non-ANSI mode, so the
+    // r20 abs-based magnitude guard admitted it to DECIMAL(38,0), where
+    // 1e6·dot² overflows 38 digits to the silent NULL rank; the symmetric
+    // range test must route it to the raise
+    val exMin = intercept[Exception] {
+      Seq((Long.MinValue, 6_000_000_000_000_000_000L, 6_000_000_000_000_000_000L))
+        .toDF("dot", "q_nrm", "c_nrm")
+        .select(thrivespark.ops.Text.simMicroExpr.as("s")).collect()
+    }
+    assert(msgs(exMin).exists(_.contains("sim_micro")),
+      s"Long.MinValue must hit the loud raise, got: ${msgs(exMin).take(3)}")
+    // norms under the fast-path bound but dot violating Cauchy–Schwarz
+    // (impossible through the op surface): the r20 fast path computed
+    // 1e6·dot·dot with silent wraparound; the |dot| gate now routes it to
+    // the exact DECIMAL branch (in-bound) — exact, not wrapped
+    val v = Seq((4_000_000L, 10L, 10L)).toDF("dot", "q_nrm", "c_nrm")
+      .select(thrivespark.ops.Text.simMicroExpr.as("s")).head().getLong(0)
+    val exact = (BigInt(1000000) * BigInt(4_000_000L) * BigInt(4_000_000L) /
+      (BigInt(10) * BigInt(10))).toLong
+    assert(v == exact, s"contract-violating dot must stay exact via DECIMAL: $v")
+  }
+
   // ------------------------------------------------- pipeline_rag_retrieval ---
 
   test("rag retrieval: planted buried passage found at the right chunk") {

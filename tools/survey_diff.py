@@ -3,7 +3,7 @@
 
 The registry is ground truth: every `Op("key", ...)` in
 src/main/scala/thrivespark. SURVEY.md must document every key —
-numbered §2 rows carry the key in the third cell (`| N | `key` | ...`),
+numbered §2 rows carry the key in the SECOND cell (`| N | `key` | ...`),
 §2.12 rows in the first (`| `key` | ...`). sink_jdbc (§2 #5) is a
 Sink-trait row by its own spec, not a queries() entry, so it is allowed
 to appear in SURVEY without a registry entry.
@@ -29,7 +29,10 @@ table_rows = 0
 in_s2 = False
 in_212 = False
 for line in open(f"{ROOT}/SURVEY.md", encoding="utf-8"):
-    if re.match(r"##\s*(§?\s*)?2[^.0-9]", line) or line.startswith("## 2."):
+    # r21 (ADVICE): anchor on the digit boundary — the old [^.0-9] tail
+    # failed on a heading ending right after the digit ('## 2\n') and the
+    # '## 2.' special case; \b covers both without matching '## 21'
+    if re.match(r"^##\s*(§\s*)?2(\b|\.)", line):
         in_s2 = True
     elif re.match(r"##\s", line):
         in_s2 = False
