@@ -467,9 +467,11 @@ object Bench {
     // (which is what happened in rounds 1-3). Keep the slowest queries up to
     // a fixed char budget and summarize the omitted fast tail.
     // retried entries ride inside calib on the final line too — shrink the
-    // per-query keep budget so the line stays inside the driver's window
-    // (r21: −70 for the adjusted_total/host_normalized_total fields)
-    val budget = math.max(400, 1230 - retriedStr.length)
+    // per-query keep budget so the line stays inside the driver's window.
+    // r21: −70 for adjusted_total/host_normalized_total, and −80 more
+    // margin — a worst-case 8-entry retried map put the old budget's line
+    // at ~2005 chars, the exact edge of the ~2000-char stdout capture
+    val budget = math.max(400, 1150 - retriedStr.length)
     val byCost = results.sortBy { case (k, v) => (-v, k) }
     var used = 0
     val keep = scala.collection.mutable.HashSet.empty[String]
