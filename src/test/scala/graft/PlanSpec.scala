@@ -563,4 +563,39 @@ class PlanSpec extends AnyFunSuite {
         s"weight join on $k is not broadcast:\n$p")
     }
   }
+
+  test("r21 pins: the hashed-retrieval corpus exchanges are user-specified " +
+      "(REPARTITION_BY_NUM) so AQE cannot coalesce the broadcast dot stage " +
+      "to one task") {
+    // AQE's size-based coalescing sees only the tiny dense-vector bytes of
+    // the post-aggregation exchange, not the |Q|-proportional per-row dot
+    // work, and serialized the op's dominant compute to a single task
+    // (measured r21: 1.5-2.1 s single-threaded of a ~3.3 s run). The
+    // explicit-n keyed repartition is exempt from coalescing; same
+    // exchange count and bytes, so the 100 TB shape is unchanged.
+    val pTopk = plan("sim_doc_topk_hashed")
+    assert(pTopk.contains("REPARTITION_BY_NUM"),
+      s"sim_doc_topk_hashed corpus exchange lost its pin:\n$pTopk")
+    val pRag = plan("pipeline_rag_retrieval")
+    assert(pRag.contains("REPARTITION_BY_NUM"),
+      s"pipeline_rag_retrieval chunk exchange lost its pin:\n$pRag")
+    // and the pin must not have added an exchange: rag still has exactly
+    // one exchange keyed on (doc_id, chunk_id) — the pinned one
+    val chunkExchanges = pRag.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(doc_id") && l.contains("chunk_id") &&
+        !l.contains("bucket")).toSeq
+    assert(chunkExchanges.size == 1 &&
+      chunkExchanges.head.contains("REPARTITION_BY_NUM"),
+      s"expected exactly the pinned (doc_id, chunk_id) exchange:\n$pRag")
+  }
+
+  test("r21: agg_approx_distinct plans the HLL and the exact distinct as " +
+      "separate aggregations (no four-phase expand over the 2^14 buffer)") {
+    val p = plan("agg_approx_distinct")
+    assert(!p.contains("Expand"),
+      s"the split shape must not plan an Expand:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+        || p.contains("BroadcastExchange"),
+      s"expected the 1-row cross join of the two aggregates:\n$p")
+  }
 }
