@@ -91,6 +91,40 @@ object ProfR21 {
             txt.getBytes("UTF-8"))
           println(s"[explain] wrote $outDir/${key}_$tag.txt")
         }
+      // Dump EVERY key's formatted plan + a one-line shape summary
+      // (exchange count, join strategies, scan/codegen markers) —
+      // the round's examine-every-operator evidence. args: explain_all <outDir>
+      case "explain_all" =>
+        val outDir = args(2)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val summary = new StringBuilder("key\texchanges\tjoins\tnotes\n")
+        thrivespark.Registry.queries.foreach { case (key, fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"$key.txt"), txt.getBytes("UTF-8"))
+            val tree = txt.linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+            val ex = "(?m)\\bExchange\\b".r.findAllIn(tree).size
+            val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+                "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+              .flatMap(j => { val n = ("\\b" + j + "\\b").r.findAllIn(tree).size
+                if (n > 0) Some(s"$j×$n") else None }).mkString(",")
+            val notes = Seq(
+              if (tree.contains("REPARTITION_BY_NUM")) Some("pinned") else None,
+              if (tree.contains("WindowGroupLimit")) Some("wgl") else None,
+              if (txt.contains("PushedFilters: [")
+                  && !txt.contains("PushedFilters: []")) Some("pushed") else None)
+              .flatten.mkString(",")
+            summary.append(s"$key\t$ex\t$joins\t$notes\n")
+          } catch { case e: Throwable =>
+            summary.append(s"$key\tERR\t${e.getClass.getSimpleName}\t\n") }
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, "_shape_summary.tsv"),
+          summary.toString.getBytes("UTF-8"))
+        println(s"[explain] wrote ${outDir}/_shape_summary.tsv")
       // Like explain, but EXECUTES the query first so the dumped plan is
       // the final adaptive one (isFinalPlan=true, ReusedExchange / AQE
       // coalescing visible). args: explain_exec <outDir> <tag> <key>...
