@@ -1458,10 +1458,14 @@ object Text {
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
         // df derived FROM tf (r21): tf's (doc_id, tok) groups are exactly
-        // the distinct pairs, so df(tok) is a plain count over them — no
-        // countDistinct expand plan, and the tf exchange is canonically
-        // identical in both branches so ReuseExchange computes it once
-        // (plan: 2 toks scans + expand → 1 scan, exchange reused).
+        // the distinct pairs, so df(tok) is a plain count over them. The
+        // static plan shape is unchanged (a single countDistinct already
+        // planned as the same two-level aggregate — plans/r21), but the
+        // old idf branch grouped its dedupe by (tok, doc_id), a DIFFERENT
+        // key order than tf's (doc_id, tok), so the two branches could
+        // never share; now the subtrees are canonically identical and the
+        // (doc_id, tok) exchange is computed once at runtime (measured
+        // 2.0–3.0 s → 1.2–1.9 s).
         val idf = tf.groupBy(col("tok"))
           .agg(count(lit(1)).as("df"))
           .select(col("tok"),
