@@ -46,7 +46,10 @@ import thrivespark.functions.VecDot
   * cannot — because each extra projection also multiplies the probe
   * expansion by 3, and paying 27× row fan-out for zero pruning turns the
   * degenerate one-bucket join into a 9× slowdown (measured at τ=0.45,
-  * sf0.1: 25 s vs 2 s).
+  * sf0.1: 25 s vs 2 s). In that k = 1 regime the packed key takes ~2
+  * values, so the equi-join would hash the whole pair space into one or
+  * two partitions — r22 spreads it with a deterministic P×Q salt grid
+  * (see saltSide) instead of extra projections.
   *
   * Precondition (the Similarity module's standing contract): vectors are
   * L2-normalized, so vec_dot ≡ cosine. The rule leaves joins that already
@@ -73,6 +76,32 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * τ up to 1 − 2⁻³⁹ and 3 coordinates fit a Long (2^60 < 2^63). */
   private val PackBase = 1L << 20
   private val PackOffset = PackBase / 2
+
+  /** Grid-salt side length for the degenerate (k = 1) regime — r22, guide
+    * §2.5 skew. Where buckets cannot prune, the packed key takes ~2 values
+    * (|⟨v,u⟩| ≤ 1 and w > 1 force every floor into {-1, 0}), so the
+    * equi-join hash-partitions the ENTIRE pair space into one or two tasks:
+    * a single-key skew no AQE skew split can break (one enormous key), plus
+    * an SMJ that buffers a whole side per key. The fix is a P×Q salt grid:
+    * each left row gets a deterministic salt i = pmod(xxhash64(vec), P) and
+    * fans out its probe keys × Q (one per j); each right row gets
+    * j = pmod(xxhash64(vec), Q) and fans out × P (one per i). A pair (a, b)
+    * matches in exactly one cell (i = salt(a), j = salt(b)), so results are
+    * unchanged while the pair-space work spreads over P·Q·buckets keys —
+    * replication is √cells per side (vs ×cells for a one-sided salt).
+    * Deterministic salts (hash of the vector, not rand()) keep task retries
+    * consistent (SPARK-38388). Cell count is conf-derived
+    * (thrivespark.simjoin.saltCells, default 4 × shuffle partitions; 0
+    * disables) — scale-adaptive, not a local-mode constant. */
+  val SaltCellsConf = "thrivespark.simjoin.saltCells"
+  private def saltSide(conf: org.apache.spark.sql.internal.SQLConf): Int = {
+    val default = 4 * conf.numShufflePartitions
+    val cells =
+      try conf.getConfString(SaltCellsConf, default.toString).toInt
+      catch { case _: NumberFormatException => default }
+    if (cells <= 1) 0
+    else math.min(1 << 10, math.ceil(math.sqrt(cells.toDouble)).toInt)
+  }
 
   /** Deterministic seeded Gaussian directions, L2-normalized (‖u‖ = 1). */
   val probeVectors: Array[Array[Float]] = {
@@ -131,30 +160,81 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (la, rb, tau) = sim.get
         val w = width(tau)
         val k = projectionsFor(tau)
-        // right side: one packed key per row
+        // Grid salt only where (a) buckets cannot prune (k = 1 — the packed
+        // key takes ~2 values, so a SHUFFLE join would hash the whole pair
+        // space into one or two partitions) AND (b) the join will actually
+        // shuffle: when either side's stats fit the broadcast threshold the
+        // planner builds a BroadcastHashJoin — no exchange on the probe
+        // side, so there is no skewed partition to split and the fan-out
+        // would be pure overhead (measured at sf0.1: salting the local BHJ
+        // cost 1.5-10×). This mirrors the planner's own broadcast decision.
+        val thr = conf.autoBroadcastJoinThreshold
+        val willBroadcast = thr > 0 &&
+          (right.stats.sizeInBytes <= thr || left.stats.sizeInBytes <= thr)
+        val salt = if (k == 1 && !willBroadcast) saltSide(conf) else 0
+        val saltL = Literal(salt.toLong)
+        // right side: one packed key per row; when salting, × P grid rows
+        // via an exploded LITERAL index array (constant-folds to one array
+        // literal — a non-foldable N-expression CreateArray was a measured
+        // codegen cliff at N ≈ 36) and key = (packed·P + i)·Q + salt_r
         val rCoords = probeVectors.take(k).toSeq.map(u =>
           Add(bucketExpr(rb, u, w), Literal(PackOffset)))
-        val rAlias = Alias(packExpr(rCoords), "__sim_bucket_r")()
-        val rightB = Project(right.output :+ rAlias, right)
+        val (rightB, rAttr) =
+          if (salt == 0) {
+            val rAlias = Alias(packExpr(rCoords), "__sim_bucket_r")()
+            (Project(right.output :+ rAlias, right), rAlias.toAttribute)
+          } else {
+            val rBase = Alias(packExpr(rCoords), "__sim_bucket_rbase")()
+            val rSalt = Alias(Pmod(XxHash64(Seq(rb), 20260819L), saltL),
+              "__sim_salt_r")()
+            val rightP = Project(right.output :+ rBase :+ rSalt, right)
+            val iAttr = AttributeReference("__sim_grid_i", LongType, nullable = false)()
+            val rightG = Generate(
+              Explode(CreateArray((0L until salt.toLong).map(Literal(_)))),
+              Nil, outer = false, None, Seq(iAttr), rightP)
+            val rKey = Alias(Add(Multiply(Add(Multiply(rBase.toAttribute, saltL),
+              iAttr), saltL), rSalt.toAttribute), "__sim_bucket_r")()
+            (Project(right.output :+ rKey, rightG), rKey.toAttribute)
+          }
         // left side: compute the k floors ONCE in a Project, then explode
-        // the 3^k neighbor-offset keys above it
+        // the 3^k neighbor-offset keys above it; when salting, a second
+        // explode over the literal grid indices and
+        // key = (packed·P + salt_l)·Q + j
         val lFloorAliases = probeVectors.take(k).toSeq.zipWithIndex.map { case (u, i) =>
           Alias(bucketExpr(la, u, w), s"__sim_floor_$i")()
         }
-        val leftF = Project(left.output ++ lFloorAliases, left)
+        val lSaltAlias =
+          if (salt == 0) None
+          else Some(Alias(Pmod(XxHash64(Seq(la), 20260818L), saltL),
+            "__sim_salt_l")())
+        val leftF = Project(left.output ++ lFloorAliases ++ lSaltAlias, left)
         val offsets = Seq.fill(k)(Seq(-1L, 0L, 1L))
           .foldLeft(Seq(Seq.empty[Long]))((acc, os) =>
             acc.flatMap(pfx => os.map(o => pfx :+ o)))
-        val probeKeys = offsets.map { off =>
+        val baseKeys = offsets.map { off =>
           packExpr(lFloorAliases.zip(off).map { case (fa, o) =>
             Add(Add(fa.toAttribute, Literal(o)), Literal(PackOffset))
           })
         }
         val lAttr = AttributeReference("__sim_bucket_l", LongType)()
-        val leftG = Generate(Explode(CreateArray(probeKeys)), Nil,
-          outer = false, None, Seq(lAttr), leftF)
+        val (leftG, lKeyAttr) = lSaltAlias match {
+          case None =>
+            (Generate(Explode(CreateArray(baseKeys)), Nil,
+              outer = false, None, Seq(lAttr), leftF), lAttr)
+          case Some(sl) =>
+            val baseAttr = AttributeReference("__sim_base_l", LongType)()
+            val g1 = Generate(Explode(CreateArray(baseKeys)), Nil,
+              outer = false, None, Seq(baseAttr), leftF)
+            val jAttr = AttributeReference("__sim_grid_j", LongType, nullable = false)()
+            val g2 = Generate(
+              Explode(CreateArray((0L until salt.toLong).map(Literal(_)))),
+              Nil, outer = false, None, Seq(jAttr), g1)
+            val lKey = Alias(Add(Multiply(Add(Multiply(baseAttr, saltL),
+              sl.toAttribute), saltL), jAttr), "__sim_bucket_l")()
+            (Project(left.output :+ lKey, g2), lKey.toAttribute)
+        }
         val newJoin = Join(leftG, rightB, Inner,
-          Some(And(EqualTo(lAttr, rAlias.toAttribute), cond)), hint)
+          Some(And(EqualTo(lKeyAttr, rAttr), cond)), hint)
         Project(j.output, newJoin)
       }
   }

@@ -114,6 +114,51 @@ class PlanSpec extends AnyFunSuite {
     assert(rewritten == naive, s"lost=${naive.diff(rewritten)} extra=${rewritten.diff(naive)}")
   }
 
+  test("r22: sim_join_rewrite's degenerate bucket is grid-salted exactly " +
+      "when the join shuffles (threshold=-1), and the salted join is exact") {
+    // With the default broadcast threshold the local plan is a BHJ — no
+    // exchange on the probe side, no skewed partition to split — so the
+    // salt must NOT fire (measured: salting the BHJ cost 1.5-10×).
+    val p0 = plan("sim_join_rewrite")
+    assert(!p0.contains("__sim_salt"),
+      s"salt fired under a broadcastable join:\n$p0")
+    // Under threshold=-1 (the 100 TB planner's view: neither corpus side
+    // broadcasts) the τ=0.45 packed key takes ~2 values — a shuffle join
+    // would hash the whole pair space into 1-2 partitions. The rule must
+    // emit the P×Q salt grid: deterministic per-row salts on both sides,
+    // literal grid-index explodes, join key spread over P·Q·buckets values.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(bcast)
+    try {
+      spark.conf.set(bcast, "-1")
+      val p = plan("sim_join_rewrite")
+      assert(p.contains("__sim_salt_l") && p.contains("__sim_salt_r"),
+        s"expected the salt grid under threshold=-1:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      // exactness THROUGH the salted plan: same pairs as brute force
+      val vecs = thrivespark.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val naive = (for {
+        (ia, ea) <- vecs; (ib, eb) <- vecs if ia < ib
+        d = ea.zip(eb).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+        if d > 0.45
+      } yield (ia, ib)).toSet
+      val salted = Registry.queries("sim_join_rewrite")(spark, sf0001)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(salted.length == naive.size,
+        s"salted join must emit each pair exactly once: ${salted.length} vs ${naive.size}")
+      assert(salted.toSet == naive,
+        s"lost=${naive.diff(salted.toSet)} extra=${salted.toSet.diff(naive)}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(bcast, v)
+      case None    => spark.conf.unset(bcast)
+    }
+  }
+
   test("multi-projection blocking: prunes below single-projection in the " +
       "near-dup regime; no recall-1 scheme can prune at mid-τ (measured)") {
     import thrivespark.plans.SimilarityJoinRewrite
