@@ -1458,16 +1458,24 @@ object Text {
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
         // df derived FROM tf (r21): tf's (doc_id, tok) groups are exactly
-        // the distinct pairs, so df(tok) is a plain count over them. The
-        // static plan shape is unchanged (a single countDistinct already
-        // planned as the same two-level aggregate — plans/r21), but the
-        // old idf branch grouped its dedupe by (tok, doc_id), a DIFFERENT
-        // key order than tf's (doc_id, tok), so the two branches could
-        // never share; now the subtrees are canonically identical and the
-        // (doc_id, tok) exchange is computed once at runtime (measured
-        // 2.0–3.0 s → 1.2–1.9 s).
+        // the distinct pairs, so df(tok) is a plain count over them —
+        // value-identical to the old countDistinct(doc_id) GIVEN the
+        // fixtures' non-null doc_id (countDistinct would skip NULLs; the
+        // r19 note in Tables.scala makes the column nullable only in the
+        // file schema — FixtureContractSpec pins the data invariant).
+        // r22: count(nullif(tf, 0)), NOT count(lit(1)) — under count(1)
+        // column pruning strips tf's count out of the df branch, breaking
+        // canonical subtree identity, and the r21 "reuse" never actually
+        // happened (two scans + two (doc_id, tok) exchanges in the r21
+        // exec plan); a bare count(col("tf")) fares no better because
+        // NullPropagation rewrites count(non-nullable) back to count(1).
+        // nullif keeps the reference nullable (and is value-identical: tf
+        // is a group count, ≥ 1 by construction), so both branches' scan →
+        // explode → partial-count → Exchange(doc_id, tok) stages stay
+        // canonically identical and the df branch rides a ReusedExchange —
+        // ONE corpus scan/tokenize (plans/r22/…_after_exec.txt).
         val idf = tf.groupBy(col("tok"))
-          .agg(count(lit(1)).as("df"))
+          .agg(count(nullif(col("tf"), lit(0))).as("df"))
           .select(col("tok"),
             round(log(lit(n.toDouble) / col("df")) * lit(1000000L))
               .cast("long").as("idf_micros"))
