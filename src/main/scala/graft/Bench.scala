@@ -184,7 +184,14 @@ object Bench {
     *      every prior trigger needs a prior ratio, so a brand-new
     *      expensive key shipped unadjudicated: BENCH_r17 retried fn_xml's
     *      23.8 s spike down to 1.8 s but could not touch the new
-    *      pipeline_rag_retrieval at 17.9 s).
+    *      pipeline_rag_retrieval at 17.9 s);
+    *  (5) MID-BAND (r22, the r21 verdict's item 3): raw ratio > 2× prior
+    *      AND normalized ratio > 1.5× AND raw > 1.5 s. The r21 record
+    *      shipped fn_math at 5.84 s (2.6× raw, 2.05× normalized) with no
+    *      second opinion — it qualified under (3) but the cap evicted it —
+    *      and keys just under (3)'s 1.5 s delta floor never qualified at
+    *      all. The 1.5 s raw floor keeps r15-style sub-second drift
+    *      (win_first_last 2.6× on a 0.4 s raw) out of the retry budget.
     * `deltaSec` is the RAW sec − prior (not normalized: the threshold is
     * about real wall-clock at stake); `rawSec` feeds the prior-less
     * absolute trigger. Bounded by `cap` so a fully-poisoned run doesn't
@@ -194,10 +201,13 @@ object Bench {
     * then suite order) — the r16-era suite-order cap let 8 earlier-suite
     * keys consume BENCH_r19's budget while the record's two largest raw
     * readings (stream_outer_join 9.07 s at 3.2× prior, stream_stream_join
-    * 5.74 s) shipped unadjudicated, the exact spikes the net exists for. */
+    * 5.74 s) shipped unadjudicated, the exact spikes the net exists for.
+    * r22: cap raised 8 → 12 — the r21 driver record had 9+ qualifying keys
+    * and the 8-slot budget evicted fn_math's +3.6 s; a poisoned run pays
+    * ≤4 extra re-measures, a clean run pays nothing. */
   private[graft] def retryCandidates(
       named: Seq[(String, Option[Double], Option[Double], Double)],
-      cap: Int = 8): Seq[String] = {
+      cap: Int = 12): Seq[String] = {
     val keep = scala.collection.mutable.HashSet.empty[String]
     val raws = named.map(_._4).sorted
     val medianRaw = if (raws.isEmpty) 0.0 else raws(raws.length / 2)
@@ -206,6 +216,7 @@ object Bench {
       val rawRatio = d.map(dd => if (raw - dd > 0) raw / (raw - dd) else 0.0)
       if ((r.exists(_ > 2.0) || rawRatio.exists(_ > 2.0)) && d.exists(_ > 1.5)) keep += n
       if (r.isEmpty && raw > 5.0 * medianRaw && raw > 3.0) keep += n
+      if (rawRatio.exists(_ > 2.0) && r.exists(_ > 1.5) && raw > 1.5) keep += n
     }
     var run = scala.collection.mutable.ArrayBuffer.empty[String]
     val windowMembers = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -232,7 +243,10 @@ object Bench {
     // poisoned run could ship its contention-window signature unadjudicated.
     // Reserve the last slot for the window's strongest member (by
     // normalized ratio, suite order on ties) when the cap kept none.
-    if (windowMembers.nonEmpty && !capped.exists(windowMembers.contains)) {
+    // r22 (ADVICE): guard the substitution — with cap = 0 (or an empty
+    // capped list) dropRight(1) :+ strongest would EXCEED the cap
+    if (capped.nonEmpty && windowMembers.nonEmpty &&
+        !capped.exists(windowMembers.contains)) {
       val strongest = named.zipWithIndex
         .collect { case ((n, r, _, _), i) if windowMembers.contains(n) =>
           (n, r.getOrElse(0.0), i) }
@@ -256,15 +270,22 @@ object Bench {
     * op never runs below cleanly. The raw total stays the headline
     * `value`. Replayed against the BENCH_r20 telemetry in BenchSpec
     * (expect ≈225.5 raw-adjusted / ≈214.7 normalized — every r20 retry
-    * sat above its prior, so the floor changes nothing there). */
+    * sat above its prior, so the floor changes nothing there).
+    *
+    * r22 (ADVICE): the normalized total floors at prior × hf, not at the
+    * raw prior — flooring at the builder-box clean prior and THEN dividing
+    * by the host factor double-discounted a cache-assisted retry (credited
+    * prior/hf, below what the op cleanly costs anywhere). The raw-scale
+    * `adjusted_total` keeps the raw-prior floor. */
   private[graft] def adjudicatedTotals(total: Double,
       retried: Seq[(String, (Double, Double))], hf: Double,
       priors: Map[String, Double] = BenchPriors.prior): (Double, Double) = {
-    val adjusted = total - retried.map { case (name, (first, again)) =>
-      val floored = priors.get(name).fold(again)(p => math.max(again, p))
-      first - floored
+    def adj(floor: Double => Double) = total - retried.map {
+      case (name, (first, again)) =>
+        first - priors.get(name).fold(again)(p => math.max(again, floor(p)))
     }.sum
-    (adjusted, adjusted / math.max(hf, 0.01))
+    val safeHf = math.max(hf, 0.01)
+    (adj(identity), adj(_ * safeHf) / safeHf)
   }
 
   /** Host factor (r14): the run's own median prior-ratio, the uniform
@@ -440,8 +461,10 @@ object Bench {
       }
       name -> (firstBySec(name), (System.nanoTime() - t0) / 1e9)
     }
+    // 2 decimals (r22): the retried map rides the length-budgeted final
+    // line; 10 ms precision is ample for adjudication pairs
     val retriedStr = retried.map { case (n, (a, b)) =>
-      f""""$n":[$a%.3f,$b%.3f]""" }.mkString("{", ",", "}")
+      f""""$n":[$a%.2f,$b%.2f]""" }.mkString("{", ",", "}")
     // a timed-out OR exception-failed query means part of the suite went
     // unmeasured — either way the record is not a valid total, label it
     val contaminated = probesBreached || ratioBreached || contiguousBreached ||
@@ -466,24 +489,37 @@ object Bench {
     // must fit inside that window or BENCH_r{N}.json records parsed:null
     // (which is what happened in rounds 1-3). Keep the slowest queries up to
     // a fixed char budget and summarize the omitted fast tail.
-    // retried entries ride inside calib on the final line too — shrink the
-    // per-query keep budget so the line stays inside the driver's window.
-    // r21: −70 for adjusted_total/host_normalized_total, and −80 more
-    // margin — a worst-case 8-entry retried map put the old budget's line
-    // at ~2005 chars, the exact edge of the ~2000-char stdout capture
-    val budget = math.max(400, 1150 - retriedStr.length)
+    println(finalLine(total, results, calib, sfDir, retriedStr.length))
+    spark.stop()
+  }
+
+  /** The length-budgeted official final line (the driver captures only the
+    * last ~2000 chars of stdout; rounds 1-3 shipped parsed:null lines).
+    * r22 (r21 verdict item 4): the r21 budget shrink (1300 → 1150) cut
+    * per-key coverage to 33 keys and manufactured 17 spurious
+    * "dropped_from_bench" rows in PERF_r21. Coverage restored to ≥39 keys
+    * by (a) 2-decimal per-key and retried entries on the final line (the
+    * total_detail line keeps 3 decimals for humans), (b) per-key budget
+    * 1290 − retried length. The non-query fields measured 672 chars on the
+    * r21 final record, so the line stays ≈1965 chars for ANY retried-map
+    * size (the budget self-compensates); BenchSpec pins both the length
+    * and the ≥39-key coverage against the real registry names. */
+  private[graft] def finalLine(total: Double, results: Seq[(String, Double)],
+      calib: String, sfDir: String, retriedLen: Int): String = {
+    def entF(kv: (String, Double)): String =
+      "\"" + kv._1 + "\":" + f"${kv._2}%.2f"
+    val budget = math.max(400, 1290 - retriedLen)
     val byCost = results.sortBy { case (k, v) => (-v, k) }
     var used = 0
     val keep = scala.collection.mutable.HashSet.empty[String]
     byCost.foreach { kv =>
-      val len = ent(kv).length + 1
+      val len = entF(kv).length + 1
       if (used + len <= budget) { used += len; keep += kv._1 }
     }
     val kept = results.filter(kv => keep(kv._1))
     val omitted = results.filterNot(kv => keep(kv._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      kept.map(ent).mkString("{", ",", "}")},"queries_omitted":${omitted.size},"omitted_sec":${
-      f"${omitted.map(_._2).sum}%.3f"},$calib,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      kept.map(entF).mkString("{", ",", "}")},"queries_omitted":${omitted.size},"omitted_sec":${
+      f"${omitted.map(_._2).sum}%.3f"},$calib,"sf":"$sfDir"}"""
   }
 }

@@ -187,9 +187,10 @@ class BenchSpec extends AnyFunSuite {
     // normalized ratio), not suite order — spike (+2.0 s) leads, then the
     // window members by delta/ratio
     assert(Bench.retryCandidates(mixed) == Seq("spike", "w2", "w1", "w3"))
-    // cap bounds a fully-poisoned run
+    // cap bounds a fully-poisoned run (r22: default raised 8 -> 12 — the
+    // r21 record had 9+ qualifiers and the 8-slot budget evicted fn_math)
     val poisoned = (1 to 50).map(i => (s"q$i", Some(6.0), Some(3.0), 3.6))
-    assert(Bench.retryCandidates(poisoned).size == 8)
+    assert(Bench.retryCandidates(poisoned).size == 12)
     // the cap keeps the LARGEST regression regardless of suite position
     // (r16 advisory, re-grounded by the r19 record): an early spike must
     // not be dropped in favor of later window members
@@ -223,8 +224,12 @@ class BenchSpec extends AnyFunSuite {
       t("text_tfidf_topk", 6.207, 1.550),
       t("text_substring_coverage", 3.939, 1.319),
       t("text_substring_incremental", 3.036, 1.169))
-    val picked = Bench.retryCandidates(r19)
+    // cap = 8 preserves the historical replay (the r19-era budget); the
+    // r22 default of 12 would keep all ten qualifiers
+    val picked = Bench.retryCandidates(r19, cap = 8)
     assert(picked.size == 8)
+    assert(Bench.retryCandidates(r19).size == 10,
+      "r22 cap must adjudicate the whole r19 qualifier set")
     assert(picked.take(2) == Seq("stream_outer_join", "text_tfidf_topk"),
       s"largest raw regressions must lead: $picked")
     assert(picked.contains("stream_stream_join"),
@@ -311,7 +316,9 @@ class BenchSpec extends AnyFunSuite {
     val window = (1 to 3).map(i =>
       (s"w$i", Some(6.0 - i * 0.5), Some(0.5), 0.6))
     val clean = (1 to 5).map(i => (s"c$i", Some(1.0), Some(0.0), 0.5))
-    val sel = Bench.retryCandidates(bigSpikes ++ clean ++ window)
+    // cap = 8 keeps the displacement scenario (the r22 default of 12 would
+    // simply fit all 11 qualifiers)
+    val sel = Bench.retryCandidates(bigSpikes ++ clean ++ window, cap = 8)
     assert(sel.size == 8)
     assert(sel.contains("w1"),
       s"strongest window member (highest ratio) must hold the reserved slot: $sel")
@@ -320,6 +327,28 @@ class BenchSpec extends AnyFunSuite {
     val fewSpikes = bigSpikes.take(2)
     val sel2 = Bench.retryCandidates(fewSpikes ++ clean ++ window)
     assert(window.map(_._1).forall(sel2.contains), s"all fit: $sel2")
+    // r22 (ADVICE): cap = 0 must stay empty — the reserved-slot branch used
+    // to grow an empty capped list to one element
+    assert(Bench.retryCandidates(bigSpikes ++ clean ++ window, cap = 0).isEmpty)
+  }
+
+  test("retryCandidates r22 mid-band trigger: >2x raw AND >1.5x normalized " +
+      "AND >1.5 s raw is retried even under the r17 trigger's delta floor") {
+    // the r21 record's unadjudicated mid-band: fn_math 5.839 s vs prior
+    // 2.262 on a 1.26 host — raw 2.58x, normalized 2.05x, delta 3.58 s; it
+    // qualified under the r17 trigger but the 8-slot cap evicted it. A key
+    // qualifying ONLY via the mid-band leg: delta under 1.5 s, raw over 2x.
+    val hf = 1.26
+    val run = (1 to 9).map(i => (s"b$i", Some(1.0), Some(0.0), 1.0)) ++ Seq(
+      ("fn_math", Some(5.839 / 2.262 / hf), Some(5.839 - 2.262), 5.839),
+      ("mid_only", Some(2.8 / 1.35 / hf), Some(2.8 - 1.35), 2.8))
+    val sel = Bench.retryCandidates(run)
+    assert(sel.contains("fn_math") && sel.contains("mid_only"), s"$sel")
+    // the 1.5 s raw floor keeps r15-style sub-second drift out: same ratios
+    // on a 0.9 s raw must not retry
+    val tiny = (1 to 9).map(i => (s"t$i", Some(1.0), Some(0.0), 1.0)) :+
+      (("tiny_drift", Some(2.8 / 1.35 / hf), Some(0.9 - 0.43), 0.9))
+    assert(!Bench.retryCandidates(tiny).contains("tiny_drift"))
   }
 
   test("adjudicatedTotals replays the BENCH_r20 official record: raw 238.1 " +
@@ -360,6 +389,52 @@ class BenchSpec extends AnyFunSuite {
     val (a6, _) = Bench.adjudicatedTotals(100.0,
       Seq("new_op" -> (6.0, 1.0)), 1.0, Map.empty)
     assert(math.abs(a6 - 95.0) < 1e-9)
+    // r22 (ADVICE): the NORMALIZED total floors at prior x hf, not at the
+    // raw prior — flooring at the builder-box prior and then dividing by
+    // the host factor credited a cache-assisted retry prior/hf, below what
+    // the op cleanly costs anywhere. On a 2x host: raw-adjusted floors at
+    // prior (2.0), normalized floors at prior x hf (4.0) before / hf
+    val (a7, n7) = Bench.adjudicatedTotals(100.0,
+      Seq("cached" -> (10.0, 0.1)), 2.0, Map("cached" -> 2.0))
+    assert(math.abs(a7 - 92.0) < 1e-9, s"a7=$a7")
+    assert(math.abs(n7 - 47.0) < 1e-9,
+      s"normalized floor must be prior x hf (contribute prior, not prior/hf): $n7")
+  }
+
+  test("finalLine (r22, r21 verdict item 4): >=39 per-key entries on a " +
+      "224-key suite with the real registry names, inside the driver's " +
+      "~2000-char stdout capture, for clean AND worst-case retried maps") {
+    // realistic seconds: r21-like spread (most keys sub-second, tail to ~6 s)
+    val keys = thrivespark.Registry.queries.keys.toSeq.sorted
+    assert(keys.size >= 220, s"registry shrank? ${keys.size}")
+    val results = keys.zipWithIndex.map { case (k, i) =>
+      k -> (0.25 + (i % 40) * 0.15) }
+    // the non-query fields of the actual r21 final record (672 chars with
+    // an empty retried map), with retried spliced in like the real line
+    def calib(retriedStr: String) =
+      """"calibration_sec":[0.674,0.350],"io_sec":[0.765,0.436],""" +
+      """"io_mid_sec":[0.950,6.485,1.184,1.442,1.554,0.816,0.946,2.025],""" +
+      """"cpu_mid_sec":[1.094,1.150,1.131,1.067,0.978,0.973,1.016,1.029],""" +
+      """"contaminated":true,"ratio_breached":false,"contiguous_breached":true,""" +
+      s""""contiguous_breached_raw":true,"retried":$retriedStr,""" +
+      """"adjusted_total":261.597,"host_normalized_total":208.403,""" +
+      """"prior_ratio_median":1.26,"host_factor":1.26,"n_over_5x_prior":8,""" +
+      """"n_timeout":0,"n_failed":0,"cleaned_tmp":174"""
+    def keptCount(line: String): Int =
+      "\"[a-z0-9_]+\":[0-9]+\\.[0-9]{2}[,}]".r
+        .findAllIn(line.substring(0, line.indexOf("\"queries_omitted\""))).size
+    val sf = "/root/testdata/sf0.1"
+    // clean record: empty retried map
+    val clean = Bench.finalLine(314.409926773, results, calib("{}"), sf, 2)
+    assert(clean.length <= 1990, s"clean line ${clean.length} chars")
+    assert(keptCount(clean) >= 39, s"clean coverage ${keptCount(clean)}")
+    // worst case: a 12-entry retried map of long keys (the r22 cap)
+    val retried = (1 to 12).map(i =>
+      f""""text_substring_incr$i%02d":[18.23,3.15]""").mkString("{", ",", "}")
+    val worst = Bench.finalLine(314.409926773, results,
+      calib(retried), sf, retried.length)
+    assert(worst.length <= 1990, s"worst line ${worst.length} chars")
+    assert(keptCount(worst) >= 30, s"worst-case coverage ${keptCount(worst)}")
   }
 
   test("QueryGuard: success passes through, a hung query is cancelled and " +
