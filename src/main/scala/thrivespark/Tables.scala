@@ -66,22 +66,12 @@ object Tables {
   // branch-free loop.
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** r21 measured dead end, kept as a note: fanning heavy map work out
-    * above the single-file single-row-group local fixtures (guide §2.5
-    * "unsplittable input" — the scan decodes in ONE task) with a
-    * round-robin exchange is a net LOSS here: the exchange's own cost
-    * (map-side sort-before-repartition of the payload, an extra AQE stage
-    * boundary, 32 block fetches) matches or exceeds the serialized work it
-    * parallelizes (interleaved A/B: windowOcc+df 0.59 s plain vs 0.87 s
-    * fanned; events JSON parse 0.43 s plain vs 0.71 s fanned). At real
-    * scale the input splits into many row groups and the question
-    * disappears. Parallelism fixes that DID land ride existing exchanges
-    * instead (explicit-n repartition pins against AQE over-coalescing —
-    * hashedTopKFrom / ragRetrievalFrom). */
-  def fanOut(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
-  }
+  // (r22, ADVICE) the r21 fanOut dead-end helper moved to the ProfR21
+  // scratch profiler — its only caller. The production namespace must not
+  // export a known-loss primitive (and df.rdd.getNumPartitions both forces
+  // a separate physical planning pass and reads a pre-AQE partition count).
+  // The measurement note lives with the helper in ProfR21 and in
+  // OPTIMIZATION_r21.md "Measured dead ends".
 
   // Parsed-props projection, persisted per (session, sf): the JSON parse of
   // events.props is the single most expensive scalar op over the events

@@ -79,8 +79,23 @@ object Dedup {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
 
+  /** Read-only view of the live cache keys (DedupSimilaritySpec pins the
+    * r22 one-sf-dir-per-session eviction). */
+  def pairCacheKeys: Set[(SparkSession, String, Double)] =
+    pairCache.keySet.toSet
+
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     pairCache.filterInPlace { case ((ss, _, _), _) => !ss.sparkContext.isStopped }
+    // r22 (r20 verdict item 5): evict (and unpersist) this SESSION's entries
+    // for OTHER sf dirs — a long-lived session cycling many sf dirs would
+    // otherwise pin one persisted pair table per dir forever. Entries for
+    // the same dir at other thresholds stay (several ops share τ=0.6; a
+    // different τ is a different declared result, not churn).
+    pairCache.filterInPlace { case ((ss, dd, _), df) =>
+      val keep = !(ss eq s) || dd == d
+      if (!keep) df.unpersist(blocking = false)
+      keep
+    }
     pairCache.getOrElseUpdate((s, d, threshold),
       nearDupPairsOf(shingleDocs(s, d), threshold)
         .orderBy(col("a_id"), col("b_id"))

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 /** r21 optimization-round scratch profiler: decomposes anomalous keys into
   * stages to find where the time goes (guide §1). Ad-hoc, not a bench. */
 object ProfR21 {
+  /** r21 measured dead end, kept for the A/B kernels below (moved out of
+    * Tables in r22 — ADVICE — so the production namespace doesn't export a
+    * known-loss primitive): fanning heavy map work out above the
+    * single-file single-row-group local fixtures (guide §2.5 "unsplittable
+    * input" — the scan decodes in ONE task) with a round-robin exchange is
+    * a net LOSS here: the exchange's own cost (map-side
+    * sort-before-repartition of the payload, an extra AQE stage boundary,
+    * 32 block fetches) matches or exceeds the serialized work it
+    * parallelizes (interleaved A/B: windowOcc+df 0.59 s plain vs 0.87 s
+    * fanned; events JSON parse 0.43 s plain vs 0.71 s fanned). At real
+    * scale the input splits into many row groups and the question
+    * disappears. Parallelism fixes that DID land ride existing exchanges
+    * instead (explicit-n repartition pins against AQE over-coalescing —
+    * hashedTopKFrom / ragRetrievalFrom). Note df.rdd.getNumPartitions
+    * forces a separate physical planning pass and reads a pre-AQE
+    * partition count — fine in a profiler, misleading in an op. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val what = if (args.length > 1) args(1) else "fn_math"
@@ -75,7 +95,7 @@ object ProfR21 {
         }
         (1 to 4).foreach { i =>
           time(s"plain#$i")(noop(pipe(docs)))
-          time(s"fanout#$i")(noop(pipe(T.fanOut(docs))))
+          time(s"fanout#$i")(noop(pipe(fanOut(docs))))
         }
       // Dump .explain("formatted") of the named keys to <outDir>/<key>_<tag>.txt
       // (the plans/r21 deliverable). args: explain <outDir> <tag> <key>...
@@ -156,7 +176,7 @@ object ProfR21 {
         }
         (1 to 4).foreach { i =>
           time(s"plain#$i")(noop(pipe(o)))
-          time(s"fanout#$i")(noop(pipe(T.fanOut(o))))
+          time(s"fanout#$i")(noop(pipe(fanOut(o))))
         }
       case "ab_asof" =>
         val n = spark.sessionState.conf.numShufflePartitions
@@ -219,7 +239,7 @@ object ProfR21 {
             .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
         (1 to 4).foreach { i =>
           time(s"plain#$i")(noop(pipe(docs)))
-          time(s"fanout#$i")(noop(pipe(T.fanOut(docs))))
+          time(s"fanout#$i")(noop(pipe(fanOut(docs))))
         }
       case "ab_rag" =>
         val docs = T.documents(spark, sfDir)
@@ -233,7 +253,7 @@ object ProfR21 {
             .groupBy(col("k")).agg(count(lit(1)))
         (1 to 4).foreach { i =>
           time(s"plain#$i")(noop(pipe(ev)))
-          time(s"fanout#$i")(noop(pipe(T.fanOut(ev))))
+          time(s"fanout#$i")(noop(pipe(fanOut(ev))))
         }
       case "basket" =>
         rep("full op", 3)(noop(thrivespark.Registry.queries("analytics_market_basket")(spark, sfDir)))

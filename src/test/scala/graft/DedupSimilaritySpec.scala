@@ -9,6 +9,19 @@ import thrivespark.ops.{Dedup, Similarity}
 class DedupSimilaritySpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("r22 (r20 item 5): nearDupPairs' pair cache keeps one sf dir per " +
+      "session — cycling dirs evicts the stale persisted entry") {
+    Dedup.nearDupPairs(spark, sf0001, 0.6).count()
+    Dedup.nearDupPairs(spark, sf001, 0.6).count()
+    val mine = Dedup.pairCacheKeys.filter(_._1 eq spark)
+    assert(mine.map(_._2) == Set(sf001),
+      s"stale sf-dir entries survived the cycle: $mine")
+    // cycling back re-computes (correctness over reuse) and evicts the other
+    Dedup.nearDupPairs(spark, sf0001, 0.6).count()
+    val mine2 = Dedup.pairCacheKeys.filter(_._1 eq spark)
+    assert(mine2.map(_._2) == Set(sf0001), s"$mine2")
+  }
+
   test("dedup_simhash equals brute-force hamming join at sf0.001") {
     val banded = Dedup.simhashPairs(spark, sf0001, maxHamming = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

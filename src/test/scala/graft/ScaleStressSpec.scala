@@ -466,6 +466,68 @@ class ScaleStressSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("10x embeddings: the recall readouts' exact side is O(Q·N) — the " +
+      "declared %50 sampler grows Q with the corpus, the documented " +
+      "deterministic Q cap keeps the batch flat, and the capped exact " +
+      "top-5 completes end-to-end with no corpus shuffle", ScaleStress) {
+    // r20 verdict item 4 (deferred through r21): sim_ann_ivfpq_recall /
+    // multimodal_retrieval_recall* verify the ANN ladder against a
+    // brute-force exact side — broadcast(Q) × one linear corpus pass, cost
+    // O(Q·N). The declared queries sample Q as vec_id % 50 == 0, so Q
+    // grows WITH the corpus and the verification pass is O(N²/50) — fine
+    // for a readout you run on a sample, wrong as a standing 100 TB job.
+    // The production lever is a deterministic hash cap to a FIXED batch;
+    // this measures it at 10×.
+    thrivespark.functions.Register(spark)
+    val emb = T.embeddings(spark, sf01)
+    // block-offset growth (id = old + k·2000, NOT old·10+k): each copy
+    // block covers the full id space mod 50, so the declared %50 sampler
+    // grows with the corpus — the realistic ingest pattern (new ids land
+    // uniformly in every residue class)
+    def grow(factor: Int) = {
+      val copies = spark.range(0, factor.toLong).select(col("id").as("k"))
+      emb.crossJoin(copies)
+        .select((col("vec_id") + col("k") * lit(2000L)).as("vec_id"),
+          col("embedding"))
+    }
+    val big = grow(10).persist()
+    val nBig = big.count()
+    // the declared sampler: Q scales 10x with the corpus (the hazard)
+    val qBase = emb.filter(col("vec_id") % 50 === 0).count()
+    val qDeclared = big.filter(col("vec_id") % 50 === 0).count()
+    assert(qDeclared == 10 * qBase,
+      s"declared sampler: $qBase at 1x -> $qDeclared at 10x")
+    // the cap: deterministic (hash, not rand — task retries reproduce it),
+    // holding the batch at its 1x size regardless of corpus growth
+    val target = qBase
+    val qCapped = big.filter(
+      pmod(xxhash64(col("vec_id")), lit(nBig / target)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qn = qCapped.count()
+    assert(qn > target / 2 && qn < target * 2,
+      s"hash cap missed its target band: $qn vs $target")
+    // the capped exact side, exactly the readouts' shape: broadcast query
+    // batch × one corpus pass, per-query top-5
+    val c = big.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val exact = broadcast(qCapped).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", call_function("vec_dot", col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val p = exact.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch must broadcast (corpus side unshuffled for the Q×N pass):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-5 must prune map-side before the rank exchange:\n$p")
+    val rows = exact.groupBy(col("q_id")).count().collect()
+    assert(rows.length == qn && rows.forall(_.getLong(1) == 5),
+      s"capped exact side must emit exactly 5 per query (${rows.length} queries)")
+    info(s"nBig=$nBig qDeclared=$qDeclared qCapped=$qn (target $target)")
+    big.unpersist()
+  }
+
   test("13x stage boundary: MEMORY_AND_DISK persist vs written-and-reread " +
       "parquet survivor table — both feed the 4-consumer gate identically",
       ScaleStress) {
