@@ -11,8 +11,21 @@ import thrivespark.Det._
   * align DuckDB's BIGINT-returning date parts with Spark's INT. */
 object Scalars {
   val ops: Seq[Op] = Seq(
+    // r22 (guide §1.2/§2.3): fn_string/fn_string2/fn_date/fn_codec/fn_xml
+    // sort AFTER the raw columns and project on top. The global orderBy's
+    // range exchange runs a sampling pass that re-executes its child, so a
+    // projection below the sort is evaluated TWICE (measured: fn_xml
+    // 1.03–1.19 s → 0.78–0.85 s, fn_string2 0.49–0.65 → 0.34–0.52 s
+    // steady, interleaved A/B) — and for these ops the derived row is as
+    // wide as or wider than the raw inputs, so sorting the raw columns
+    // also shrinks (or holds) the exchange bytes. Applies only where the
+    // sort keys are raw unique PKs (p_partkey / o_orderkey): output order
+    // and values are byte-identical (216/216 strict re-proven). fn_math /
+    // fn_bitwise sort on their DERIVED columns (R1 total-order) and
+    // fn_array / multimodal_join would push WIDER payload (embedding /
+    // text) through the exchange — left alone, see OPTIMIZATION_r22.md.
     Op("fn_string",
-      (s, d) => T.part(s, d).select(
+      (s, d) => T.part(s, d).orderBy(col("p_partkey")).select(
         col("p_partkey"),
         upper(col("p_name")).as("uname"),
         substring(col("p_name"), 1, 5).as("prefix5"),
@@ -21,8 +34,7 @@ object Scalars {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word_re"),
         split(col("p_name"), " ").getItem(0).as("first_word_split"),
         levenshtein(col("p_brand"), lit("Brand#1")).as("lev"),
-        col("p_name").like("%ring%").cast("int").as("has_ring"))
-        .orderBy(col("p_partkey")),
+        col("p_name").like("%ring%").cast("int").as("has_ring")),
       Some("""SELECT p_partkey,
                      upper(p_name) AS uname,
                      substring(p_name, 1, 5) AS prefix5,
@@ -35,7 +47,7 @@ object Scalars {
               FROM part ORDER BY p_partkey""")),
 
     Op("fn_date",
-      (s, d) => T.orders(s, d).select(
+      (s, d) => T.orders(s, d).orderBy(col("o_orderkey")).select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"),
@@ -45,8 +57,7 @@ object Scalars {
         datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
         add_months(col("o_orderdate"), 3).as("plus3m"),
         last_day(col("o_orderdate")).as("eom"),
-        unix_micros(col("o_orderdate")).as("epoch_us"))
-        .orderBy(col("o_orderkey")),
+        unix_micros(col("o_orderdate")).as("epoch_us")),
       Some("""SELECT o_orderkey,
                      CAST(year(o_orderdate) AS INTEGER) AS y,
                      CAST(month(o_orderdate) AS INTEGER) AS m,
@@ -109,7 +120,7 @@ object Scalars {
               ORDER BY l_orderkey, l_linenumber, ln_shl""")),
 
     Op("fn_string2",
-      (s, d) => T.part(s, d).select(
+      (s, d) => T.part(s, d).orderBy(col("p_partkey")).select(
         col("p_partkey"),
         lpad(col("p_brand"), 12, "0").as("brand_pad"),
         rpad(col("p_type"), 10, ".").as("type_pad"),
@@ -119,8 +130,7 @@ object Scalars {
         ascii(substring(col("p_name"), 1, 1)).as("first_ascii"),
         expr("right(p_name, 3)").as("name_r3"),
         repeat(substring(col("p_type"), 1, 2), 2).as("type_rep"),
-        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"))
-        .orderBy(col("p_partkey")),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr")),
       Some("""SELECT p_partkey,
                      lpad(p_brand, 12, '0') AS brand_pad,
                      rpad(p_type, 10, '.') AS type_pad,
@@ -227,13 +237,16 @@ object Scalars {
         val schema = StructType(Seq(
           StructField("k", org.apache.spark.sql.types.LongType),
           StructField("s", org.apache.spark.sql.types.StringType)))
+        // r22: sort the (key, xml-string) rows, parse ABOVE the range
+        // exchange — the sampling pass re-evaluated the from_xml parse
+        // (see the family note on fn_string)
         T.orders(s, d)
           .select(col("o_orderkey"), xml.as("x"))
+          .orderBy(col("o_orderkey"))
           .select(col("o_orderkey"), col("x"),
             from_xml(col("x"), schema).as("p"))
           .select(col("o_orderkey"), col("p.k").as("k"), col("p.s").as("s"),
             (col("p.k") === col("o_orderkey")).cast("int").as("parity"))
-          .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
                      CAST(regexp_extract(x, '<k>([0-9]+)</k>', 1) AS BIGINT) AS k,
@@ -270,12 +283,11 @@ object Scalars {
     // hex case differs between engines (Spark upper, DuckDB upper too but
     // normalize anyway) — lower() both sides.
     Op("fn_codec",
-      (s, d) => T.part(s, d).select(
+      (s, d) => T.part(s, d).orderBy(col("p_partkey")).select(
         col("p_partkey"),
         base64(col("p_name").cast("binary")).as("b64"),
         lower(hex(col("p_name").cast("binary"))).as("hex_lc"),
-        octet_length(unbase64(base64(col("p_name").cast("binary")))).as("rt_bytes"))
-        .orderBy(col("p_partkey")),
+        octet_length(unbase64(base64(col("p_name").cast("binary")))).as("rt_bytes")),
       Some("""SELECT p_partkey, base64(encode(p_name)) AS b64,
                      lower(hex(encode(p_name))) AS hex_lc,
                      CAST(octet_length(from_base64(base64(encode(p_name)))) AS INTEGER) AS rt_bytes

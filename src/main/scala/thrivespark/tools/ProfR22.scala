@@ -87,6 +87,47 @@ object ProfR22 {
           time(s"above#$i")(noop(above))
         }
 
+      // fn_xml / fn_string2: projection below the range exchange (status
+      // quo — the sampling pass re-evaluates the parse/string work) vs
+      // above the sort (parse once; sort keys are the raw unique PKs).
+      case "ab_xmlsort" =>
+        import org.apache.spark.sql.types._
+        val o = T.orders(spark, sfDir)
+        val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+        val xml = concat(lit("<r><k>"), col("o_orderkey"),
+          lit("</k><s>"), col("o_orderstatus"), lit("</s></r>"))
+        def parse(src: DataFrame) = src
+          .select(col("o_orderkey"), col("x"), from_xml(col("x"), schema).as("p"))
+          .select(col("o_orderkey"), col("p.k").as("k"), col("p.s").as("s"),
+            (col("p.k") === col("o_orderkey")).cast("int").as("parity"))
+        def below = parse(o.select(col("o_orderkey"), xml.as("x")))
+          .orderBy(col("o_orderkey"))
+        def above = parse(o.select(col("o_orderkey"), xml.as("x"))
+          .orderBy(col("o_orderkey")))
+        (1 to 4).foreach { i =>
+          time(s"below#$i")(noop(below))
+          time(s"above#$i")(noop(above))
+        }
+      case "ab_str2sort" =>
+        val p = T.part(spark, sfDir)
+        def derive(src: DataFrame) = src.select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "0").as("brand_pad"),
+          rpad(col("p_type"), 10, ".").as("type_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          instr(col("p_name"), "a").as("pos_a"),
+          ascii(substring(col("p_name"), 1, 1)).as("first_ascii"),
+          expr("right(p_name, 3)").as("name_r3"),
+          repeat(substring(col("p_type"), 1, 2), 2).as("type_rep"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"))
+        def below = derive(p).orderBy(col("p_partkey"))
+        def above = derive(p.orderBy(col("p_partkey")))
+        (1 to 4).foreach { i =>
+          time(s"below#$i")(noop(below))
+          time(s"above#$i")(noop(above))
+        }
+
       // sim_join_rewrite A/B under autoBroadcastJoinThreshold=-1 (the
       // 100 TB planner's view, where the join shuffles): toggle the
       // degenerate-bucket salt via the session conf the rule reads,
