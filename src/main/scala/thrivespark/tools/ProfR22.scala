@@ -185,6 +185,24 @@ object ProfR22 {
           }
         }
 
+      // Dump sim_join_rewrite's formatted plan under threshold=-1 (the
+      // shuffle-join view where the salt fires), optionally executing
+      // first so the final AQE plan lands. args: explain_simjoin <outDir>
+      // <tag> <salt0|salted> [exec]
+      case "explain_simjoin" =>
+        val outDir = args(2); val tag = args(3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if (args(4) == "salt0") spark.conf.set("thrivespark.simjoin.saltCells", "0")
+        val df = thrivespark.Registry.queries("sim_join_rewrite")(spark, sfDir)
+        if (args.length > 5 && args(5) == "exec") { df.collect(): Unit }
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"sim_join_rewrite_$tag.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[explain] wrote $outDir/sim_join_rewrite_$tag.txt")
+
       case "simjoin_scale" =>
         val fn = thrivespark.Registry.queries("sim_join_rewrite")
         (1 to 2).foreach { i =>
